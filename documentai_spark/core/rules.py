@@ -1,0 +1,143 @@
+"""English-sentence rule compiler + validator (pure Python).
+
+Rebuilt from rule_engine_updated/validation_engine.py:
+
+- ``parse_english_rule`` (validation_engine.py:255-369): an English
+  sentence like "purchase order number must not be empty" compiles to
+  ``{field, type, parameters, original_text}`` (validation_engine.py:260-265).
+- ``validate_json`` (validation_engine.py:457-502): each rule's field is
+  looked up in the entity dict (J4 equi-join) and the typed check runs;
+  output is per-rule pass/fail plus aggregate counts
+  (A10: sum passed, sum failed, overall_valid = failed == 0).
+- value parsing quirks preserved: numbers parsed with comma stripping
+  (validation_engine.py:64); currency format ``^([A-Z]{3})\\s*([\\d,.]+)$``
+  (validation_engine.py:165); DDMMYY/YYMMDD date validation
+  (validation_engine.py:132-158).
+
+Rules compile once on the driver and broadcast into the Spark stage
+(SURVEY §2.3 J4: broadcast rules, explode entities).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+_CURRENCY_RE = re.compile(r"^([A-Z]{3})\s*([\d,.]+)$")
+
+_RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"^(?P<field>.+?)\s+must\s+not\s+be\s+empty$", re.I), "not_empty"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+valid\s+date$", re.I), "valid_date"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+number$", re.I), "numeric"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+in\s+currency\s+format$", re.I), "currency"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+greater\s+than\s+(?P<value>[\d,.]+)$", re.I), "greater_than"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+less\s+than\s+(?P<value>[\d,.]+)$", re.I), "less_than"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+equal\s+(?P<value>.+)$", re.I), "equals"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+contain\s+(?P<value>.+)$", re.I), "contains"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+one\s+of\s+(?P<value>.+)$", re.I), "one_of"),
+]
+
+
+def _to_number(v: Any) -> float | None:
+    """Comma-stripping numeric parse (validation_engine.py:64)."""
+    try:
+        return float(str(v).replace(",", "").replace(" ", ""))
+    except (ValueError, TypeError):
+        return None
+
+
+def _valid_date(v: str) -> bool:
+    """Accept dd.mm.yyyy / dd-mm-yyyy / dd/mm/yyyy / DDMMYY / YYMMDD /
+    dd-MMM-yyyy (validation_engine.py:132-158 family)."""
+    s = str(v).strip()
+    m = re.match(r"^(\d{2})[./-](\d{2})[./-](\d{4})$", s)
+    if m:
+        d, mo = int(m.group(1)), int(m.group(2))
+        return 1 <= d <= 31 and 1 <= mo <= 12
+    m = re.match(r"^(\d{1,2})-([A-Za-z]{3})-(\d{4})$", s)
+    if m:
+        return (1 <= int(m.group(1)) <= 31 and m.group(2).lower()[:3] in
+                ("jan feb mar apr may jun jul aug sep oct nov dec".split()))
+    if re.match(r"^\d{6}$", s):  # DDMMYY or YYMMDD
+        d1, m1 = int(s[0:2]), int(s[2:4])
+        m2, d2 = int(s[2:4]), int(s[4:6])
+        return (1 <= d1 <= 31 and 1 <= m1 <= 12) or (1 <= m2 <= 12 and 1 <= d2 <= 31)
+    return False
+
+
+def parse_english_rule(sentence: str) -> dict[str, Any] | None:
+    """English sentence -> {field, type, parameters, original_text}."""
+    s = sentence.strip().rstrip(".")
+    for pat, rtype in _RULE_GRAMMAR:
+        m = pat.match(s)
+        if not m:
+            continue
+        field = m.group("field").strip().lower().replace(" ", "_")
+        params: dict[str, Any] = {}
+        if rtype in ("greater_than", "less_than"):
+            params["value"] = _to_number(m.group("value"))
+        elif rtype == "equals":
+            params["value"] = m.group("value").strip()
+        elif rtype == "contains":
+            params["value"] = m.group("value").strip()
+        elif rtype == "one_of":
+            params["values"] = [x.strip() for x in
+                                re.split(r",|\bor\b", m.group("value")) if x.strip()]
+        return {"field": field, "type": rtype, "parameters": params,
+                "original_text": sentence}
+    return None
+
+
+def compile_rules(sentences: list[str]) -> list[dict[str, Any]]:
+    """Compile all parseable sentences (driver-side, then broadcast)."""
+    out = []
+    for s in sentences:
+        r = parse_english_rule(s)
+        if r is not None:
+            out.append(r)
+    return out
+
+
+def validate_rule(rule: dict[str, Any], value: Any) -> bool:
+    """One rule against one entity value (missing value fails all types)."""
+    rtype = rule["type"]
+    if value is None or str(value).strip() == "":
+        return False
+    v = str(value).strip()
+    if rtype == "not_empty":
+        return True
+    if rtype == "valid_date":
+        return _valid_date(v)
+    if rtype == "numeric":
+        return _to_number(v) is not None
+    if rtype == "currency":
+        return _CURRENCY_RE.match(v) is not None
+    if rtype == "greater_than":
+        n = _to_number(v)
+        return n is not None and rule["parameters"]["value"] is not None \
+            and n > rule["parameters"]["value"]
+    if rtype == "less_than":
+        n = _to_number(v)
+        return n is not None and rule["parameters"]["value"] is not None \
+            and n < rule["parameters"]["value"]
+    if rtype == "equals":
+        return v == rule["parameters"]["value"]
+    if rtype == "contains":
+        return rule["parameters"]["value"].upper() in v.upper()
+    if rtype == "one_of":
+        return v in rule["parameters"]["values"]
+    return False
+
+
+def validate_entities(rules: list[dict[str, Any]],
+                      entities: dict[str, str]) -> dict[str, Any]:
+    """validate_json analog (validation_engine.py:457-502)."""
+    results = []
+    for rule in rules:
+        ok = validate_rule(rule, entities.get(rule["field"]))
+        results.append({"field": rule["field"], "type": rule["type"],
+                        "passed": ok, "original_text": rule["original_text"]})
+    passed = sum(1 for r in results if r["passed"])
+    return {"results": results, "passed": passed,
+            "failed": len(results) - passed,
+            "overall_valid": passed == len(results)}

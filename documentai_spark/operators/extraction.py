@@ -1,0 +1,138 @@
+"""Extraction + quality pandas UDFs (Arrow-batched; never per-row Python).
+
+The per-page loop of the reference
+(quality_analysis_updated/universal_analyzer.py:31-49 per-page metrics;
+entity-extraction-service/app.py:547-593 span extraction) becomes one
+vectorized call per Arrow batch — the CIDR'22 "Accelerating Python UDFs in
+Vectorized Query Execution" pattern (PAPERS.md). The UDF bodies delegate to
+``documentai_spark.core`` so the pytest oracle and the pipeline share one
+implementation (byte-equality by construction; SURVEY §7.4 risk #1).
+
+Design notes for 100 TB scale:
+
+- UDFs are *column -> struct column* (SQL_SCALAR_PANDAS_UDF): they compose
+  with Catalyst projections, survive whole-stage codegen around them, and
+  keep the scan's predicate pushdown / column pruning intact (only ``text``
+  is shipped to Python, nothing else).
+- The extraction stage is embarrassingly parallel: no shuffle is needed or
+  introduced. Skew defusal (salted repartition) is a separate explicit
+  operator (documentai_spark.operators.skew).
+- Spans travel as ``array<struct>`` columns (Arrow list<struct> — cheap
+  columnar encoding, no JSON round-trip).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, MapType, StringType, StructField,
+    StructType,
+)
+
+from documentai_spark.core.entities import (
+    completeness_score, extract_entities, extraction_confidence,
+)
+from documentai_spark.core.extract import extract_turn
+from documentai_spark.core.quality import blank_score, legibility_score
+
+SPAN_TYPE = StructType([
+    StructField("begin", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("text", StringType(), False),
+])
+
+EXTRACT_RESULT_TYPE = StructType([
+    StructField("kind", StringType(), False),
+    StructField("extracted_text", StringType(), False),
+    StructField("spans", ArrayType(SPAN_TYPE, False), False),
+])
+
+QUALITY_RESULT_TYPE = StructType([
+    StructField("q_blank", DoubleType(), False),
+    StructField("q_legibility", DoubleType(), False),
+    StructField("q_completeness", DoubleType(), False),
+])
+
+ENTITY_RESULT_TYPE = StructType([
+    StructField("entities", MapType(StringType(), StringType(), False), False),
+    StructField("extraction_confidence", DoubleType(), False),
+])
+
+
+@pandas_udf(EXTRACT_RESULT_TYPE)
+def extract_udf(text: pd.Series) -> pd.DataFrame:
+    """text -> (kind, extracted_text, spans); one call per Arrow batch."""
+    kinds: list[str] = []
+    texts: list[str] = []
+    spans_col: list[list[dict]] = []
+    for t in text:
+        kind, extracted, spans = extract_turn(t)
+        kinds.append(kind)
+        texts.append(extracted)
+        spans_col.append([s._asdict() for s in spans])
+    return pd.DataFrame({"kind": kinds, "extracted_text": texts,
+                         "spans": spans_col})
+
+
+@pandas_udf(QUALITY_RESULT_TYPE)
+def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
+    """(raw text, extracted text) -> three quality metrics.
+
+    Confidence + verdict are pure SQL on top (functions.verdict) — the
+    reference's verdict machinery is scalar thresholds
+    (quality_config.py:86-129), no UDF needed.
+    """
+    qb = []
+    ql = []
+    qc = []
+    for r, e in zip(raw, extracted):
+        qb.append(blank_score(r or ""))
+        ql.append(legibility_score(e or ""))
+        qc.append(completeness_score(extract_entities(e or "")))
+    return pd.DataFrame({"q_blank": qb, "q_legibility": ql,
+                         "q_completeness": qc})
+
+
+@pandas_udf(ENTITY_RESULT_TYPE)
+def entity_udf(extracted: pd.Series) -> pd.DataFrame:
+    """extracted text -> (flat entity map, extraction confidence)."""
+    ents = []
+    confs = []
+    for e in extracted:
+        d = extract_entities(e or "")
+        ents.append(d)
+        confs.append(extraction_confidence(d))
+    return pd.DataFrame({"entities": ents, "extraction_confidence": confs})
+
+
+def with_extraction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add kind / extracted_text / spans columns (no shuffle)."""
+    return (df.withColumn("_x", extract_udf(F.col(text_col)))
+              .withColumn("kind", F.col("_x.kind"))
+              .withColumn("extracted_text", F.col("_x.extracted_text"))
+              .withColumn("spans", F.col("_x.spans"))
+              .drop("_x"))
+
+
+def with_quality(df: DataFrame, raw_col: str = "text",
+                 extracted_col: str = "extracted_text") -> DataFrame:
+    """Add q_blank / q_legibility / q_completeness columns (no shuffle)."""
+    return (df.withColumn("_q", quality_udf(F.col(raw_col), F.col(extracted_col)))
+              .withColumn("q_blank", F.col("_q.q_blank"))
+              .withColumn("q_legibility", F.col("_q.q_legibility"))
+              .withColumn("q_completeness", F.col("_q.q_completeness"))
+              .drop("_q"))
+
+
+def with_entities(df: DataFrame,
+                  extracted_col: str = "extracted_text") -> DataFrame:
+    """Add entities map + extraction_confidence columns (no shuffle)."""
+    return (df.withColumn("_e", entity_udf(F.col(extracted_col)))
+              .withColumn("entities", F.col("_e.entities"))
+              .withColumn("extraction_confidence",
+                          F.col("_e.extraction_confidence"))
+              .drop("_e"))

@@ -1,0 +1,83 @@
+"""The flagship extraction pipeline: one lazily-planned DataFrame DAG.
+
+The reference's gateway chain (api-gateway/app.py:262-772: quality ->
+conditional preprocessing -> classification -> entity extraction -> rule
+validation, HTTP between every step, files between classification and
+extraction) collapses into a single Spark plan with NO service hops and NO
+intermediate files (SURVEY §3.1 "Spark rewrite"):
+
+    read transcripts
+      -> salted repartition (skew defusal; the ONLY shuffle before write)
+      -> extract_udf   (kind dispatch -> extracted_text + spans)
+      -> quality_udf   (q_blank / q_legibility / q_completeness)
+      -> confidence + verdict + routing  (pure SQL when/otherwise)
+      -> [optional] entity_udf
+      -> restore (conv_id, turn_idx) order  (range exchange, W1)
+      -> write partitioned output
+
+Scale notes (the 100 TB story):
+- Exactly two exchanges end-to-end: the salt repartition and the final
+  range exchange for ordered output. Everything between is pipelined
+  per-partition work with Arrow batches.
+- The scan ships only the needed columns into Python (column pruning holds:
+  extract_udf reads ``text`` alone).
+- No collect, no driver-side loops; output partitioning by bucket(conv_id)
+  keeps downstream per-conversation reads co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentai_spark.functions.verdict import with_verdict
+from documentai_spark.operators.extraction import (
+    with_entities, with_extraction, with_quality,
+)
+from documentai_spark.operators.skew import restore_order, salted_repartition
+
+OUTPUT_COLUMNS = [
+    "conv_id", "turn_idx", "role", "tool", "ts", "kind", "extracted_text",
+    "spans", "q_blank", "q_legibility", "q_completeness", "confidence",
+    "verdict", "needs_preprocessing",
+]
+
+
+def extraction_pipeline(transcripts: DataFrame, *,
+                        salt_partitions: int | None = None,
+                        salt_buckets: int = 16,
+                        include_entities: bool = False,
+                        ordered_output: bool = True) -> DataFrame:
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> extracted."""
+    df = salted_repartition(transcripts, salt_partitions,
+                            salt_buckets=salt_buckets)
+    df = with_extraction(df)
+    df = with_quality(df)
+    df = with_verdict(df)
+    cols = list(OUTPUT_COLUMNS)
+    if include_entities:
+        df = with_entities(df)
+        cols += ["entities", "extraction_confidence"]
+    df = df.select(*cols)
+    if ordered_output:
+        df = restore_order(df)
+    return df
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read the transcripts table.
+
+    Parquet in this sandbox; on a real cluster the same call reads the
+    Iceberg table (``spark.read.format("iceberg").load(tbl)``) and gains
+    partition pruning from the table's bucket(conv_id) spec. The pipeline
+    is storage-agnostic above this line.
+    """
+    return spark.read.parquet(path)
+
+
+def run_pipeline(spark: SparkSession, in_path: str, out_path: str,
+                 **kwargs) -> None:
+    """One-shot (non-checkpointed) run; see plans.checkpoint for resume."""
+    df = extraction_pipeline(read_transcripts(spark, in_path), **kwargs)
+    (df.withColumn("bucket", F.pmod(F.hash("conv_id"), F.lit(16)))
+       .write.mode("overwrite").partitionBy("bucket").parquet(out_path))

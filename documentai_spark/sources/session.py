@@ -1,0 +1,40 @@
+"""SparkSession builder with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "documentai_spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Defaults chosen for the 100 TB design point, valid in local mode too:
+
+    - AQE on (runtime coalescing + skew-join splitting).
+    - Arrow enabled with a bounded records-per-batch so pandas-UDF batches
+      stay memory-safe on very long turns (10^5-char texts).
+    - shuffle partitions sized to cores in local mode; on a real cluster
+      set ~2-3x total cores via ``shuffle_partitions``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else ""
+        shuffle_partitions = int(n) if n.isdigit() else 200
+    b = (SparkSession.builder.appName(app_name).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.sql.session.timeZone", "UTC"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

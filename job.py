@@ -1,0 +1,70 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (the north_rule deployment shape):
+
+    spark-submit --master local[32] --py-files pipeline.zip job.py \\
+        --input  /path/to/transcripts \\
+        --output /path/to/extracted   \\
+        [--gen-convs 2000]   # generate synthetic input first (FIXTURES.md)
+        [--entities]         # include entity extraction stage
+        [--resume]           # per-partition checkpoint resume (plans.checkpoint)
+
+Prints one JSON line with rows, wall seconds, and turns/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from documentai_spark.sources.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="output parquet dir")
+    ap.add_argument("--master", default=None, help="spark master override")
+    ap.add_argument("--gen-convs", type=int, default=0,
+                    help="generate synthetic transcripts with N convs first")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--entities", action="store_true")
+    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpointed per-partition run with resume")
+    args = ap.parse_args()
+
+    if args.gen_convs:
+        from documentai_spark.sources.transcripts import write_transcripts_parquet
+        n = write_transcripts_parquet(args.input, seed=args.seed,
+                                      n_convs=args.gen_convs)
+        print(f"generated {n} turns at {args.input}", file=sys.stderr)
+
+    spark = build_session("documentai-extract", master=args.master)
+    t0 = time.time()
+    if args.resume:
+        from documentai_spark.plans.checkpoint import run_checkpointed
+        stats = run_checkpointed(spark, args.input, args.output,
+                                 include_entities=args.entities,
+                                 salt_buckets=args.salt_buckets)
+        rows = stats["rows_out"]
+    else:
+        from documentai_spark.plans.pipeline import run_pipeline
+        run_pipeline(spark, args.input, args.output,
+                     include_entities=args.entities,
+                     salt_buckets=args.salt_buckets)
+        rows = spark.read.parquet(args.output).count()
+    wall = time.time() - t0
+    print(json.dumps({"rows": rows, "sec": round(wall, 2),
+                      "turns_per_sec": round(rows / wall, 1),
+                      "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Unit tests for quality ensembles, entities, rules (oracle core)."""
+
+from documentai_spark.core.entities import (
+    completeness_score, extract_entities, extraction_confidence,
+)
+from documentai_spark.core.quality import (
+    blank_score, confidence_score, legibility_score, score_turn, verdict_for,
+)
+from documentai_spark.core.rules import (
+    compile_rules, parse_english_rule, validate_entities,
+)
+
+
+def test_blank_score_extremes():
+    assert blank_score("") == 1.0
+    assert blank_score("   \n\t ") == 1.0
+    long_text = "this is a perfectly normal document " * 10
+    assert blank_score(long_text) < 0.3
+
+
+def test_blank_hard_blocker_verdict():
+    s = score_turn("   ", "", 0.0)
+    assert s.verdict == "re-scan"
+
+
+def test_legibility_ranges():
+    assert legibility_score("") == 0.0
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert legibility_score(good) > 0.6
+    garbage = "\x00\x01\x02 ### $$$ %%% ^^^ &&& *** ((( )))"
+    assert legibility_score(garbage) < legibility_score(good)
+
+
+def test_verdict_thresholds():
+    assert verdict_for(0.0, 0.96) == "direct analysis"
+    assert verdict_for(0.0, 0.95) == "direct analysis"
+    assert verdict_for(0.0, 0.85) == "pre-processing"
+    assert verdict_for(0.0, 0.80) == "pre-processing"
+    assert verdict_for(0.0, 0.65) == "azure document analysis"
+    assert verdict_for(0.0, 0.59) == "reupload"
+    assert verdict_for(0.95, 0.99) == "re-scan"  # hard blocker wins
+
+
+def test_confidence_critical_cap():
+    # legibility below CRITICAL_LOW caps confidence at 0.55
+    assert confidence_score(0.0, 0.1, 1.0) <= 0.55
+    assert confidence_score(0.0, 0.9, 0.9) > 0.8
+
+
+def test_entities():
+    text = ("PO NUMBER PO-12345 DATED 09.06.2024 total USD 19,555.00 "
+            "shipped FOB contact a@b.com")
+    ents = extract_entities(text)
+    assert ents["po_number"] == "PO-12345"
+    assert ents["date_numeric"] == "09.06.2024"
+    assert ents["currency"] == "USD" and ents["amount"] == "19,555.00"
+    assert ents["incoterm"] == "FOB"
+    assert ents["email"] == "a@b.com"
+    assert completeness_score(ents) == 1.0
+    assert extraction_confidence(ents) == 1.0  # capped
+
+
+def test_entities_empty():
+    assert extract_entities("") == {}
+    assert completeness_score({}) == 0.0
+    assert extraction_confidence({}) == 0.0
+
+
+def test_rule_compile_and_validate():
+    rules = compile_rules([
+        "po_number must not be empty",
+        "date_numeric must be a valid date",
+        "amount must be a number",
+        "currency must be one of USD, EUR or GBP",
+        "amount must be greater than 1,000",
+        "incoterm must equal FOB",
+    ])
+    assert len(rules) == 6
+    ents = {"po_number": "PO-1", "date_numeric": "09.06.2024",
+            "amount": "19,555.00", "currency": "USD", "incoterm": "FOB"}
+    res = validate_entities(rules, ents)
+    assert res["overall_valid"] and res["passed"] == 6
+
+    res2 = validate_entities(rules, {**ents, "amount": "500"})
+    assert res2["failed"] == 1 and not res2["overall_valid"]
+
+
+def test_rule_grammar_misc():
+    assert parse_english_rule("purchase order number must not be empty")["field"] \
+        == "purchase_order_number"
+    assert parse_english_rule("x must be less than 5")["type"] == "less_than"
+    assert parse_english_rule("nonsense sentence") is None
+    r = parse_english_rule("desc must contain widget")
+    assert r["type"] == "contains"
