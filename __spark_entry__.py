@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship extraction+quality pipeline on sf0.001.
+``queries()``       — one entry per implemented operator (SURVEY.md §2 +
+                      the training-data-pipeline operators).
+``oracle_sql()``    — DuckDB-runnable ANSI SQL mirrors; keys without an
+                      entry get the weaker rows-only check (pandas-UDF
+                      pipelines whose ensemble math is not SQL-expressible
+                      are pinned byte-exact by tests/ instead).
+
+Cross-engine exactness rules used throughout (so value-hashes match):
+- money/double aggregates: per-row CAST to DECIMAL (exact sum, engine
+  independent), final CAST back to DOUBLE;
+- ratio outputs: ROUND(int/int double division, 6);
+- time logic: wall-clock only (testdata timestamps are TIMESTAMP_NTZ in
+  Spark / naive in DuckDB) — ``timestampdiff`` for gaps, string-cast
+  ``date_trunc`` for buckets; never epoch/timezone rendering;
+- deterministic tie-breaks on every window/top-k (rank flips would flip
+  the hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from documentai_spark.core.textstats import STOPWORDS  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the DocumentAI extraction+quality pipeline over the
+    ``documents`` table (each document = a one-turn conversation)."""
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction, with_quality,
+    )
+    docs = _t(spark, SF0001, "documents")
+    df = with_extraction(docs, text_col="text")
+    df = with_quality(df, raw_col="text")
+    df = with_verdict(df)
+    return df.select("doc_id", "kind", "extracted_text", "q_blank",
+                     "q_legibility", "q_completeness", "confidence",
+                     "verdict").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable queries (each has an oracle_sql mirror)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-groupBy-agg with exact decimal sums.
+
+    Covers A5/A11 partial+final aggregation; filter pushes to the parquet
+    scan (PushedFilters visible in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                            - dec("l_discount")))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double")
+                  .alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-10 via broadcast dim join (J5/J6 + W4 top-k).
+
+    customer is the small side -> explicit broadcast(); lineitem->orders
+    is the big equi-join, shuffle on orderkey with AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(10))
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-range filter + left-semi join + count (U/J7)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (orders
+            .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                    & (F.col("o_orderdate") < F.lit("1996-07-01")))
+            .join(li.select("l_orderkey").distinct(),
+                  F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the 4/4 classification vote re-expressed at table scale —
+    per user, mode of event_type with vote count and 'k/n' confidence
+    (documentClassifier.py:928-948 semantics). Deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    votes = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("votes"))
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("votes"),
+                                              F.asc("event_type"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+            .join(totals, "user_id")
+            .select("user_id", F.col("event_type").alias("top_event"),
+                    "votes",
+                    F.round(F.col("votes") / F.col("total"), 6)
+                     .alias("vote_confidence"))
+            .orderBy("user_id"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 gaps-and-islands sessionization (documentClassifier.py:1057-1080
+    consecutive-page grouping, generalized to 30-min event gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond granularity: exact in both engines (Spark timestampdiff
+    # truncates sub-unit parts; DuckDB date_diff counts boundary crossings —
+    # they disagree at SECOND granularity but agree at the data's native µs)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    df = (ev.withColumn("_prev_ts", F.lag("ts").over(w))
+            .withColumn("new_session",
+                        F.when(F.col("_prev_ts").isNull()
+                               | (gap > 1800 * 1000000), 1)
+                         .otherwise(0))
+            .withColumn("session_id", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (df.groupBy("user_id", "session_id")
+              .agg(F.count(F.lit(1)).alias("session_events"))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_sessions"),
+                   F.max("session_events").alias("max_session_events"))
+              .orderBy("user_id"))
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 top-k per group (top-3 by value, deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"),
+                                              F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("user_id", "rn", "event_id", "value")
+              .orderBy("user_id", "rn"))
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup (streaming-friendly shape; here batch).
+
+    Wall-clock bucket as string to stay TZ-free cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).cast("string")
+                 .alias("hour_bucket"),
+                "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("sum_value"))
+              .orderBy("hour_bucket", "event_type"))
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (text-analysis op; exact ints)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select("doc_id", toks.alias("n_tokens"),
+                       F.length("text").alias("len_chars")).orderBy("doc_id")
+
+
+def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality ratios (stopword/punct/length), all
+    JVM-side higher-order array functions — no UDF in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+              .otherwise(F.size(toks))
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    sw_ratio = F.when(n_toks > 0, F.round(n_sw / n_toks, 6)).otherwise(F.lit(0.0))
+    return (docs.select(
+                "doc_id", n_toks.alias("n_tokens"), n_sw.alias("n_stopwords"),
+                sw_ratio.alias("stopword_ratio"),
+                F.when(sw_ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown"))
+                 .alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text
+    (exact-dedup key; textstats.fingerprint semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint; keep min doc_id as
+    representative; report group sizes (map-side partial agg, one shuffle
+    on the 16-byte key — the scale path for 100 TB exact dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+    return (fp.groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min("doc_id").alias("keep_doc_id"))
+              .agg(F.count(F.lit(1)).alias("n_groups"),
+                   F.sum("n_docs").alias("n_docs"),
+                   F.sum(F.when(F.col("n_docs") > 1,
+                                F.col("n_docs") - 1).otherwise(0))
+                    .alias("n_dropped")))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup candidates: 3-token shingles, candidate
+    pairs via shingle-key equi-join (the shuffle-join formulation of
+    shingle-LSH banding), exact Jaccard from intersection/union counts.
+
+    Bounded to doc_id < 120 to keep the oracle cross-join-free compare
+    cheap at sf0.1; at cluster scale the same plan runs unbounded with the
+    shingle join sharded by key."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    sh = F.when(n >= 3, F.transform(
+            F.sequence(F.lit(0), n - F.lit(3)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(3)))
+        )).otherwise(F.array(norm))
+    d = docs.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    d = d.withColumn("n_shingles", F.size("shingles"))
+    ex = d.select("doc_id", "n_shingles",
+                  F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc_a"),
+                  F.col("n_shingles").alias("na"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n_shingles").alias("nb"), "shingle")
+    pairs = (a.join(b, "shingle")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b", "na", "nb")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.round(F.col("inter")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= 0.05)
+                 .orderBy("doc_a", "doc_b"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 10 anchor vectors (ANN
+    baseline). Anchors broadcast; dot/norm via higher-order aggregate in
+    DOUBLE (identical left-to-right IEEE sum in both engines). Output is
+    ids+rank only — float reprs never reach the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id",
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("v"))
+    anchors = vecs.filter(F.col("vec_id") < 10) \
+                  .select(F.col("vec_id").alias("anchor_id"),
+                          F.col("v").alias("av"))
+    dot = F.aggregate(F.zip_with("av", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    joined = (F.broadcast(anchors).crossJoin(vecs)
+              .filter(F.col("vec_id") != F.col("anchor_id"))
+              .select("anchor_id", "vec_id",
+                      (dot / (norm(F.col("av")) * norm(F.col("v"))))
+                      .alias("cos")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("anchor_id", "rank", F.col("vec_id").alias("neighbor_id"))
+            .orderBy("anchor_id", "rank"))
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (pandas-UDF pipelines; ensemble math not SQL-expressible
+# — correctness pinned byte-exact by tests/test_pipeline_oracle.py instead)
+# --------------------------------------------------------------------------
+
+def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction+quality pipeline over documents."""
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction, with_quality,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    df = with_quality(with_extraction(docs), raw_col="text")
+    df = with_verdict(df)
+    return df.select("doc_id", "kind", "q_blank", "q_legibility",
+                     "q_completeness", "confidence", "verdict") \
+             .orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "order_priority": q_order_priority,
+        "majority_vote": q_majority_vote,
+        "sessionize": q_sessionize,
+        "topk_per_user": q_topk_per_user,
+        "hourly_rollup": q_hourly_rollup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_quality": q_doc_lang_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "extract_quality": q_extract_quality,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "majority_vote": """
+            WITH votes AS (
+              SELECT user_id, event_type, COUNT(*) AS votes
+              FROM events GROUP BY user_id, event_type
+            ), totals AS (
+              SELECT user_id, COUNT(*) AS total FROM events GROUP BY user_id
+            ), ranked AS (
+              SELECT user_id, event_type, votes,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY votes DESC, event_type ASC) AS rn
+              FROM votes
+            )
+            SELECT r.user_id, r.event_type AS top_event, r.votes,
+                   ROUND(r.votes * 1.0 / t.total, 6) AS vote_confidence
+            FROM ranked r JOIN totals t ON r.user_id = t.user_id
+            WHERE rn = 1
+            ORDER BY r.user_id
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                  > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ), per_session AS (
+              SELECT user_id, session_id, COUNT(*) AS session_events
+              FROM sessions GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   MAX(session_events) AS max_session_events
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "topk_per_user": """
+            SELECT user_id, rn, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3 ORDER BY user_id, rn
+        """,
+        "hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour_bucket,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens,
+                   length(text) AS len_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_lang_quality": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+                     length(trim(text)) AS lt
+              FROM documents
+            ), stats AS (
+              SELECT doc_id,
+                     CASE WHEN lt = 0 THEN 0 ELSE len(t) END AS n_tokens,
+                     len(list_filter(t, x -> x IN ({sw_list}))) AS n_stopwords
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, n_stopwords,
+                   CASE WHEN n_tokens > 0
+                        THEN ROUND(n_stopwords * 1.0 / n_tokens, 6)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN n_tokens > 0
+                             AND ROUND(n_stopwords * 1.0 / n_tokens, 6) >= 0.04
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM stats ORDER BY doc_id
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                         AS fingerprint
+              FROM documents
+            ), groups AS (
+              SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+              FROM fp GROUP BY fingerprint
+            )
+            SELECT COUNT(*) AS n_groups, SUM(n_docs) AS n_docs,
+                   SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)
+                       AS n_dropped
+            FROM groups
+        """,
+        "ngram_jaccard": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                         ' ') AS t
+              FROM documents WHERE doc_id < 120
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                     ELSE list_distinct([array_to_string(t, ' ')]) END AS shingles
+              FROM d
+            ), ex AS (
+              SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS shingle
+              FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.ns AS na, b.ns AS nb, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+            FROM pairs
+            WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.05
+            ORDER BY doc_a, doc_b
+        """,
+        "cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), anchors AS (
+              SELECT vec_id AS anchor_id, v AS av FROM v WHERE vec_id < 10
+            ), sims AS (
+              SELECT a.anchor_id, b.vec_id,
+                     list_dot_product(a.av, b.v)
+                       / (sqrt(list_dot_product(a.av, a.av))
+                          * sqrt(list_dot_product(b.v, b.v))) AS cos
+              FROM anchors a, v b
+              WHERE b.vec_id <> a.anchor_id
+            )
+            SELECT anchor_id, rank, neighbor_id FROM (
+              SELECT anchor_id, vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM sims
+            ) WHERE rank <= 5 ORDER BY anchor_id, rank
+        """,
+        # extract_quality: intentionally no oracle (pandas-UDF ensemble;
+        # pinned byte-exact by tests/test_pipeline_oracle.py)
+    }
