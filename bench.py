@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Runs the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the flagship transcript-extraction
+pipeline over a cached deterministic synthetic transcripts table, and
+prints:
+
+    {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "extraction_turns_per_sec": <throughput>}
+
+Each query is forced with a noop-format write (full computation, no
+driver collect cost). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TRANSCRIPT_CONVS = int(os.environ.get("BENCH_CONVS", "400"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.0
+
+    import __spark_entry__ as entry
+    from documentai_spark.plans.pipeline import extraction_pipeline
+    from documentai_spark.sources.session import build_session
+    from documentai_spark.sources.transcripts import write_transcripts_parquet
+
+    # cached deterministic transcripts table for the throughput headline
+    tdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".benchcache",
+                        f"transcripts_c{BENCH_TRANSCRIPT_CONVS}")
+    marker = os.path.join(tdir, "_DONE")
+    if not os.path.exists(marker):
+        n = write_transcripts_parquet(tdir, seed=42,
+                                      n_convs=BENCH_TRANSCRIPT_CONVS,
+                                      mega_every=100, mega_turns=5000)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    n_turns = int(open(marker).read())
+
+    spark = build_session("bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + python workers off the clock
+    _force(spark.range(1000000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    df = extraction_pipeline(
+        spark.read.parquet(tdir), salt_buckets=16, ordered_output=True)
+    _force(df)
+    t_extract = time.time() - t0
+    timings["transcript_extraction"] = round(t_extract, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total", "value": total, "unit": "sec",
+        "queries": timings, "sf": sf,
+        "extraction_turns": n_turns,
+        "extraction_turns_per_sec": round(n_turns / t_extract, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Resume-idempotency test (FIXTURES.md §4 test 5): kill after k
+partitions, resume, final table equal to a single-shot run; lineage
+metrics consistent (no double-count)."""
+
+from __future__ import annotations
+
+from documentai_spark.plans.checkpoint import read_manifest, run_checkpointed
+from documentai_spark.plans.pipeline import extraction_pipeline
+
+
+def _collect_sorted(spark, path):
+    df = spark.read.parquet(f"{path}/bucket=*")
+    return sorted(df.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+
+
+def test_kill_and_resume_idempotent(spark, transcripts_path, tmp_path):
+    out_partial = str(tmp_path / "out_resume")
+    out_oneshot = str(tmp_path / "out_oneshot")
+
+    # phase 1: "killed" after 3 of 8 buckets
+    s1 = run_checkpointed(spark, transcripts_path, out_partial,
+                          n_buckets=8, max_buckets=3, log=lambda *a: None)
+    assert s1["buckets_done"] == 3
+    assert len(read_manifest(out_partial)) == 3
+
+    # phase 2: resume completes the rest, skips the done ones
+    s2 = run_checkpointed(spark, transcripts_path, out_partial,
+                          n_buckets=8, log=lambda *a: None)
+    assert s2["buckets_skipped"] == 3
+    assert s2["buckets_done"] == 5
+    manifest = read_manifest(out_partial)
+    assert len(manifest) == 8
+    assert all(m["status"] == "done" for m in manifest.values())
+
+    # single-shot reference run
+    df = extraction_pipeline(spark.read.parquet(transcripts_path))
+    one = sorted(df.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+    resumed = _collect_sorted(spark, out_partial)
+    assert len(resumed) == len(one)
+    for a, b in zip(resumed, one):
+        assert a.conv_id == b.conv_id and a.turn_idx == b.turn_idx
+        assert a.extracted_text == b.extracted_text
+        assert a.verdict == b.verdict
+
+    # lineage: no double count after resume
+    assert s2["rows_out"] == len(one)
+    assert sum(m["rows_out"] for m in manifest.values()) == len(one)
+    # conversations never straddle buckets
+    assert sum(m["rows_in"] for m in manifest.values()) == len(one)
+
+
+def test_rerun_done_is_noop(spark, transcripts_path, tmp_path):
+    out = str(tmp_path / "out_noop")
+    s1 = run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                          log=lambda *a: None)
+    s2 = run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                          log=lambda *a: None)
+    assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 4
+    assert s2["rows_out"] == s1["rows_out"]
