@@ -87,6 +87,18 @@ def completeness_score(entities: dict[str, str]) -> float:
     return present / len(EXPECTED_FIELDS)
 
 
+def completeness_from_text(text: str) -> float:
+    """Completeness directly from text (equivalent to
+    ``completeness_score(extract_entities(text))`` because every EXPECTED
+    field is set iff its pattern matches). The vectorized UDF mirrors this
+    with one ``Series.str.contains`` pass per expected pattern."""
+    if not text:
+        return 0.0
+    present = sum(1 for f in EXPECTED_FIELDS
+                  if _PATTERNS[f].search(text) is not None)
+    return present / len(EXPECTED_FIELDS)
+
+
 def extraction_confidence(entities: dict[str, str]) -> float:
     """non_empty/expected + 0.1 per key field, capped 1.0 (app.py:969-988)."""
     if not entities:

@@ -1,0 +1,214 @@
+"""Multi-technique classification + majority vote (A6/A7, W2 grouping).
+
+Rebuilt from document_classification_updated/documentClassifier.py:
+
+- config semantics (documentClassifier.py:984-1036): categories with
+  weighted keyword lists, keywords lowercased + alnum-normalized + sorted
+  by length desc at compile time, ``always_separate`` flags,
+  ``max_pages_per_pdf`` caps.
+- technique 1 "substring": score = sum of len(keyword)*4*weight over
+  matched keywords, argmax category (documentClassifier.py:406-421).
+- technique 2 "regex count": occurrences x weight
+  (documentClassifier.py:476-492).
+- technique 3 "token overlap": |keyword-set  word-set| (the NLP variant,
+  documentClassifier.py:520-557).
+- majority vote: count votes per category, argmax with deterministic
+  tie-break, confidence = votes/techniques
+  (documentClassifier.py:928-948).
+- per-category output grouping: consecutive same-category turns form one
+  output group, broken at gaps, category changes, ``max_pages``, or
+  ``always_separate`` (documentClassifier.py:1039-1121) — see
+  ``group_consecutive``.
+
+All scoring is generated column expressions (keywords are compile-time
+constants folded into the plan — the Spark analog of the reference's
+precompiled keyword cache, X5/X12). No UDF, no shuffle until the vote.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class Category:
+    name: str
+    keywords: tuple[str, ...]
+    weight: float = 1.0
+    always_separate: bool = False
+    max_pages: int = 0  # 0 = unlimited
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    categories: tuple[Category, ...]
+    min_text_len: int = 5  # documentClassifier.py:394 min-length gate
+
+    @staticmethod
+    def compile(raw: dict) -> "ClassifierConfig":
+        """Normalize + length-sort keywords (documentClassifier.py:1008-1021)."""
+        cats = []
+        for name, spec in raw.items():
+            kws = sorted({_norm(k) for k in spec["keywords"] if _norm(k)},
+                         key=lambda k: (-len(k), k))
+            cats.append(Category(name=name, keywords=tuple(kws),
+                                 weight=float(spec.get("weight", 1.0)),
+                                 always_separate=bool(
+                                     spec.get("always_separate", False)),
+                                 max_pages=int(spec.get("max_pages", 0))))
+        return ClassifierConfig(categories=tuple(cats))
+
+
+def _norm(s: str) -> str:
+    """alnum-normalize + lowercase (documentClassifier.py:404,645,727,806)."""
+    return re.sub(r"[^0-9a-z]", "", s.lower())
+
+
+def _norm_col(c: Column) -> Column:
+    return F.regexp_replace(F.lower(c), "[^0-9a-z]", "")
+
+
+def _argmax_struct(scores: list[tuple[str, Column]], default: str) -> Column:
+    """Deterministic argmax over (category, score): greatest score wins,
+    ties broken by category-name order; zero scores -> default."""
+    best = F.greatest(*[F.struct(s.alias("s"), F.lit(-i).alias("i"),
+                                 F.lit(name).alias("cat"))
+                        for i, (name, s) in enumerate(scores)])
+    return F.when(best["s"] > 0, best["cat"]).otherwise(F.lit(default))
+
+
+def technique_substring(text: Column, cfg: ClassifierConfig,
+                        default: str = "unclassified") -> Column:
+    """len(kw)*4*weight substring scoring (documentClassifier.py:406-421)."""
+    nt = _norm_col(text)
+    scores = []
+    for cat in cfg.categories:
+        s = None
+        for kw in cat.keywords:
+            term = F.when(nt.contains(kw),
+                          F.lit(len(kw) * 4 * cat.weight)).otherwise(F.lit(0.0))
+            s = term if s is None else s + term
+        scores.append((cat.name, s if s is not None else F.lit(0.0)))
+    return _argmax_struct(scores, default)
+
+
+def technique_regex_count(text: Column, cfg: ClassifierConfig,
+                          default: str = "unclassified") -> Column:
+    """Occurrence-count x weight scoring (documentClassifier.py:476-492).
+
+    Keywords compile to \\s+-flexible patterns (documentClassifier.py:455)."""
+    lt = F.lower(text)
+    scores = []
+    for cat in cfg.categories:
+        s = None
+        for kw in cat.keywords:
+            pat = r"(?i)" + r"\s*".join(re.escape(c) for c in kw)
+            cnt = F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0)))
+            term = cnt.cast("double") * F.lit(cat.weight)
+            s = term if s is None else s + term
+        scores.append((cat.name, s if s is not None else F.lit(0.0)))
+    return _argmax_struct(scores, default)
+
+
+def technique_token_overlap(text: Column, cfg: ClassifierConfig,
+                            default: str = "unclassified") -> Column:
+    """|keyword-set ∩ word-set| scoring (documentClassifier.py:520-557)."""
+    words = F.array_distinct(F.split(_space_norm(text), " "))
+    scores = []
+    for cat in cfg.categories:
+        kws = F.array(*[F.lit(k) for k in cat.keywords])
+        scores.append((cat.name,
+                       F.size(F.array_intersect(words, kws)).cast("double")))
+    return _argmax_struct(scores, default)
+
+
+def _space_norm(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"[^0-9a-z\s]", ""))
+
+
+def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
+                       text_col: str = "extracted_text",
+                       default: str = "unclassified") -> DataFrame:
+    """Run the 3 techniques + majority vote per row.
+
+    Adds: technique_1/2/3, category (vote winner), vote_confidence (k/3).
+    Rows shorter than min_text_len go straight to default
+    (documentClassifier.py:394,1020 min-length gate).
+    The vote is row-local (the reference votes per page) — array ops, no
+    shuffle; the *table-level* vote aggregate lives in
+    __spark_entry__.q_majority_vote."""
+    t = F.col(text_col)
+    too_short = F.length(F.trim(t)) < cfg.min_text_len
+    t1 = technique_substring(t, cfg, default)
+    t2 = technique_regex_count(t, cfg, default)
+    t3 = technique_token_overlap(t, cfg, default)
+    votes = F.array(t1, t2, t3)
+    # mode of a 3-array with deterministic ties: count each distinct value,
+    # pick (count desc, value asc)
+    counted = F.transform(
+        F.array_distinct(votes),
+        lambda v: F.struct(
+            F.size(F.filter(votes, lambda x: x == v)).alias("n"),
+            v.alias("neg_cat")))
+    # greatest(structs) compares n first, then string desc — invert the
+    # string for asc tie-break by comparing on (n, reversed rank): use
+    # array_sort and take last for (n asc, cat desc) -> reverse logic:
+    best = F.element_at(
+        F.reverse(F.array_sort(F.transform(
+            counted, lambda s: F.struct(
+                s["n"].alias("n"),
+                F.lit(None).cast("string").alias("_pad"),
+                s["neg_cat"].alias("cat"))))), 1)
+    # array_sort on struct(n, _pad, cat) sorts by n asc then cat asc;
+    # reverse -> n desc, cat desc. For deterministic *asc* category ties we
+    # re-sort candidates with max n by category name:
+    maxn = F.array_max(F.transform(counted, lambda s: s["n"]))
+    winner = F.array_min(F.transform(
+        F.filter(counted, lambda s: s["n"] == maxn), lambda s: s["neg_cat"]))
+    out = (df.withColumn("technique_1", F.when(too_short, default).otherwise(t1))
+             .withColumn("technique_2", F.when(too_short, default).otherwise(t2))
+             .withColumn("technique_3", F.when(too_short, default).otherwise(t3))
+             .withColumn("category",
+                         F.when(too_short, default).otherwise(winner))
+             .withColumn("vote_confidence",
+                         F.when(too_short, F.lit(0.0)).otherwise(
+                             maxn.cast("double") / F.lit(3.0))))
+    return out.drop("_best") if "_best" in out.columns else out
+
+
+def group_consecutive(df: DataFrame, cfg: ClassifierConfig,
+                      conv_col: str = "conv_id",
+                      order_col: str = "turn_idx",
+                      category_col: str = "category") -> DataFrame:
+    """Per-category output grouping (documentClassifier.py:1039-1121).
+
+    New group when: turn not consecutive (gap), category changes, or the
+    category is always_separate; groups longer than max_pages split into
+    max_pages-sized chunks. Classic gaps-and-islands (W2): lag + cumsum,
+    then an in-island row_number divided by the cap."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    always_sep = F.col(category_col).isin(
+        [c.name for c in cfg.categories if c.always_separate]) \
+        if any(c.always_separate for c in cfg.categories) else F.lit(False)
+    brk = (F.lag(order_col).over(w).isNull()
+           | (F.col(order_col) != F.lag(order_col).over(w) + 1)
+           | (F.col(category_col) != F.lag(category_col).over(w))
+           | always_sep)
+    df = df.withColumn("_brk", brk.cast("int"))
+    df = df.withColumn("_island", F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    wi = Window.partitionBy(conv_col, "_island").orderBy(order_col)
+    caps = {c.name: c.max_pages for c in cfg.categories if c.max_pages}
+    cap = F.lit(0)
+    for name, mp in caps.items():
+        cap = F.when(F.col(category_col) == name, F.lit(mp)).otherwise(cap)
+    sub = F.when(cap > 0,
+                 F.floor((F.row_number().over(wi) - 1) / cap)).otherwise(0)
+    return (df.withColumn("group_id",
+                          F.concat_ws("-", F.col("_island"), sub))
+              .drop("_brk", "_island"))

@@ -1,0 +1,184 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a standard large-corpus technique expressed Spark-first
+(no Python in the hot path — everything below is JVM built-ins /
+higher-order functions, so whole-stage codegen applies):
+
+- **exact**      — md5 fingerprint hash-groupBy (one shuffle on a 16-byte
+                   key; map-side partial agg).
+- **MinHash+LSH**— k-permutation signatures computed *shuffle-free* per row
+                   (``array_min`` over ``transform``-hashed shingles), then
+                   banded: only the (band_idx, band_hash) explode shuffles,
+                   and its fan-out is b rows/doc (b=16), so the candidate
+                   join touches a tiny fraction of the corpus — the 100 TB
+                   scale path.
+- **SimHash**    — 64-bit signature via per-bit weighted majority over
+                   token hashes; near-dup = small Hamming distance
+                   (bit_count(a XOR b)); candidates via 16-bit chunk bands.
+- **n-gram Jaccard** — exact verify step for candidate pairs (also
+                   standalone in __spark_entry__.q_ngram_jaccard).
+
+Determinism: all hashes are xxhash64 with fixed per-permutation salts —
+signatures are pure functions of the text, independent of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed lowercase (textstats.normalize_for_fingerprint)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Exact-dedup key: md5 of normalized text."""
+    return F.md5(normalized_text(col).cast("binary"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per fingerprint group.
+
+    One shuffle; at 100 TB prefer a two-level agg (cluster by fingerprint
+    prefix first) only if the key cardinality approaches row count — here
+    map-side combine already collapses duplicates early.
+    """
+    fp = df.withColumn("_fp", fingerprint_col(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp"))
+
+
+def shingle_col(text: Column, w: int = 3) -> Column:
+    """Distinct w-token shingles of the normalized text (JVM-side)."""
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(n >= w, F.transform(
+            F.sequence(F.lit(0), n - F.lit(w)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(w)))))
+         .otherwise(F.array(normalized_text(text))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k-permutation MinHash signature, shuffle-free.
+
+    signature[i] = min over shingles of xxhash64(salt_i, shingle).
+    Arrow/codegen-friendly: k passes over the per-row shingle array.
+    """
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash.
+
+    rows_per_band = num_hashes // bands; two docs are candidates if any
+    band matches exactly. Returns (id_a, id_b, n_bands_matched).
+    The only shuffle is the explode-join on (band_idx, band_hash) — at
+    corpus scale each bucket is tiny unless docs are true near-dups.
+    """
+    r = num_hashes // bands
+    sig = df.select(F.col(id_col),
+                    minhash_signature(shingle_col(F.col(text_col)),
+                                      num_hashes).alias("_sig"))
+    bands_col = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.xxhash64(*[F.element_at("_sig", b * r + j + 1)
+                              for j in range(r)]).alias("band_hash"))
+        for b in range(bands)])
+    ex = (sig.select(id_col, F.explode(bands_col).alias("band"))
+             .select(id_col, "band.band_idx", "band.band_hash"))
+    a = ex.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = ex.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (a.join(b, ["band_idx", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 64,
+                        bands: int = 16,
+                        jaccard_threshold: float = 0.8) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard (J-verify step).
+
+    The verify join re-fetches only candidate docs' shingle sets — at scale
+    this is a broadcast-able fraction of the corpus.
+    """
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    sh = df.select(F.col(id_col),
+                   shingle_col(F.col(text_col)).alias("_sh"))
+    j = (cand
+         .join(sh.select(F.col(id_col).alias("id_a"),
+                         F.col("_sh").alias("_sha")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"),
+                         F.col("_sh").alias("_shb")), "id_b"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (j.withColumn("jaccard", F.round(jac, 6))
+             .filter(F.col("jaccard") >= jaccard_threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: per-bit majority over token xxhash64 values.
+
+    bit_j(sig) = 1 iff sum over tokens of sign(bit_j(hash(tok))) > 0.
+    Unweighted tokens (weight extension: multiply the when() by a weight
+    column). Pure JVM expressions: 64 aggregate passes over the token
+    array per row — no shuffle, codegen-able.
+    """
+    toks = F.split(normalized_text(text), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(bit_sum(j) > 0,
+                           F.lit(1).cast("long") * F.lit(2 ** j).cast("long")
+                           ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    return df.select(id_col, simhash_col(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance, candidates via 4x16-bit bands
+    (a pair within Hamming<=3 of 64 bits must match at least one of 4
+    16-bit chunks exactly — pigeonhole)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk_idx"),
+                 F.shiftright("simhash", c * 16)
+                  .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+        for c in range(4)])
+    ex = (sig.select(id_col, "simhash", F.explode(chunks).alias("ch"))
+             .select(id_col, "simhash", "ch.chunk_idx", "ch.chunk_val"))
+    a = ex.select(F.col(id_col).alias("id_a"),
+                  F.col("simhash").alias("sig_a"), "chunk_idx", "chunk_val")
+    b = ex.select(F.col(id_col).alias("id_b"),
+                  F.col("simhash").alias("sig_b"), "chunk_idx", "chunk_val")
+    pairs = (a.join(b, ["chunk_idx", "chunk_val"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

@@ -33,10 +33,9 @@ from pyspark.sql.types import (
 )
 
 from documentai_spark.core.entities import (
-    completeness_score, extract_entities, extraction_confidence,
+    extract_entities, extraction_confidence,
 )
 from documentai_spark.core.extract import extract_turn
-from documentai_spark.core.quality import blank_score, legibility_score
 
 SPAN_TYPE = StructType([
     StructField("begin", IntegerType(), False),
@@ -82,19 +81,17 @@ def extract_udf(text: pd.Series) -> pd.DataFrame:
 def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
     """(raw text, extracted text) -> three quality metrics.
 
-    Confidence + verdict are pure SQL on top (functions.verdict) — the
-    reference's verdict machinery is scalar thresholds
-    (quality_config.py:86-129), no UDF needed.
+    Fully vectorized (operators/quality_vec mirrors core/quality
+    bit-for-bit; equality pinned by tests). Confidence + verdict are pure
+    SQL on top (functions/verdict) — the reference's verdict machinery is
+    scalar thresholds (quality_config.py:86-129), no UDF needed.
     """
-    qb = []
-    ql = []
-    qc = []
-    for r, e in zip(raw, extracted):
-        qb.append(blank_score(r or ""))
-        ql.append(legibility_score(e or ""))
-        qc.append(completeness_score(extract_entities(e or "")))
-    return pd.DataFrame({"q_blank": qb, "q_legibility": ql,
-                         "q_completeness": qc})
+    from documentai_spark.operators.quality_vec import (
+        blank_scores, completeness_scores, legibility_scores,
+    )
+    return pd.DataFrame({"q_blank": blank_scores(raw),
+                         "q_legibility": legibility_scores(extracted),
+                         "q_completeness": completeness_scores(extracted)})
 
 
 @pandas_udf(ENTITY_RESULT_TYPE)

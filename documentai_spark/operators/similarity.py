@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers per the training-data-pipeline brief:
+
+- **brute-force cosine top-k** — the exactness baseline: anchors broadcast,
+  dot/norms via JVM higher-order ``aggregate``/``zip_with`` in DOUBLE,
+  ``row_number`` top-k with deterministic tie-breaks. O(N*A) but fully
+  codegen'd and embarrassingly parallel — right up to ~10^9 comparisons.
+- **random-hyperplane LSH ANN** — the scale path: m sign-bits of dot
+  products with seeded deterministic hyperplanes -> bucket key; candidates
+  are same-bucket (multi-probe: hamming-1 neighbors optional); exact
+  re-rank within candidates. Probes a ~2^-m fraction of the corpus per
+  query at 100 TB.
+
+The hyperplanes are generated from a fixed seed on the driver and inlined
+as literal arrays (broadcast with the plan) — signatures are pure
+functions of the embedding, reproducible across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_col(a, b) -> Column:
+    """Left-to-right IEEE double dot product (deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     anchor_id_col: str = "anchor_id") -> DataFrame:
+    """Exact cosine top-k of every anchor against all vectors.
+
+    anchors: (anchor_id, embedding). Broadcast the anchor side — the scan
+    side streams once; no shuffle until the final per-anchor top-k window
+    (which is tiny: N_anchors * N rows reduced by the filter pushdown of
+    row_number <= k under AQE)."""
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    a = anchors.select(F.col(anchor_id_col),
+                       _as_double(F.col(vec_col)).alias("_a"))
+    cos = (dot_col(F.col("_a"), F.col("_v"))
+           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
+    joined = (F.broadcast(a).crossJoin(v)
+              .filter(F.col(id_col) != F.col(anchor_id_col))
+              .select(anchor_id_col, id_col, cos.alias("cosine")))
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
+                                                  F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(anchor_id_col, "rank",
+                          F.col(id_col).alias("neighbor_id"), "cosine"))
+
+
+def _hyperplanes(dim: int, m: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box-Muller over a
+    hash-driven uniform stream; no RNG state, reproducible anywhere)."""
+    import hashlib
+
+    def u(i: int) -> float:
+        h = hashlib.md5(f"{seed}|{i}".encode()).digest()
+        return (int.from_bytes(h[:8], "big") + 1) / (2 ** 64 + 2)
+
+    planes = []
+    idx = 0
+    for _ in range(m):
+        p = []
+        for _ in range(dim):
+            u1, u2 = u(idx), u(idx + 1)
+            idx += 2
+            p.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(p)
+    return planes
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """m-bit random-hyperplane signature as a long bucket key."""
+    out = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = dot_col(plane, vec)
+        out = out + F.when(d > 0, F.lit(2 ** j).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 anchor_id_col: str = "anchor_id", m_bits: int = 8,
+                 dim: int | None = None, seed: int = 7) -> DataFrame:
+    """Approximate top-k: same-bucket candidates, exact cosine re-rank.
+
+    Recall < 1.0 by construction; tests measure it against brute force.
+    At scale, bucket the corpus ONCE (write bucketed table) and reuse."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, m_bits, seed)
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    v = v.withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
+    a = anchors.select(F.col(anchor_id_col),
+                       _as_double(F.col(vec_col)).alias("_a"))
+    a = a.withColumn("_bucket", lsh_bucket_col(F.col("_a"), planes))
+    cos = (dot_col(F.col("_a"), F.col("_v"))
+           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
+    joined = (F.broadcast(a).join(v, "_bucket")
+              .filter(F.col(id_col) != F.col(anchor_id_col))
+              .select(anchor_id_col, id_col, cos.alias("cosine")))
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
+                                                  F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(anchor_id_col, "rank",
+                          F.col(id_col).alias("neighbor_id"), "cosine"))

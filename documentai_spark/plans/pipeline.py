@@ -34,7 +34,7 @@ from documentai_spark.functions.verdict import with_verdict
 from documentai_spark.operators.extraction import (
     with_entities, with_extraction, with_quality,
 )
-from documentai_spark.operators.skew import restore_order, salted_repartition
+from documentai_spark.operators.skew import salted_repartition
 
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "kind", "extracted_text",
@@ -48,9 +48,29 @@ def extraction_pipeline(transcripts: DataFrame, *,
                         salt_buckets: int = 16,
                         include_entities: bool = False,
                         ordered_output: bool = True) -> DataFrame:
-    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> extracted."""
-    df = salted_repartition(transcripts, salt_partitions,
-                            salt_buckets=salt_buckets)
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> extracted.
+
+    Exchange placement (the 100 TB-critical decision): the ONE shuffle
+    happens BEFORE the UDFs, on the raw input —
+
+    - ordered output: ``repartitionByRange(conv_id, turn_idx)``. Range
+      boundaries come from a sampling job over the *scan only* (column
+      pruning: two key columns) — placing this exchange after the UDFs
+      would re-execute the whole Python chain inside the sampling job
+      (measured 2x cost). Equal-row-count ranges also defuse mega-
+      conversation skew for free (a 10^5-turn conversation spans several
+      contiguous ranges). ``sortWithinPartitions`` after the UDFs is a
+      partition-local sort, no exchange, and yields globally ordered
+      output because the ranges are already ordered.
+    - unordered: salted repartition (uniform task sizing, W1 not needed).
+    """
+    if ordered_output:
+        df = transcripts.repartitionByRange(
+            *([salt_partitions] if salt_partitions else []),
+            F.col("conv_id"), F.col("turn_idx"))
+    else:
+        df = salted_repartition(transcripts, salt_partitions,
+                                salt_buckets=salt_buckets)
     df = with_extraction(df)
     df = with_quality(df)
     df = with_verdict(df)
@@ -60,7 +80,7 @@ def extraction_pipeline(transcripts: DataFrame, *,
         cols += ["entities", "extraction_confidence"]
     df = df.select(*cols)
     if ordered_output:
-        df = restore_order(df)
+        df = df.sortWithinPartitions("conv_id", "turn_idx")
     return df
 
 

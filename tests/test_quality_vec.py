@@ -1,0 +1,60 @@
+"""Bit-identical equality between the scalar oracle (core.quality /
+core.entities) and the vectorized NumPy implementation
+(operators.quality_vec) over the full fixture domain + adversarial cases.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from documentai_spark.core.entities import completeness_from_text
+from documentai_spark.core.extract import extract_turn
+from documentai_spark.core.quality import blank_score, legibility_score
+from documentai_spark.operators.quality_vec import (
+    blank_scores, completeness_scores, legibility_scores,
+)
+from documentai_spark.sources.transcripts import gen_rows
+
+ADVERSARIAL = [
+    "", "   ", " \n\t \n ", "x", "ok", "a" * 200, " a  b   c ",
+    "\x00\x01\x02 control", "ALLCAPS TOKENS ONLY", "123 456 789",
+    "w" * 25 + " short", "PO NUMBER PO-1 DATED 01.01.2024 USD 5,000.00 FOB",
+    "token " * 50000,  # mega turn
+    "no\nnewlines\nhandled\n\nblocks",
+]
+
+
+def _texts():
+    texts = list(ADVERSARIAL)
+    for r in gen_rows(42, 40, mega_every=0):
+        texts.append(r["text"])
+        texts.append(extract_turn(r["text"])[1])
+    return texts
+
+
+def test_blank_bit_identical():
+    texts = _texts()
+    vec = blank_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == blank_score(t), (i, repr(t[:60]))
+
+
+def test_legibility_bit_identical():
+    texts = _texts()
+    vec = legibility_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == legibility_score(t), (i, repr(t[:60]))
+
+
+def test_completeness_bit_identical():
+    texts = _texts()
+    vec = completeness_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == completeness_from_text(t), (i, repr(t[:60]))
+
+
+def test_none_handling():
+    vec = blank_scores(pd.Series([None, "x"], dtype=object))
+    assert vec[0] == 1.0
+    assert legibility_scores(pd.Series([None], dtype=object))[0] == 0.0
+    assert completeness_scores(pd.Series([None], dtype=object))[0] == 0.0
