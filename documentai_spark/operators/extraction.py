@@ -61,6 +61,9 @@ ENTITY_RESULT_TYPE = StructType([
     StructField("extraction_confidence", DoubleType(), False),
 ])
 
+FUSED_RESULT_TYPE = StructType(
+    EXTRACT_RESULT_TYPE.fields + QUALITY_RESULT_TYPE.fields)
+
 
 @pandas_udf(EXTRACT_RESULT_TYPE)
 def extract_udf(text: pd.Series) -> pd.DataFrame:
@@ -104,6 +107,45 @@ def entity_udf(extracted: pd.Series) -> pd.DataFrame:
         ents.append(d)
         confs.append(extraction_confidence(d))
     return pd.DataFrame({"entities": ents, "extraction_confidence": confs})
+
+
+@pandas_udf(FUSED_RESULT_TYPE)
+def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
+    """Fused extraction + quality: ONE Arrow round-trip per batch.
+
+    Running extract and quality as separate scalar UDFs ships the text to
+    Python twice (and the extracted text back and forth once more) — at
+    10^12 turns the exchange is pure waste since quality consumes exactly
+    what extraction just produced inside the same worker. Fusing halves
+    the Arrow transfer and keeps one python worker pass per batch.
+    """
+    from documentai_spark.operators.quality_vec import (
+        blank_scores, completeness_scores, legibility_scores,
+    )
+    kinds: list[str] = []
+    texts: list[str] = []
+    spans_col: list[list[dict]] = []
+    for t in text:
+        kind, extracted, spans = extract_turn(t)
+        kinds.append(kind)
+        texts.append(extracted)
+        spans_col.append([s._asdict() for s in spans])
+    ext = pd.Series(texts)
+    return pd.DataFrame({
+        "kind": kinds, "extracted_text": ext, "spans": spans_col,
+        "q_blank": blank_scores(text),
+        "q_legibility": legibility_scores(ext),
+        "q_completeness": completeness_scores(ext),
+    })
+
+
+def with_extraction_and_quality(df: DataFrame,
+                                text_col: str = "text") -> DataFrame:
+    """Fused stage used by the flagship pipeline (no shuffle)."""
+    out = df.withColumn("_xq", extract_quality_udf(F.col(text_col)))
+    for f in FUSED_RESULT_TYPE.fieldNames():
+        out = out.withColumn(f, F.col(f"_xq.{f}"))
+    return out.drop("_xq")
 
 
 def with_extraction(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -20,9 +20,121 @@ import pandas as pd
 from documentai_spark.core.entities import EXPECTED_FIELDS, _PATTERNS
 from documentai_spark.core.quality import (
     BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY, CONSISTENCY_THRESHOLD,
-    LEGIBILITY_W, LEGIBILITY_W_ALL, LEGIBILITY_W_PRIMARY, RE_ALNUM,
-    RE_CONTROL, RE_LETTER, RE_LONG_TOKEN, RE_NONWS, RE_VOWEL, RE_WS,
+    LEGIBILITY_W, LEGIBILITY_W_ALL, LEGIBILITY_W_PRIMARY,
 )
+
+
+# ---------------------------------------------------------------------------
+# byte-LUT counting engine
+#
+# sre char-class scanning runs ~30 MB/s; NumPy boolean-LUT over a packed
+# byte buffer runs GB/s. For ASCII rows, byte counts == char counts for
+# every pinned class (all classes are ASCII sets), so results stay
+# bit-identical to the scalar oracle. Non-ASCII rows (rare by contract)
+# take the per-row regex path.
+# ---------------------------------------------------------------------------
+
+def _lut(chars: bytes) -> np.ndarray:
+    t = np.zeros(256, dtype=bool)
+    t[np.frombuffer(chars, dtype=np.uint8)] = True
+    return t
+
+
+_WS_B = _lut(b" \t\n\r\x0b\x0c")
+_ALNUM_B = _lut(bytes(range(48, 58)) + bytes(range(65, 91))
+                + bytes(range(97, 123)))
+_CONTROL_B = _lut(bytes(range(0, 9)) + bytes(range(11, 32)) + b"\x7f")
+_VOWEL_B = _lut(b"aeiouAEIOU")
+_LETTER_B = _lut(bytes(range(65, 91)) + bytes(range(97, 123)))
+
+
+class _Counts:
+    """Per-row ASCII class counts + token-run stats for a batch."""
+
+    __slots__ = ("n", "ws", "alnum", "control", "vowel", "letter",
+                 "nonws", "tokens", "long_tokens", "strip_len")
+
+    def __init__(self, texts: list[str]):
+        k = len(texts)
+        self.n = np.fromiter((len(t) for t in texts), np.float64, k)
+        for f in ("ws", "alnum", "control", "vowel", "letter", "tokens",
+                  "long_tokens"):
+            setattr(self, f, np.zeros(k, dtype=np.float64))
+        if k == 0:
+            self.nonws = self.ws
+            self.strip_len = self.ws
+            return
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        if len(ascii_idx) == k:
+            self._bulk_ascii(texts, np.arange(k))
+        else:
+            if ascii_idx:
+                self._bulk_ascii([texts[i] for i in ascii_idx],
+                                 np.asarray(ascii_idx))
+            rest = [i for i in range(k) if not texts[i].isascii()]
+            self._per_row_regex([texts[i] for i in rest], np.asarray(rest))
+        self.nonws = self.n - self.ws
+        sl = np.fromiter((len(t.strip()) for t in texts), np.float64, k)
+        self.strip_len = sl
+
+    def _bulk_ascii(self, texts: list[str], out_idx: np.ndarray) -> None:
+        """One packed buffer; '\\n' separators keep token runs row-local.
+
+        Per-class counts = bincount(row_ids[class_mask]): a 256-bool LUT
+        gather + boolean compress + small bincount per class. No cumsum,
+        no integer arithmetic over the buffer — those generic ufunc loops
+        measured ~10 MB/s on this NumPy build, while LUT-gather + compress
+        + bincount run near memory bandwidth (~35x faster end-to-end than
+        the per-class sre str.count formulation this replaces).
+        """
+        k = len(texts)
+        buf = ("\n".join(texts) + "\n").encode("ascii")
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        lens = np.fromiter((len(t) for t in texts), np.int64, k)
+        # row id per byte position (each row owns its trailing separator)
+        row_ids = np.repeat(np.arange(k, dtype=np.int64), lens + 1)
+
+        def count(lut: np.ndarray) -> np.ndarray:
+            return np.bincount(row_ids[lut[arr]],
+                               minlength=k).astype(np.float64)
+
+        # every row's separator contributes exactly one '\n' to ws
+        self.ws[out_idx] = count(_WS_B) - 1.0
+        self.alnum[out_idx] = count(_ALNUM_B)
+        self.control[out_idx] = count(_CONTROL_B)
+        self.vowel[out_idx] = count(_VOWEL_B)
+        self.letter[out_idx] = count(_LETTER_B)
+        # token runs: starts of maximal non-ws runs (separators are ws, so
+        # runs never bridge rows)
+        nonws_mask = ~_WS_B[arr]
+        run_start = nonws_mask.copy()
+        run_start[1:] &= ~nonws_mask[:-1]
+        self.tokens[out_idx] = np.bincount(
+            row_ids[run_start], minlength=k).astype(np.float64)
+        # long-token runs (>= 21 chars) via run start/end index pairing
+        run_end = nonws_mask.copy()
+        run_end[:-1] &= ~nonws_mask[1:]
+        s_idx = np.nonzero(run_start)[0]
+        e_idx = np.nonzero(run_end)[0]
+        long_s = s_idx[(e_idx - s_idx + 1) >= 21]
+        if len(long_s):
+            self.long_tokens[out_idx] += np.bincount(
+                row_ids[long_s], minlength=k).astype(np.float64)
+
+    def _per_row_regex(self, texts: list[str], out_idx: np.ndarray) -> None:
+        """Fallback for non-ASCII rows: the oracle's own regexes."""
+        from documentai_spark.core.quality import (
+            RE_ALNUM, RE_CONTROL, RE_LETTER, RE_LONG_TOKEN, RE_VOWEL, RE_WS,
+        )
+        k = len(texts)
+        for attr, pat in (("ws", RE_WS), ("alnum", RE_ALNUM),
+                          ("control", RE_CONTROL), ("vowel", RE_VOWEL),
+                          ("letter", RE_LETTER),
+                          ("long_tokens", RE_LONG_TOKEN)):
+            getattr(self, attr)[out_idx] = np.fromiter(
+                (len(pat.findall(t)) for t in texts), np.float64, k)
+        self.tokens[out_idx] = np.fromiter(
+            (len(t.split()) for t in texts), np.float64, k)
 
 
 def _ensemble3_2_np(p1, p2, p3, f1, f2, weights, w_primary, w_all):
@@ -39,59 +151,39 @@ def _ensemble3_2_np(p1, p2, p3, f1, f2, weights, w_primary, w_all):
 
 def blank_scores(raw: pd.Series) -> np.ndarray:
     """Vector of core.quality.blank_score over a batch."""
-    t = raw.fillna("")
-    n = t.str.len().to_numpy(dtype=np.float64)
-    stripped = t.str.strip()
-    ns = stripped.str.len().to_numpy(dtype=np.float64)
-    ws = t.str.count(RE_WS).to_numpy(dtype=np.float64)
-    n_tokens = RE_NONWS_RUNS_count(t)
-    # len(set(stripped)) has no pandas primitive; C-level set() per row is
-    # cheap relative to the regex passes
-    distinct = np.fromiter((len(set(s)) for s in stripped),
-                           dtype=np.float64, count=len(stripped))
+    texts = raw.fillna("").tolist()
+    c = _Counts(texts)
+    # len(set(stripped)): only consumed by the fallback branch; C-level
+    # set() per row is cheap next to the (now byte-LUT) class counts
+    distinct = np.fromiter((len(set(t.strip())) for t in texts),
+                           dtype=np.float64, count=len(texts))
     with np.errstate(divide="ignore", invalid="ignore"):
-        ws_ratio = np.where(n > 0, ws / n, 0.0)
-    blob = 1.0 - np.minimum(1.0, n_tokens / 5.0)
-    length = 1.0 - np.minimum(1.0, ns / 100.0)
-    ocr_stub = np.ones_like(n)
+        ws_ratio = np.where(c.n > 0, c.ws / c.n, 0.0)
+    blob = 1.0 - np.minimum(1.0, c.tokens / 5.0)
+    length = 1.0 - np.minimum(1.0, c.strip_len / 100.0)
+    ocr_stub = np.ones_like(c.n)
     edge = 1.0 - np.minimum(1.0, distinct / 20.0)
     score = _ensemble3_2_np(ws_ratio, blob, length, ocr_stub, edge,
                             BLANK_W, BLANK_W_PRIMARY, BLANK_W_ALL)
-    return np.where((n == 0) | (ns == 0), 1.0, score)
-
-
-_RE_TOKEN_RUN = r"\S+"
-
-
-def RE_NONWS_RUNS_count(t: pd.Series) -> np.ndarray:
-    """len(text.split()) == count of non-whitespace runs."""
-    return t.str.count(_RE_TOKEN_RUN).to_numpy(dtype=np.float64)
+    return np.where((c.n == 0) | (c.strip_len == 0), 1.0, score)
 
 
 def legibility_scores(extracted: pd.Series) -> np.ndarray:
     """Vector of core.quality.legibility_score over a batch."""
-    t = extracted.fillna("")
-    n = t.str.len().to_numpy(dtype=np.float64)
-    ns = t.str.strip().str.len().to_numpy(dtype=np.float64)
-    n_control = t.str.count(RE_CONTROL).to_numpy(dtype=np.float64)
-    n_nonws = t.str.count(RE_NONWS).to_numpy(dtype=np.float64)
-    n_alnum = t.str.count(RE_ALNUM).to_numpy(dtype=np.float64)
-    n_tokens = RE_NONWS_RUNS_count(t)
-    n_vowel = t.str.count(RE_VOWEL).to_numpy(dtype=np.float64)
-    n_letter = t.str.count(RE_LETTER).to_numpy(dtype=np.float64)
-    n_long = t.str.count(RE_LONG_TOKEN).to_numpy(dtype=np.float64)
+    c = _Counts(extracted.fillna("").tolist())
     with np.errstate(divide="ignore", invalid="ignore"):
-        printable_ratio = np.where(n > 0, 1.0 - n_control / n, 0.0)
-        alnum_ratio = np.where(n_nonws > 0, n_alnum / n_nonws, 0.0)
-        avg_wl = np.where(n_tokens > 0, n_nonws / n_tokens, 0.0)
-        vowel_ratio = np.where(n_letter > 0, n_vowel / n_letter, 0.0)
-        sane = np.where(n_tokens > 0, (n_tokens - n_long) / n_tokens, 0.0)
+        printable_ratio = np.where(c.n > 0, 1.0 - c.control / c.n, 0.0)
+        alnum_ratio = np.where(c.nonws > 0, c.alnum / c.nonws, 0.0)
+        avg_wl = np.where(c.tokens > 0, c.nonws / c.tokens, 0.0)
+        vowel_ratio = np.where(c.letter > 0, c.vowel / c.letter, 0.0)
+        sane = np.where(c.tokens > 0,
+                        (c.tokens - c.long_tokens) / c.tokens, 0.0)
     word_shape = np.maximum(0.0, 1.0 - np.abs(avg_wl - 5.0) / 10.0)
     vowel_score = np.maximum(0.0, 1.0 - np.abs(vowel_ratio - 0.4) / 0.4)
     score = _ensemble3_2_np(printable_ratio, alnum_ratio, word_shape,
                             vowel_score, sane, LEGIBILITY_W,
                             LEGIBILITY_W_PRIMARY, LEGIBILITY_W_ALL)
-    return np.where((n == 0) | (ns == 0), 0.0, score)
+    return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
 
 
 def completeness_scores(extracted: pd.Series) -> np.ndarray:

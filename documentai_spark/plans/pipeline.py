@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from documentai_spark.functions.verdict import with_verdict
 from documentai_spark.operators.extraction import (
-    with_entities, with_extraction, with_quality,
+    with_entities, with_extraction_and_quality,
 )
 from documentai_spark.operators.skew import salted_repartition
 
@@ -65,23 +65,23 @@ def extraction_pipeline(transcripts: DataFrame, *,
     - unordered: salted repartition (uniform task sizing, W1 not needed).
     """
     if ordered_output:
-        df = transcripts.repartitionByRange(
-            *([salt_partitions] if salt_partitions else []),
-            F.col("conv_id"), F.col("turn_idx"))
+        # sort the NARROW input inside the range-exchange stage; the UDF
+        # projections preserve per-partition row order, so the wide output
+        # is already globally ordered — no post-UDF sort of big rows.
+        df = (transcripts.repartitionByRange(
+                  *([salt_partitions] if salt_partitions else []),
+                  F.col("conv_id"), F.col("turn_idx"))
+              .sortWithinPartitions("conv_id", "turn_idx"))
     else:
         df = salted_repartition(transcripts, salt_partitions,
                                 salt_buckets=salt_buckets)
-    df = with_extraction(df)
-    df = with_quality(df)
+    df = with_extraction_and_quality(df)
     df = with_verdict(df)
     cols = list(OUTPUT_COLUMNS)
     if include_entities:
         df = with_entities(df)
         cols += ["entities", "extraction_confidence"]
-    df = df.select(*cols)
-    if ordered_output:
-        df = df.sortWithinPartitions("conv_id", "turn_idx")
-    return df
+    return df.select(*cols)
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:

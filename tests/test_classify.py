@@ -1,0 +1,72 @@
+"""Classification tests: technique scoring, majority vote, consecutive
+grouping (documentClassifier.py semantics per SURVEY §2.4 A6/A7, §2.5 W2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from documentai_spark.operators.classify import (
+    ClassifierConfig, classify_with_vote, group_consecutive,
+)
+
+CFG = ClassifierConfig.compile({
+    "invoice": {"keywords": ["invoice", "unit price", "total amount"],
+                "weight": 1.0},
+    "purchase_order": {"keywords": ["purchase order", "po number"],
+                       "weight": 1.0, "max_pages": 2},
+    "letter_of_credit": {"keywords": ["letter of credit", "beneficiary",
+                                      "documentary credit"],
+                         "weight": 1.0, "always_separate": True},
+})
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        ("c1", 0, "this invoice shows unit price and total amount due"),
+        ("c1", 1, "po number PO-9 of the purchase order follows"),
+        ("c1", 2, "purchase order terms continue with po number ref"),
+        ("c1", 3, "purchase order continues again po number here"),
+        ("c1", 4, "purchase order final page po number end"),
+        ("c1", 5, "beneficiary of the documentary credit is named"),
+        ("c1", 6, "beneficiary continues letter of credit terms"),
+        ("c1", 8, "invoice again with unit price listed"),  # gap at 7
+        ("c2", 0, "x"),                                     # below min len
+        ("c2", 1, "nothing matching any category keywords today"),
+    ]
+    return spark.createDataFrame(rows, ["conv_id", "turn_idx",
+                                        "extracted_text"])
+
+
+def test_vote_categories(turns):
+    out = {(r.conv_id, r.turn_idx): r
+           for r in classify_with_vote(turns, CFG).collect()}
+    assert out[("c1", 0)].category == "invoice"
+    assert out[("c1", 1)].category == "purchase_order"
+    assert out[("c1", 5)].category == "letter_of_credit"
+    assert out[("c2", 0)].category == "unclassified"      # min-length gate
+    assert out[("c2", 0)].vote_confidence == 0.0
+    assert out[("c2", 1)].category == "unclassified"      # no keywords
+    # vote confidence is k/3
+    assert 0.0 < out[("c1", 0)].vote_confidence <= 1.0
+
+
+def test_group_consecutive(turns):
+    df = classify_with_vote(turns, CFG)
+    out = {(r.conv_id, r.turn_idx): r.group_id
+           for r in group_consecutive(df, CFG).collect()}
+    # same category + consecutive -> same group, except caps/always_separate
+    assert out[("c1", 1)] == out[("c1", 2)]      # po pages 1-2 (cap=2)
+    assert out[("c1", 3)] == out[("c1", 4)]      # po pages 3-4 (next chunk)
+    assert out[("c1", 1)] != out[("c1", 3)]      # max_pages=2 split
+    assert out[("c1", 5)] != out[("c1", 6)]      # always_separate
+    assert out[("c1", 0)] != out[("c1", 1)]      # category change
+    assert out[("c1", 6)] != out[("c1", 8)]      # gap breaks island
+
+
+def test_keyword_normalization():
+    cfg = ClassifierConfig.compile(
+        {"a": {"keywords": ["Foo-Bar", "BAZ qux", ""]}})
+    # length-desc sort, alphabetical tie-break; empties dropped
+    assert cfg.categories[0].keywords == ("bazqux", "foobar")

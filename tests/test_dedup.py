@@ -1,0 +1,72 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash (spark-backed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from documentai_spark.operators.dedup import (
+    exact_dedup, minhash_dedup_pairs, minhash_lsh_candidates,
+    simhash_near_dups, simhash_signatures,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the "
+        "garden under a bright morning sun near the old stone wall")
+NEAR = BASE.replace("morning", "evening")  # one-token edit
+FAR = ("completely different content about spark shuffle partitions "
+       "and adaptive query execution with broadcast joins and skew "
+       "handling in large scale distributed dataframe pipelines today")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE), (2, "  " + BASE + "  "),  # exact dups (norm)
+        (3, NEAR),                                       # near dup of 0
+        (4, FAR), (5, "tiny"), (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    # 0,1,2 collapse to 0 (whitespace-normalized); others survive
+    assert kept == [0, 3, 4, 5, 6]
+
+
+def test_minhash_candidates_and_pairs(docs):
+    cand = {(r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cand and (0, 2) in cand and (1, 2) in cand
+    assert (0, 3) in cand  # near dup shares most shingles -> some band hits
+    assert not any({a, b} == {0, 4} for a, b in cand)
+
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_dedup_pairs(docs,
+                                          jaccard_threshold=0.8).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.8 <= pairs[(0, 3)] < 1.0
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_simhash(docs):
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]          # identical normalized text
+    assert sigs[0] != sigs[4]
+    ham_near = bin(sigs[0] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+
+    dups = {(r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dups(docs, max_hamming=6).collect()}
+    assert dups[(0, 1)] == 0 and dups[(1, 2)] == 0
+    assert not any({a, b} == {0, 4} for a, b in dups)
+
+
+def test_signatures_partition_invariant(docs):
+    one = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs.repartition(1)).collect()}
+    many = {r.doc_id: r.simhash
+            for r in simhash_signatures(docs.repartition(7)).collect()}
+    assert one == many
