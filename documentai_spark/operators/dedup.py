@@ -146,9 +146,11 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
                 F.lit(1)).otherwise(F.lit(-1)))
     out = F.lit(0).cast("long")
     for j in range(bits):
-        out = out + F.when(bit_sum(j) > 0,
-                           F.lit(1).cast("long") * F.lit(2 ** j).cast("long")
-                           ).otherwise(F.lit(0).cast("long"))
+        # bit 63 is the two's-complement sign bit: 2**63 overflows a JVM
+        # long literal, but adding Long.MIN_VALUE sets the same bit
+        contrib = F.lit(-(2 ** 63)) if j == 63 else F.lit(2 ** j).cast("long")
+        out = out + F.when(bit_sum(j) > 0, contrib) \
+                     .otherwise(F.lit(0).cast("long"))
     return out
 
 

@@ -54,8 +54,9 @@ def test_simhash(docs):
             for r in simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1] == sigs[2]          # identical normalized text
     assert sigs[0] != sigs[4]
-    ham_near = bin(sigs[0] ^ sigs[3]).count("1")
-    ham_far = bin(sigs[0] ^ sigs[4]).count("1")
+    mask64 = (1 << 64) - 1  # signatures are two's-complement longs
+    ham_near = bin((sigs[0] ^ sigs[3]) & mask64).count("1")
+    ham_far = bin((sigs[0] ^ sigs[4]) & mask64).count("1")
     assert ham_near < ham_far
 
     dups = {(r.id_a, r.id_b): r.hamming
