@@ -315,10 +315,96 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("anchor_id", "rank"))
 
 
+def q_classify_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword classification, technique-1 semantics (A7:
+    len(keyword)*4*weight substring scoring with deterministic argmax,
+    documentClassifier.py:406-421) over the documents table."""
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, technique_substring,
+    )
+    cfg = ClassifierConfig.compile({
+        "query_engine": {"keywords": ["query", "join", "filter", "scan"]},
+        "storage": {"keywords": ["table", "row", "column", "part"]},
+        "streaming": {"keywords": ["stream", "window", "batch"]},
+    })
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        technique_substring(F.col("text"), cfg).alias("category")
+    ).orderBy("doc_id")
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-user running event count + exact running sum
+    (decimal) ordered by ts (W-family row-frame coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (ev.filter(F.col("user_id") < 20)
+            .select("user_id", "event_id",
+                    F.count(F.lit(1)).over(w).alias("running_n"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+                     .cast("double").alias("running_value"))
+            .orderBy("user_id", "event_id"))
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user (ordered-operator coverage); exact decimal
+    subtraction so cross-engine doubles match."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("value").cast("decimal(18,4)")).over(w)
+    return (ev.filter(F.col("user_id") < 20)
+            .select("user_id", "event_id",
+                    (F.col("value").cast("decimal(18,4)") - prev)
+                    .cast("double").alias("delta"))
+            .filter(F.col("delta").isNotNull())
+            .orderBy("user_id", "event_id"))
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users who clicked INTERSECT users who errored,
+    minus users who purchased (U-family coverage)."""
+    # restrict to an event_id window so the per-type user sets are sparse
+    # enough that intersect/except produce non-degenerate results
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    def users(et: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == et).select("user_id")
+    both = users("click").intersect(users("error"))
+    return both.subtract(users("purchase")).orderBy("user_id")
+
+
 # --------------------------------------------------------------------------
-# rows-only queries (pandas-UDF pipelines; ensemble math not SQL-expressible
-# — correctness pinned byte-exact by tests/test_pipeline_oracle.py instead)
+# rows-only queries (xxhash64 signatures / pandas-UDF ensembles have no
+# DuckDB equivalent — correctness pinned by tests/ instead)
 # --------------------------------------------------------------------------
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
+    signatures are Spark-native; semantics tested in tests/test_dedup.py)."""
+    from documentai_spark.operators.dedup import minhash_dedup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; tests/test_dedup.py)."""
+    from documentai_spark.operators.dedup import simhash_near_dups
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate NN for 10 anchors (rows-only; recall
+    measured against brute force in tests/test_similarity.py)."""
+    from documentai_spark.operators.similarity import lsh_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("anchor_id"), "embedding")
+    out = lsh_ann_topk(emb, anchors, k=5, m_bits=6)
+    return out.select("anchor_id", "rank", "neighbor_id") \
+              .orderBy("anchor_id", "rank")
 
 def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction+quality pipeline over documents."""
@@ -349,7 +435,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
-        "extract_quality": q_extract_quality,  # rows-only
+        "classify_keywords": q_classify_keywords,
+        "running_total": q_running_total,
+        "lag_delta": q_lag_delta,
+        "user_set_ops": q_user_set_ops,
+        # rows-only (no SQL-expressible oracle):
+        "extract_quality": q_extract_quality,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dups": q_simhash_dups,
+        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -545,6 +639,70 @@ def oracle_sql() -> dict[str, str]:
               FROM sims
             ) WHERE rank <= 5 ORDER BY anchor_id, rank
         """,
-        # extract_quality: intentionally no oracle (pandas-UDF ensemble;
-        # pinned byte-exact by tests/test_pipeline_oracle.py)
+        "classify_keywords": """
+            WITH nt AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS t
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     (CASE WHEN contains(t,'filter') THEN 24.0 ELSE 0 END
+                      + CASE WHEN contains(t,'query') THEN 20.0 ELSE 0 END
+                      + CASE WHEN contains(t,'join') THEN 16.0 ELSE 0 END
+                      + CASE WHEN contains(t,'scan') THEN 16.0 ELSE 0 END)
+                         AS s0,
+                     (CASE WHEN contains(t,'column') THEN 24.0 ELSE 0 END
+                      + CASE WHEN contains(t,'table') THEN 20.0 ELSE 0 END
+                      + CASE WHEN contains(t,'part') THEN 16.0 ELSE 0 END
+                      + CASE WHEN contains(t,'row') THEN 12.0 ELSE 0 END)
+                         AS s1,
+                     (CASE WHEN contains(t,'stream') THEN 24.0 ELSE 0 END
+                      + CASE WHEN contains(t,'window') THEN 24.0 ELSE 0 END
+                      + CASE WHEN contains(t,'batch') THEN 20.0 ELSE 0 END)
+                         AS s2
+              FROM nt
+            )
+            SELECT doc_id,
+                   CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 > 0
+                             THEN 'query_engine'
+                        WHEN s1 >= s2 AND s1 > 0 THEN 'storage'
+                        WHEN s2 > 0 THEN 'streaming'
+                        ELSE 'unclassified' END AS category
+            FROM scored ORDER BY doc_id
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS running_n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                       AS running_value
+            FROM events
+            WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY user_id, event_id
+        """,
+        "lag_delta": """
+            SELECT user_id, event_id, CAST(delta AS DOUBLE) AS delta FROM (
+              SELECT user_id, event_id,
+                     CAST(value AS DECIMAL(18,4))
+                       - LAG(CAST(value AS DECIMAL(18,4))) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+              FROM events WHERE user_id < 20
+            ) WHERE delta IS NOT NULL
+            ORDER BY user_id, event_id
+        """,
+        "user_set_ops": """
+            (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'click' AND event_id < 1500
+             INTERSECT
+             SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'error' AND event_id < 1500)
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND event_id < 1500
+            ORDER BY user_id
+        """,
+        # extract_quality / minhash_dedup / simhash_dups / lsh_ann:
+        # intentionally no oracle (pandas-UDF ensembles or xxhash64-based
+        # signatures with no DuckDB equivalent; pinned by tests/)
     }
