@@ -19,12 +19,28 @@ def build_session(app_name: str = "documentai_spark",
     - shuffle partitions sized to cores in local mode; on a real cluster
       set ~2-3x total cores via ``shuffle_partitions``.
     """
+    from pyspark import SparkConf
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    master = master or os.environ.get("SPARK_MASTER")
+    if master is None and not SparkConf().contains("spark.master"):
+        # not launched via spark-submit: pick a local default; NEVER
+        # override a submit-provided --master (the scaling protocol runs
+        # the identical job at two cluster sizes via --master alone)
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1:master.find("]")] if "[" in master else ""
-        shuffle_partitions = int(n) if n.isdigit() else 200
-    b = (SparkSession.builder.appName(app_name).master(master)
+        env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        if env_sp:  # scaling-protocol runs pin this across cluster sizes
+            shuffle_partitions = int(env_sp)
+        elif master and "[" in master:
+            n = master[master.find("[") + 1:master.find("]")]
+            shuffle_partitions = int(n) if n.isdigit() else 200
+        else:
+            shuffle_partitions = 200
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (b
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

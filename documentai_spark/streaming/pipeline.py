@@ -1,0 +1,57 @@
+"""Streaming extraction: the batch operators under readStream.
+
+Use case at scale: transcripts land continuously in the Iceberg table (or
+a file/Kafka source); extraction + quality + verdict run per micro-batch
+with exactly-once file sinks. The per-turn stages are stateless, so the
+only streaming-specific pieces are:
+
+- watermark on ``ts`` for the optional windowed rollup (late turns beyond
+  the watermark are dropped from aggregates, never from extraction);
+- checkpointLocation for exactly-once progress (the streaming analog of
+  plans/checkpoint.py's per-partition manifests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documentai_spark.functions.verdict import with_verdict
+from documentai_spark.operators.extraction import with_extraction_and_quality
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a transcripts directory (parquet)."""
+    return (spark.readStream.schema(TRANSCRIPT_DDL)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def streaming_extraction(stream: DataFrame) -> DataFrame:
+    """Stateless per-turn extraction + quality + verdict on a stream."""
+    return with_verdict(with_extraction_and_quality(stream))
+
+
+def streaming_verdict_rollup(stream: DataFrame,
+                             window: str = "5 minutes",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Windowed verdict counts with late-data handling (watermark)."""
+    out = streaming_extraction(stream)
+    return (out.withWatermark("ts", watermark)
+               .groupBy(F.window("ts", window), "verdict")
+               .agg(F.count(F.lit(1)).alias("n_turns")))
+
+
+def start_to_parquet(stream_df: DataFrame, out_path: str,
+                     checkpoint: str, trigger_once: bool = True):
+    """Exactly-once parquet sink; availableNow drains existing input."""
+    w = (stream_df.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed per-partition run with resume")
+    ap.add_argument("--bench", action="store_true",
+                    help="benchmark mode: warm the JVM + python workers "
+                         "first, then time ONLY the pipeline write "
+                         "(row count via Observation, no output re-read)")
     args = ap.parse_args()
 
     if args.gen_convs:
@@ -46,6 +50,35 @@ def main() -> None:
         print(f"generated {n} turns at {args.input}", file=sys.stderr)
 
     spark = build_session("documentai-extract", master=args.master)
+    if args.bench:
+        from pyspark.sql import functions as F
+        from pyspark.sql.observation import Observation
+
+        from documentai_spark.operators.extraction import extract_udf
+        from documentai_spark.plans.pipeline import (
+            extraction_pipeline, read_transcripts,
+        )
+        src = read_transcripts(spark, args.input)
+        # warm JVM codegen + python workers off the clock
+        src.limit(1024).select(extract_udf("text").alias("x")) \
+           .write.format("noop").mode("overwrite").save()
+        obs = Observation("rows")
+        t0 = time.time()
+        df = extraction_pipeline(src, include_entities=args.entities,
+                                 salt_buckets=args.salt_buckets)
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.mode("overwrite").parquet(args.output)
+        wall = time.time() - t0
+        rows = obs.get["n"]
+        print(json.dumps({"rows": rows, "sec": round(wall, 2),
+                          "turns_per_sec": round(rows / wall, 1),
+                          "master": spark.sparkContext.master,
+                          "shuffle_partitions": spark.conf.get(
+                              "spark.sql.shuffle.partitions"),
+                          "output": args.output}))
+        spark.stop()
+        return
+
     t0 = time.time()
     if args.resume:
         from documentai_spark.plans.checkpoint import run_checkpointed

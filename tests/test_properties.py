@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the oracle core: totality,
+span-offset integrity, score bounds, and scalar/vectorized agreement on
+arbitrary inputs (not just the fixture domain)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from documentai_spark.core.entities import (
+    completeness_from_text, extract_entities,
+)
+from documentai_spark.core.extract import extract_turn
+from documentai_spark.core.quality import (
+    blank_score, legibility_score, score_turn,
+)
+from documentai_spark.operators.quality_vec import (
+    blank_scores, legibility_scores,
+)
+
+# texts that stress the parsers: html-ish tags, layout whitespace, control
+# chars, unicode, long runs
+text_strategy = st.one_of(
+    st.text(max_size=400),
+    st.text(alphabet="<>/abptdlrhu ul\n\t ", max_size=300),
+    st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+            max_size=200),
+    st.builds(lambda a, b: f"<p>{a}</p><table><tr><td>{b}</td></tr>",
+              st.text(max_size=80), st.text(max_size=40)),
+    st.builds(lambda lines: "\n".join(lines),
+              st.lists(st.text(alphabet="abc  ", max_size=30), max_size=8)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_strategy)
+def test_extract_total_and_spans_valid(text):
+    kind, extracted, spans = extract_turn(text)
+    assert kind in ("plain", "html", "layout")
+    prev_end = 0
+    for s in spans:
+        assert 0 <= s.begin <= s.end <= len(extracted)
+        assert extracted[s.begin:s.end] == s.text
+        assert s.begin >= prev_end or True  # spans are ordered by begin
+    begins = [s.begin for s in spans]
+    assert begins == sorted(begins)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_strategy)
+def test_quality_bounds_and_verdict(text):
+    qc = completeness_from_text(text)
+    s = score_turn(text, extract_turn(text)[1], qc)
+    assert 0.0 <= s.q_blank <= 1.0
+    assert 0.0 <= s.q_legibility <= 1.0
+    assert 0.0 <= s.q_completeness <= 1.0
+    assert 0.0 <= s.confidence <= 1.0
+    assert s.verdict in {"direct analysis", "pre-processing",
+                         "azure document analysis", "reupload", "re-scan"}
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(text_strategy, min_size=1, max_size=20))
+def test_vectorized_equals_scalar_on_arbitrary(texts):
+    s = pd.Series(texts, dtype=object)
+    vb = blank_scores(s)
+    vl = legibility_scores(s)
+    for i, t in enumerate(texts):
+        assert vb[i] == blank_score(t)
+        assert vl[i] == legibility_score(t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_entities_total(text):
+    ents = extract_entities(text)
+    assert isinstance(ents, dict)
+    for k, v in ents.items():
+        assert isinstance(k, str) and isinstance(v, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab \n\t", max_size=100))
+def test_plain_extraction_identity(text):
+    kind, extracted, _ = extract_turn(text)
+    if kind == "plain":
+        assert extracted == text

@@ -1,0 +1,44 @@
+"""Streaming pipeline test: availableNow drain over the synthetic
+transcripts, output equals the batch pipeline's (unordered) result."""
+
+from __future__ import annotations
+
+from documentai_spark.plans.pipeline import extraction_pipeline
+from documentai_spark.streaming.pipeline import (
+    read_transcript_stream, start_to_parquet, streaming_extraction,
+)
+
+
+def test_stream_equals_batch(spark, transcripts_path, tmp_path):
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_transcript_stream(spark, transcripts_path,
+                                    max_files_per_trigger=4)
+    q = start_to_parquet(streaming_extraction(stream), out_dir, ckpt)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir) \
+        .select("conv_id", "turn_idx", "extracted_text", "verdict").collect()
+    want = extraction_pipeline(spark.read.parquet(transcripts_path),
+                               ordered_output=False) \
+        .select("conv_id", "turn_idx", "extracted_text", "verdict").collect()
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    got_s, want_s = sorted(got, key=key), sorted(want, key=key)
+    assert len(got_s) == len(want_s)
+    assert got_s == want_s
+
+
+def test_stream_restart_is_exactly_once(spark, transcripts_path, tmp_path):
+    """Re-starting with the same checkpoint adds nothing (no duplicates)."""
+    out_dir = str(tmp_path / "stream_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = read_transcript_stream(spark, transcripts_path)
+    q = start_to_parquet(streaming_extraction(stream), out_dir, ckpt)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out_dir).count()
+
+    q2 = start_to_parquet(streaming_extraction(
+        read_transcript_stream(spark, transcripts_path)), out_dir, ckpt)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2

@@ -1,0 +1,104 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+Runs the IDENTICAL ``spark-submit --py-files pipeline.zip job.py --bench``
+job at N=8 and 4N=32 local cores on the IDENTICAL seeded input with
+pinned ``spark.sql.shuffle.partitions``, and writes BENCH/BASELINE.md
+with turns/sec at both sizes and efficiency = (tput_4N / tput_N) / 4.
+
+Usage: python tools/bench_scaling.py [n_convs]  (default 5200 ≈ 250k turns)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_zip() -> str:
+    zpath = os.path.join(REPO, "pipeline.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(os.path.join(REPO, "documentai_spark")):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run(master: str, zpath: str, in_dir: str, out_dir: str,
+        shuffle_partitions: int) -> dict:
+    env = dict(os.environ,
+               SPARK_SHUFFLE_PARTITIONS=str(shuffle_partitions))
+    cmd = ["spark-submit", "--master", master, "--py-files", zpath,
+           os.path.join(REPO, "job.py"), "--bench",
+           "--input", in_dir, "--output", out_dir]
+    print("::", " ".join(cmd), file=sys.stderr)
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600)
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from {master}:\n{p.stdout[-2000:]}"
+                       f"\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 5200
+    in_dir = os.path.join(REPO, ".benchcache", f"transcripts_scale_{n_convs}")
+    marker = os.path.join(in_dir, "_DONE")
+    if not os.path.exists(marker):
+        from documentai_spark.sources.transcripts import (
+            write_transcripts_parquet,
+        )
+        n = write_transcripts_parquet(in_dir, seed=42, n_convs=n_convs,
+                                      mega_every=100, mega_turns=2000,
+                                      rows_per_file=20000)
+        with open(marker, "w") as f:
+            f.write(str(n))
+        print(f"generated {n} turns", file=sys.stderr)
+
+    zpath = build_zip()
+    sp = 64  # pinned across both runs (protocol requirement)
+    r8 = run("local[8]", zpath, in_dir, "/tmp/scale_out8", sp)
+    r32 = run("local[32]", zpath, in_dir, "/tmp/scale_out32", sp)
+    eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    result = {"N8": r8, "N32": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    md = f"""## Two-cluster-size scaling evidence (run {datetime.date.today()})
+
+Protocol per BASELINE.md: identical `spark-submit --py-files pipeline.zip
+job.py --bench` job, identical seeded input ({r8["rows"]} turns,
+seed 42, ~1% mega-conversations of 2000 turns), identical
+`spark.sql.shuffle.partitions={sp}`; only `--master` differs.
+Timing covers the pipeline write only (JVM + python workers warmed off
+the clock; row count observed during the write, no output re-read).
+
+| cluster size | master | turns/sec | wall sec |
+|---|---|---|---|
+| N (8 cores) | local[8] | {r8["turns_per_sec"]} | {r8["sec"]} |
+| 4N (32 cores) | local[32] | {r32["turns_per_sec"]} | {r32["sec"]} |
+
+**Scaling efficiency = (throughput_4N / throughput_N) / 4 =
+{result["scaling_efficiency"]}** (target >= 0.8).
+
+Rows processed: {r8["rows"]} (both runs, identical input);
+output: partitioned parquet, full extraction + quality + verdict schema.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md + "\n")
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
