@@ -19,14 +19,13 @@ def build_session(app_name: str = "documentai_spark",
     - shuffle partitions sized to cores in local mode; on a real cluster
       set ~2-3x total cores via ``shuffle_partitions``.
     """
-    from pyspark import SparkConf
-
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     master = master or os.environ.get("SPARK_MASTER")
-    if master is None and not SparkConf().contains("spark.master"):
-        # not launched via spark-submit: pick a local default; NEVER
-        # override a submit-provided --master (the scaling protocol runs
-        # the identical job at two cluster sizes via --master alone)
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # PYSPARK_GATEWAY_PORT present == spark-submit already launched
+        # the JVM with its own --master; NEVER override it (the scaling
+        # protocol runs the identical job at two cluster sizes via
+        # --master alone). Plain-python launches pick a local default.
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")

@@ -54,14 +54,18 @@ def main() -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.observation import Observation
 
-        from documentai_spark.operators.extraction import extract_udf
+        from documentai_spark.operators.extraction import extract_quality_udf
         from documentai_spark.plans.pipeline import (
             extraction_pipeline, read_transcripts,
         )
         src = read_transcripts(spark, args.input)
-        # warm JVM codegen + python workers off the clock
-        src.limit(1024).select(extract_udf("text").alias("x")) \
-           .write.format("noop").mode("overwrite").save()
+        # warm JVM codegen + EVERY python worker off the clock (one task
+        # per shuffle partition so all workers import pandas/numpy now)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        warm = spark.range(0, n_parts * 100, 1, n_parts) \
+                    .selectExpr("repeat('warm up text ', id % 5) as text")
+        warm.select(extract_quality_udf("text").alias("x")) \
+            .write.format("noop").mode("overwrite").save()
         obs = Observation("rows")
         t0 = time.time()
         df = extraction_pipeline(src, include_entities=args.entities,
