@@ -64,13 +64,20 @@ def extraction_pipeline(transcripts: DataFrame, *,
       output because the ranges are already ordered.
     - unordered: salted repartition (uniform task sizing, W1 not needed).
     """
+    if salt_partitions is None:
+        # EXPLICIT partition count: without it AQE coalesces this exchange
+        # to ~default.parallelism giant tasks (42 MB shuffle < 64 MB
+        # advisory size), making the UDF stage straggler-bound — measured
+        # as 2 output files at local[2]. Fine-grained tasks (the
+        # configured shuffle partitions) keep all cores busy to stage end.
+        salt_partitions = int(
+            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if ordered_output:
         # sort the NARROW input inside the range-exchange stage; the UDF
         # projections preserve per-partition row order, so the wide output
         # is already globally ordered — no post-UDF sort of big rows.
         df = (transcripts.repartitionByRange(
-                  *([salt_partitions] if salt_partitions else []),
-                  F.col("conv_id"), F.col("turn_idx"))
+                  salt_partitions, F.col("conv_id"), F.col("turn_idx"))
               .sortWithinPartitions("conv_id", "turn_idx"))
     else:
         df = salted_repartition(transcripts, salt_partitions,
