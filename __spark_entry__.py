@@ -395,6 +395,51 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity extraction + extraction confidence (rows-only; regex field
+    semantics pinned by tests/test_core_quality.py)."""
+    from documentai_spark.operators.extraction import with_entities
+    docs = _t(spark, sf_dir, "documents")
+    out = with_entities(docs, extracted_col="text")
+    return (out.select("doc_id", F.map_keys("entities").alias("fields"),
+                       "extraction_confidence")
+               .orderBy("doc_id"))
+
+
+def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-rule validation over extracted entities (rows-only; rule
+    grammar + checks pinned by tests/test_rules_preprocess.py)."""
+    from documentai_spark.operators.extraction import with_entities
+    from documentai_spark.operators.rules_op import with_rule_validation
+    docs = _t(spark, sf_dir, "documents")
+    out = with_rule_validation(
+        with_entities(docs, extracted_col="text"),
+        ["po_number must not be empty",
+         "date_numeric must be a valid date",
+         "amount must be a number",
+         "currency must be one of USD, EUR or GBP"])
+    return (out.select("doc_id", "rules_passed", "rules_failed",
+                       "overall_valid").orderBy("doc_id"))
+
+
+def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 3-technique classification + majority vote (rows-only; the
+    technique-1 component has its own SQL oracle in classify_keywords)."""
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, classify_with_vote,
+    )
+    cfg = ClassifierConfig.compile({
+        "query_engine": {"keywords": ["query", "join", "filter", "scan"]},
+        "storage": {"keywords": ["table", "row", "column", "part"]},
+        "streaming": {"keywords": ["stream", "window", "batch"]},
+    })
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumnRenamed("text", "extracted_text")
+    out = classify_with_vote(docs, cfg)
+    return (out.select("doc_id", "technique_1", "technique_2", "technique_3",
+                       "category", "vote_confidence").orderBy("doc_id"))
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate NN for 10 anchors (rows-only; recall
     measured against brute force in tests/test_similarity.py)."""
@@ -444,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dups": q_simhash_dups,
         "lsh_ann": q_lsh_ann,
+        "entity_extraction": q_entity_extraction,
+        "rule_validation": q_rule_validation,
+        "classify_vote": q_classify_vote,
     }
 
 
