@@ -38,7 +38,8 @@ from pyspark.sql.window import Window
 @dataclass(frozen=True)
 class Category:
     name: str
-    keywords: tuple[str, ...]
+    keywords: tuple[str, ...]       # alnum-normalized (substring scoring)
+    patterns: tuple[str, ...] = ()  # \s+-flexible word patterns (regex count)
     weight: float = 1.0
     always_separate: bool = False
     max_pages: int = 0  # 0 = unlimited
@@ -51,12 +52,20 @@ class ClassifierConfig:
 
     @staticmethod
     def compile(raw: dict) -> "ClassifierConfig":
-        """Normalize + length-sort keywords (documentClassifier.py:1008-1021)."""
+        """Normalize + length-sort keywords (documentClassifier.py:1008-1021);
+        regex patterns are \\s+-flexible BETWEEN WORDS
+        (documentClassifier.py:455 compiles escaped keywords with flexible
+        whitespace — word-level, never per-character)."""
         cats = []
         for name, spec in raw.items():
-            kws = sorted({_norm(k) for k in spec["keywords"] if _norm(k)},
+            originals = [k for k in spec["keywords"] if _norm(k)]
+            kws = sorted({_norm(k) for k in originals},
                          key=lambda k: (-len(k), k))
+            pats = tuple(sorted(
+                r"\s+".join(re.escape(w) for w in k.lower().split())
+                for k in originals))
             cats.append(Category(name=name, keywords=tuple(kws),
+                                 patterns=pats,
                                  weight=float(spec.get("weight", 1.0)),
                                  always_separate=bool(
                                      spec.get("always_separate", False)),
@@ -105,13 +114,10 @@ def technique_regex_count(text: Column, cfg: ClassifierConfig,
     lt = F.lower(text)
     scores = []
     for cat in cfg.categories:
-        s = None
-        for kw in cat.keywords:
-            pat = r"(?i)" + r"\s*".join(re.escape(c) for c in kw)
-            cnt = F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0)))
-            term = cnt.cast("double") * F.lit(cat.weight)
-            s = term if s is None else s + term
-        scores.append((cat.name, s if s is not None else F.lit(0.0)))
+        # one alternation pass per category (occurrence count x weight)
+        pat = "|".join(cat.patterns)
+        cnt = F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0)))
+        scores.append((cat.name, cnt.cast("double") * F.lit(cat.weight)))
     return _argmax_struct(scores, default)
 
 
@@ -144,41 +150,33 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     __spark_entry__.q_majority_vote."""
     t = F.col(text_col)
     too_short = F.length(F.trim(t)) < cfg.min_text_len
-    t1 = technique_substring(t, cfg, default)
-    t2 = technique_regex_count(t, cfg, default)
-    t3 = technique_token_overlap(t, cfg, default)
-    votes = F.array(t1, t2, t3)
-    # mode of a 3-array with deterministic ties: count each distinct value,
-    # pick (count desc, value asc)
-    counted = F.transform(
-        F.array_distinct(votes),
-        lambda v: F.struct(
-            F.size(F.filter(votes, lambda x: x == v)).alias("n"),
-            v.alias("neg_cat")))
-    # greatest(structs) compares n first, then string desc — invert the
-    # string for asc tie-break by comparing on (n, reversed rank): use
-    # array_sort and take last for (n asc, cat desc) -> reverse logic:
-    best = F.element_at(
-        F.reverse(F.array_sort(F.transform(
-            counted, lambda s: F.struct(
-                s["n"].alias("n"),
-                F.lit(None).cast("string").alias("_pad"),
-                s["neg_cat"].alias("cat"))))), 1)
-    # array_sort on struct(n, _pad, cat) sorts by n asc then cat asc;
-    # reverse -> n desc, cat desc. For deterministic *asc* category ties we
-    # re-sort candidates with max n by category name:
-    maxn = F.array_max(F.transform(counted, lambda s: s["n"]))
-    winner = F.array_min(F.transform(
-        F.filter(counted, lambda s: s["n"] == maxn), lambda s: s["neg_cat"]))
-    out = (df.withColumn("technique_1", F.when(too_short, default).otherwise(t1))
-             .withColumn("technique_2", F.when(too_short, default).otherwise(t2))
-             .withColumn("technique_3", F.when(too_short, default).otherwise(t3))
-             .withColumn("category",
-                         F.when(too_short, default).otherwise(winner))
-             .withColumn("vote_confidence",
-                         F.when(too_short, F.lit(0.0)).otherwise(
-                             maxn.cast("double") / F.lit(3.0))))
-    return out.drop("_best") if "_best" in out.columns else out
+    t1c = F.when(too_short, default).otherwise(
+        technique_substring(t, cfg, default))
+    t2c = F.when(too_short, default).otherwise(
+        technique_regex_count(t, cfg, default))
+    t3c = F.when(too_short, default).otherwise(
+        technique_token_overlap(t, cfg, default))
+    df = (df.withColumn("technique_1", t1c)
+            .withColumn("technique_2", t2c)
+            .withColumn("technique_3", t3c))
+    # mode of exactly 3 values with deterministic ties: any pair agreeing
+    # wins (2/3 or 3/3); otherwise all distinct -> smallest category name
+    # (1/3). Plain when-chains keep the expression tree small — an earlier
+    # array transform/filter formulation re-inlined each technique tree
+    # ~10x after projection collapse (measured 60s -> ~2s at sf0.1).
+    t1, t2, t3 = (F.col("technique_1"), F.col("technique_2"),
+                  F.col("technique_3"))
+    winner = (F.when((t1 == t2) | (t1 == t3), t1)
+               .when(t2 == t3, t2)
+               .otherwise(F.least(t1, t2, t3)))
+    votes = (F.when((t1 == t2) & (t2 == t3), F.lit(3))
+              .when((t1 == t2) | (t1 == t3) | (t2 == t3), F.lit(2))
+              .otherwise(F.lit(1)))
+    return (df.withColumn("category",
+                          F.when(too_short, default).otherwise(winner))
+              .withColumn("vote_confidence",
+                          F.when(too_short, F.lit(0.0)).otherwise(
+                              votes.cast("double") / F.lit(3.0))))
 
 
 def group_consecutive(df: DataFrame, cfg: ClassifierConfig,

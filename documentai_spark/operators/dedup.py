@@ -168,7 +168,33 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    return df.select(id_col, simhash_col(F.col(text_col)).alias("simhash"))
+    """(id, simhash long) via explode + 64 signed-bit sums + groupBy.
+
+    Tokens explode ONCE and hash ONCE; the 64 per-bit +/-1 contributions
+    are narrow projections over that single hash column, and map-side
+    partial sums collapse before the shuffle. (The row-local
+    ``simhash_col`` variant re-evaluates the token-hash transform per bit
+    after projection collapse — measured ~10x slower; kept for single-row
+    uses.)
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " "))
+         .alias("_tok"))
+    ex = ex.select(id_col, F.xxhash64("_tok").alias("_h"))
+    bit_cols = [
+        (F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1)
+          .otherwise(-1)).alias(f"_b{j}")
+        for j in range(64)]
+    sums = (ex.select(id_col, *bit_cols)
+              .groupBy(id_col)
+              .agg(*[F.sum(f"_b{j}").alias(f"_b{j}") for j in range(64)]))
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        contrib = F.lit(-(2 ** 63)) if j == 63 else F.lit(2 ** j).cast("long")
+        sig = sig + F.when(F.col(f"_b{j}") > 0, contrib) \
+                     .otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
