@@ -283,7 +283,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(F.col("inter")
                   / (F.col("na") + F.col("nb") - F.col("inter")), 6)
     return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-                 .filter(F.col("jaccard") >= 0.05)
+                 .filter(F.col("jaccard") >= 0.01)
                  .orderBy("doc_a", "doc_b"))
 
 
@@ -664,7 +664,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
             FROM pairs
-            WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.05
+            WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.01
             ORDER BY doc_a, doc_b
         """,
         "cosine_topk": """
