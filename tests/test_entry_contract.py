@@ -1,0 +1,38 @@
+"""Driver-contract guard: queries()/oracle_sql() stay aligned and every
+query executes at sf0.001 with a stable non-degenerate schema."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entry.queries())
+    os_ = set(entry.oracle_sql())
+    assert os_ <= qs, f"oracle keys without queries: {os_ - qs}"
+    # the rows-only set is intentional and documented
+    rows_only = qs - os_
+    assert rows_only == {"extract_quality", "minhash_dedup", "simhash_dups",
+                         "lsh_ann", "entity_extraction", "rule_validation",
+                         "classify_vote"}
+
+
+def test_entry_returns_rows(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert "verdict" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_runs_at_sf0001(spark, name):
+    df = entry.queries()[name](spark, SF)
+    rows = df.count()
+    assert rows >= 0  # executes without error; some are legitimately small
+    assert len(df.columns) >= 1
+    # no unaliased aggregate column names (driver hashes by column name)
+    for c in df.columns:
+        assert "(" not in c, f"{name}: unaliased column {c}"
