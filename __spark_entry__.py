@@ -375,6 +375,83 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# transcripts-domain queries (committed deterministic table at
+# data/transcripts_test — DuckDB reads it via read_parquet, so even the
+# content-kind dispatch rule is oracle-checked cross-engine)
+# --------------------------------------------------------------------------
+
+TRANSCRIPTS_TEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "transcripts_test")
+
+# the detect_kind regexes (core/textkind.py), shared verbatim with the SQL
+# oracle — Java regex and DuckDB RE2 agree on this subset (no lookarounds)
+_KIND_HTML_PAT = (r"<(?:html|body|div|p|a|ul|li|table|tr|td|th|h1|h2|span|br)"
+                  r"(?:\s[^>]*)?/?>")
+_KIND_BLOCKSEP = r"\n[ \t]*\n"
+_KIND_MULTICOL = r"\S {2,}\S"
+
+
+def _transcripts(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(TRANSCRIPTS_TEST)
+
+
+def q_t_kind_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-kind dispatch (core/textkind.detect_kind) as SQL so the
+    DuckDB oracle independently verifies the routing rule per turn."""
+    t = _transcripts(spark)
+    kind = (F.when(F.col("text").rlike(_KIND_HTML_PAT), "html")
+             .when(F.col("text").contains("\n")
+                   & (F.col("text").rlike(_KIND_BLOCKSEP)
+                      | F.col("text").rlike(_KIND_MULTICOL)), "layout")
+             .otherwise("plain"))
+    return (t.select("conv_id", "turn_idx", kind.alias("kind"))
+             .groupBy("kind").agg(F.count(F.lit(1)).alias("n_turns"))
+             .orderBy("kind"))
+
+
+def q_t_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (A5/A11 partial+final on the real input
+    shape): turn counts, text volume, role cardinality, ordering check."""
+    t = _transcripts(spark)
+    return (t.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("n_turns"),
+                  F.max("turn_idx").alias("max_turn_idx"),
+                  F.sum(F.length("text")).alias("total_chars"),
+                  F.countDistinct("role").alias("n_roles"))
+             .withColumn("contiguous",
+                         F.col("max_turn_idx") == F.col("n_turns") - 1)
+             .orderBy("conv_id"))
+
+
+def q_t_role_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 gaps-and-islands on the transcripts: runs of consecutive
+    same-role turns per conversation (the consecutive-page grouping
+    semantics of documentClassifier.py:1057-1080 on real input)."""
+    t = _transcripts(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    brk = (F.lag("role").over(w).isNull()
+           | (F.col("role") != F.lag("role").over(w))).cast("int")
+    df = (t.withColumn("_brk", brk)
+           .withColumn("island", F.sum("_brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (df.groupBy("conv_id", "island", "role")
+              .agg(F.count(F.lit(1)).alias("run_len"))
+              .groupBy("conv_id")
+              .agg(F.count(F.lit(1)).alias("n_islands"),
+                   F.max("run_len").alias("longest_run"))
+              .orderBy("conv_id"))
+
+
+def q_t_mega_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile: the mega-conversation stands out (the salting
+    rationale made checkable): top-5 conversations by turn count."""
+    t = _transcripts(spark)
+    return (t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+             .orderBy(F.desc("n_turns"), F.asc("conv_id"))
+             .limit(5))
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (xxhash64 signatures / pandas-UDF ensembles have no
 # DuckDB equivalent — correctness pinned by tests/ instead)
 # --------------------------------------------------------------------------
@@ -484,6 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "lag_delta": q_lag_delta,
         "user_set_ops": q_user_set_ops,
+        "t_kind_dispatch": q_t_kind_dispatch,
+        "t_conv_stats": q_t_conv_stats,
+        "t_role_islands": q_t_role_islands,
+        "t_mega_skew": q_t_mega_skew,
         # rows-only (no SQL-expressible oracle):
         "extract_quality": q_extract_quality,
         "minhash_dedup": q_minhash_dedup,
@@ -750,7 +831,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase' AND event_id < 1500
             ORDER BY user_id
         """,
-        # extract_quality / minhash_dedup / simhash_dups / lsh_ann:
+        "t_kind_dispatch": rf"""
+            WITH k AS (
+              SELECT CASE
+                WHEN regexp_matches(text, '{_KIND_HTML_PAT}') THEN 'html'
+                WHEN contains(text, chr(10))
+                     AND (regexp_matches(text, '{_KIND_BLOCKSEP}')
+                          OR regexp_matches(text, '{_KIND_MULTICOL}'))
+                     THEN 'layout'
+                ELSE 'plain' END AS kind
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            )
+            SELECT kind, COUNT(*) AS n_turns FROM k
+            GROUP BY kind ORDER BY kind
+        """,
+        "t_conv_stats": f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   MAX(turn_idx) AS max_turn_idx,
+                   SUM(length(text)) AS total_chars,
+                   COUNT(DISTINCT role) AS n_roles,
+                   MAX(turn_idx) = COUNT(*) - 1 AS contiguous
+            FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "t_role_islands": f"""
+            WITH flagged AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN LAG(role) OVER w IS NULL
+                               OR role <> LAG(role) OVER w
+                          THEN 1 ELSE 0 END AS brk
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), islands AS (
+              SELECT conv_id, role,
+                     SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            ), runs AS (
+              SELECT conv_id, island, role, COUNT(*) AS run_len
+              FROM islands GROUP BY conv_id, island, role
+            )
+            SELECT conv_id, COUNT(*) AS n_islands,
+                   MAX(run_len) AS longest_run
+            FROM runs GROUP BY conv_id ORDER BY conv_id
+        """,
+        "t_mega_skew": f"""
+            SELECT conv_id, COUNT(*) AS n_turns
+            FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            GROUP BY conv_id
+            ORDER BY n_turns DESC, conv_id ASC
+            LIMIT 5
+        """,
+        # extract_quality / minhash_dedup / simhash_dups / lsh_ann /
+        # entity_extraction / rule_validation / classify_vote:
         # intentionally no oracle (pandas-UDF ensembles or xxhash64-based
         # signatures with no DuckDB equivalent; pinned by tests/)
     }
