@@ -119,9 +119,7 @@ def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
     what extraction just produced inside the same worker. Fusing halves
     the Arrow transfer and keeps one python worker pass per batch.
     """
-    from documentai_spark.operators.quality_vec import (
-        blank_scores, completeness_scores, legibility_scores,
-    )
+    from documentai_spark.operators.quality_vec import fused_quality
     kinds: list[str] = []
     texts: list[str] = []
     spans_col: list[list] = []
@@ -131,12 +129,10 @@ def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
         texts.append(extracted)
         spans_col.append(spans)  # NamedTuples serialize as structs (2.3x
         # cheaper than dicts through the Arrow converter, measured)
-    ext = pd.Series(texts)
+    qb, ql, qc = fused_quality(text, texts)
     return pd.DataFrame({
-        "kind": kinds, "extracted_text": ext, "spans": spans_col,
-        "q_blank": blank_scores(text),
-        "q_legibility": legibility_scores(ext),
-        "q_completeness": completeness_scores(ext),
+        "kind": kinds, "extracted_text": texts, "spans": spans_col,
+        "q_blank": qb, "q_legibility": ql, "q_completeness": qc,
     })
 
 

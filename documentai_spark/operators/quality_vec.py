@@ -54,28 +54,42 @@ class _Counts:
     __slots__ = ("n", "ws", "alnum", "control", "vowel", "letter",
                  "nonws", "tokens", "long_tokens", "strip_len")
 
-    def __init__(self, texts: list[str]):
+    FIELDS = ("ws", "alnum", "control", "vowel", "letter", "tokens",
+              "long_tokens")
+
+    def __init__(self, texts: list[str], reuse=None):
+        """``reuse=(other, same_mask)`` copies rows where this batch's text
+        IS the other batch's text (identity extraction: plain rows incl.
+        the CPU-dominant mega turns) and counts only the rest."""
         k = len(texts)
         self.n = np.fromiter((len(t) for t in texts), np.float64, k)
-        for f in ("ws", "alnum", "control", "vowel", "letter", "tokens",
-                  "long_tokens"):
+        for f in self.FIELDS:
             setattr(self, f, np.zeros(k, dtype=np.float64))
         if k == 0:
             self.nonws = self.ws
             self.strip_len = self.ws
             return
-        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
-        if len(ascii_idx) == k:
-            self._bulk_ascii(texts, np.arange(k))
-        else:
-            if ascii_idx:
-                self._bulk_ascii([texts[i] for i in ascii_idx],
-                                 np.asarray(ascii_idx))
-            rest = [i for i in range(k) if not texts[i].isascii()]
+        todo = range(k)
+        if reuse is not None:
+            other, same = reuse
+            for f in self.FIELDS:
+                getattr(self, f)[same] = getattr(other, f)[same]
+            todo = np.nonzero(~same)[0]
+        ascii_idx = [i for i in todo if texts[i].isascii()]
+        rest = [i for i in todo if not texts[i].isascii()]
+        if ascii_idx:
+            self._bulk_ascii([texts[i] for i in ascii_idx],
+                             np.asarray(ascii_idx))
+        if rest:
             self._per_row_regex([texts[i] for i in rest], np.asarray(rest))
         self.nonws = self.n - self.ws
-        sl = np.fromiter((len(t.strip()) for t in texts), np.float64, k)
-        self.strip_len = sl
+        if reuse is not None:
+            self.strip_len = other.strip_len.copy()
+            if len(todo):
+                self.strip_len[todo] = [len(texts[i].strip()) for i in todo]
+        else:
+            self.strip_len = np.fromiter(
+                (len(t.strip()) for t in texts), np.float64, k)
 
     def _bulk_ascii(self, texts: list[str], out_idx: np.ndarray) -> None:
         """One packed buffer; '\\n' separators keep token runs row-local.
@@ -149,10 +163,10 @@ def _ensemble3_2_np(p1, p2, p3, f1, f2, weights, w_primary, w_all):
     return np.where(consistency >= CONSISTENCY_THRESHOLD, primary, full)
 
 
-def blank_scores(raw: pd.Series) -> np.ndarray:
+def blank_scores(raw: pd.Series, counts: _Counts | None = None) -> np.ndarray:
     """Vector of core.quality.blank_score over a batch."""
     texts = raw.fillna("").tolist()
-    c = _Counts(texts)
+    c = counts if counts is not None else _Counts(texts)
     # len(set(stripped)): only consumed by the fallback branch; C-level
     # set() per row is cheap next to the (now byte-LUT) class counts
     distinct = np.fromiter((len(set(t.strip())) for t in texts),
@@ -168,9 +182,10 @@ def blank_scores(raw: pd.Series) -> np.ndarray:
     return np.where((c.n == 0) | (c.strip_len == 0), 1.0, score)
 
 
-def legibility_scores(extracted: pd.Series) -> np.ndarray:
+def legibility_scores(extracted: pd.Series,
+                      counts: _Counts | None = None) -> np.ndarray:
     """Vector of core.quality.legibility_score over a batch."""
-    c = _Counts(extracted.fillna("").tolist())
+    c = counts if counts is not None else _Counts(extracted.fillna("").tolist())
     with np.errstate(divide="ignore", invalid="ignore"):
         printable_ratio = np.where(c.n > 0, 1.0 - c.control / c.n, 0.0)
         alnum_ratio = np.where(c.nonws > 0, c.alnum / c.nonws, 0.0)
@@ -201,3 +216,19 @@ def completeness_scores(extracted: pd.Series) -> np.ndarray:
             present += t.str.contains(_PATTERNS[f], regex=True) \
                         .to_numpy(dtype=np.float64)
     return present / float(len(EXPECTED_FIELDS))
+
+
+def fused_quality(raw: pd.Series, ext_texts: list[str]):
+    """All three metrics with count reuse: rows whose extraction is the
+    identity (extracted IS raw — plain rows, incl. the CPU-dominant mega
+    turns) share one _Counts pass between blank and legibility."""
+    raw_texts = raw.fillna("").tolist()
+    c_raw = _Counts(raw_texts)
+    same = np.fromiter(
+        (a is b for a, b in zip(raw_texts, ext_texts)),
+        dtype=bool, count=len(ext_texts))
+    ext_series = pd.Series(ext_texts, dtype=object)
+    c_ext = _Counts(ext_texts, reuse=(c_raw, same))
+    return (blank_scores(raw, counts=c_raw),
+            legibility_scores(ext_series, counts=c_ext),
+            completeness_scores(ext_series))

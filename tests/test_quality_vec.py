@@ -58,3 +58,23 @@ def test_none_handling():
     assert vec[0] == 1.0
     assert legibility_scores(pd.Series([None], dtype=object))[0] == 0.0
     assert completeness_scores(pd.Series([None], dtype=object))[0] == 0.0
+
+
+def test_fused_quality_equals_individual():
+    """Count-reuse path (identity rows share _Counts) is bit-identical to
+    the independent computations."""
+    from documentai_spark.operators.quality_vec import fused_quality
+    raws = []
+    exts = []
+    for r in gen_rows(42, 30, mega_every=10, mega_turns=150):
+        raws.append(r["text"])
+        exts.append(extract_turn(r["text"])[1])
+    raw_s = pd.Series(raws, dtype=object)
+    qb, ql, qc = fused_quality(raw_s, exts)
+    ext_s = pd.Series(exts, dtype=object)
+    assert (qb == blank_scores(raw_s)).all()
+    assert (ql == legibility_scores(ext_s)).all()
+    assert (qc == completeness_scores(ext_s)).all()
+    # and against the scalar oracle directly
+    for i, (r, e) in enumerate(zip(raws, exts)):
+        assert qb[i] == blank_score(r) and ql[i] == legibility_score(e)
