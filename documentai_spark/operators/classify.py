@@ -28,7 +28,7 @@ precompiled keyword cache, X5/X12). No UDF, no shuffle until the vote.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -201,20 +201,42 @@ def legibility_scores(extracted: pd.Series,
     return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
 
 
-def completeness_scores(extracted: pd.Series) -> np.ndarray:
+def completeness_scores(extracted: pd.Series,
+                        counts: _Counts | None = None) -> np.ndarray:
     """Vector of core.entities.completeness_from_text over a batch:
-    one vectorized contains() pass per expected pattern."""
+    one contains() pass per expected pattern, with SOUND pre-gates that
+    skip patterns which cannot match — date_numeric / currency_amount
+    literally require a digit (digit count = alnum - letter, already in
+    _Counts) and email requires '@' (memchr-fast literal check). The
+    gates never change results; they only skip impossible scans (the
+    digit-free mega turns would otherwise pay 5 full sre passes each).
+    """
     import warnings
 
     t = extracted.fillna("")
-    present = np.zeros(len(t), dtype=np.float64)
+    k = len(t)
+    present = np.zeros(k, dtype=np.float64)
+    if counts is not None:
+        has_digit = (counts.alnum - counts.letter) > 0
+    else:
+        has_digit = t.str.contains(r"\d", regex=True) \
+                     .to_numpy(dtype=bool)
+    has_at = t.str.contains("@", regex=False).to_numpy(dtype=bool)
+    gates = {"date_numeric": has_digit, "currency_amount": has_digit,
+             "email": has_at}
     with warnings.catch_warnings():
         # the entity patterns have capture groups; contains() only needs
         # the boolean match, so the "match groups" hint is noise here
         warnings.simplefilter("ignore", UserWarning)
         for f in EXPECTED_FIELDS:
-            present += t.str.contains(_PATTERNS[f], regex=True) \
-                        .to_numpy(dtype=np.float64)
+            gate = gates.get(f)
+            if gate is None:
+                present += t.str.contains(_PATTERNS[f], regex=True) \
+                            .to_numpy(dtype=np.float64)
+            elif gate.any():
+                sub = t[gate].str.contains(_PATTERNS[f], regex=True) \
+                       .to_numpy(dtype=np.float64)
+                present[gate] += sub
     return present / float(len(EXPECTED_FIELDS))
 
 
@@ -231,4 +253,4 @@ def fused_quality(raw: pd.Series, ext_texts: list[str]):
     c_ext = _Counts(ext_texts, reuse=(c_raw, same))
     return (blank_scores(raw, counts=c_raw),
             legibility_scores(ext_series, counts=c_ext),
-            completeness_scores(ext_series))
+            completeness_scores(ext_series, counts=c_ext))
