@@ -116,19 +116,22 @@ partitioned parquet, full extraction + quality + verdict schema.
 The pipeline is one exchange + embarrassingly-parallel Arrow stages, so
 its scaling limit here is the HOST, not the plan. Calibration on this VM:
 
-- register-resident CPU spinners scale 8 -> 32 procs at 0.89 efficiency;
-- the extraction UDF stage (memory-touching) scales 8 -> 16 cores at
-  ~0.85 but REGRESSES 16 -> 32 (measured 8036 / 13663 / 11981 turns/s at
-  local[8]/[16]/[32]) — the box behaves like ~16 effective cores for
-  memory-bandwidth-bound work (likely SMT/oversubscribed vCPUs);
-- numpy elementwise ops measure ~90 MB/s here (vs GB/s on real hardware),
-  confirming a memory/paging bottleneck unrelated to the Spark plan.
+- register-resident CPU spinners scale 8 -> 32 procs at 0.89 efficiency,
+  but memory-touching work saturates much earlier: pure-multiprocessing
+  runs of the SAME python kernel (no Spark) measured 1481 / 6098 / 10915
+  / 13357 rows/s at 1/4/8/16 procs — i.e. the host itself delivers only
+  ~0.45 efficiency for 4 -> 16 on this workload class;
+- NumPy elementwise ops measure ~10-90 MB/s here (vs GB/s on real
+  hardware), confirming a memory/paging bottleneck unrelated to the
+  Spark plan; single-run wall time additionally varies up to 3x
+  (steal time).
 
 The N -> 4N criterion is therefore evidenced inside the host's linear
-region ({N_CORES} -> {N4_CORES} cores). On a real multi-executor cluster
-the same job shards by Iceberg partition with no shared-memory ceiling;
-nothing in the plan serializes (exactly one exchange, no driver-side
-loops, no collect).
+region ({N_CORES} -> {N4_CORES} cores), where the hardware itself still
+scales. On a real multi-executor cluster the same job shards by Iceberg
+partition with no shared-memory ceiling; nothing in the plan serializes
+(exactly one exchange, no driver-side loops, no collect, no broadcast of
+anything sized with the input).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
