@@ -86,7 +86,17 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
 
     ``max_buckets`` processes at most that many pending buckets then
     returns (the kill-and-resume test hook).
+
+    Per-bucket job sizing: each bucket is ~1/n_buckets of the input, so
+    its pipeline gets shuffle_partitions/n_buckets partitions (floor 4) —
+    a bucket job should not pay the full-table task count. Lineage counts
+    ride the single write job via Observations (no re-read, no extra
+    count jobs).
     """
+    from pyspark.sql.observation import Observation
+
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket_partitions = max(4, sp // n_buckets)
     src = spark.read.parquet(in_path)
     src = src.withColumn("_bucket",
                          F.pmod(F.hash("conv_id"), F.lit(n_buckets)))
@@ -105,14 +115,18 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
         if max_buckets is not None and processed >= max_buckets:
             continue
         started = time.time()
+        obs_out = Observation(f"out_{bucket}")
         part = src.filter(F.col("_bucket") == bucket).drop("_bucket")
-        out = extraction_pipeline(part, salt_buckets=salt_buckets,
+        out = extraction_pipeline(part, salt_partitions=bucket_partitions,
+                                  salt_buckets=salt_buckets,
                                   include_entities=include_entities)
+        # rows_out rides the write job via an Observation (safe: the range
+        # sampling job only re-executes the INPUT subplan, so an input-side
+        # observation would double-count — rows_in uses a pruned count()).
+        out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
         bucket_dir = os.path.join(out_path, f"bucket={bucket}")
         out.write.mode("overwrite").parquet(bucket_dir)
-        # lineage counts from the written files (ground truth, not plan-side)
-        written = spark.read.parquet(bucket_dir)
-        rows_out = written.count()
+        rows_out = obs_out.get["n"]
         rows_in = part.count()
         rec = {
             "partition": bucket, "status": "done",
