@@ -78,6 +78,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     ex = df.select(F.col(id_col),
                    F.explode(shingle_col(F.col(text_col))).alias("_sh"))
+    # NOTE: an affine k-permutation trick (h_i = a_i*xxhash64(s) + b_i)
+    # would save k-1 hash calls per shingle, but Spark 4 runs ANSI mode by
+    # default and long overflow THROWS — salted xxhash64 per permutation
+    # is the overflow-free formulation.
     hashed = ex.select(
         id_col, *[F.xxhash64(F.lit(i), F.col("_sh")).alias(f"_h{i}")
                   for i in range(num_hashes)])
