@@ -374,6 +374,20 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.subtract(users("purchase")).orderBy("user_id")
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 percentile aggregates: exact interpolated percentiles per
+    event_type (Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition — bit-identical doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.expr("percentile(value, 0.25)").alias("p25"),
+                   F.expr("percentile(value, 0.5)").alias("p50"),
+                   F.expr("percentile(value, 0.95)").alias("p95"),
+                   F.min("value").alias("vmin"),
+                   F.max("value").alias("vmax"))
+              .orderBy("event_type"))
+
+
 # --------------------------------------------------------------------------
 # transcripts-domain queries (committed deterministic table at
 # data/transcripts_test — DuckDB reads it via read_parquet, so even the
@@ -561,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "lag_delta": q_lag_delta,
         "user_set_ops": q_user_set_ops,
+        "value_percentiles": q_value_percentiles,
         "t_kind_dispatch": q_t_kind_dispatch,
         "t_conv_stats": q_t_conv_stats,
         "t_role_islands": q_t_role_islands,
@@ -830,6 +845,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND event_id < 1500
             ORDER BY user_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5)  AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   MIN(value) AS vmin, MAX(value) AS vmax
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "t_kind_dispatch": rf"""
             WITH k AS (

@@ -65,3 +65,22 @@ def test_selective_preprocess(spark):
     plan = selective_preprocess(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert plan.count("preprocess_udf") <= 2  # only on the filtered branch
+
+
+def test_parse_goods_row(spark):
+    """O5 right-anchored split (performa_invoice.py rsplit(' ',5))."""
+    from documentai_spark.functions.goods import parse_goods_row
+    rows = [
+        (0, "steel widgets large size  7208.39  100  PCS  12.50  1,250.00"),
+        (1, "x 1 2 3 4 5"),
+        (2, "too short row"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "line"])
+    out = {r.i: r.g for r in df.select(
+        "i", parse_goods_row(df.line).alias("g")).collect()}
+    g = out[0]
+    assert g.description == "steel widgets large size"
+    assert g.hs_code == "7208.39" and g.qty == "100" and g.unit == "PCS"
+    assert g.unit_price == "12.50" and g.amount == "1,250.00"
+    assert out[1].description == "x" and out[1].amount == "5"
+    assert out[2] is None
