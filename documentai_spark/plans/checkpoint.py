@@ -69,6 +69,16 @@ def _commit_manifest(out_path: str, rec: dict) -> None:
     os.replace(tmp, path)
 
 
+def lineage_table(spark: SparkSession, out_path: str):
+    """The `_lineage` table view: committed manifests as a DataFrame
+    (the Iceberg commit-metadata analog; SURVEY §1.1 lineage record)."""
+    recs = list(read_manifest(out_path).values())
+    schema = ("partition int, status string, rows_in long, rows_out long, "
+              "bytes_out long, failures int, started double, "
+              "finished double, wall_sec double")
+    return spark.createDataFrame(recs, schema)
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):

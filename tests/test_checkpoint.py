@@ -57,3 +57,16 @@ def test_rerun_done_is_noop(spark, transcripts_path, tmp_path):
                           log=lambda *a: None)
     assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 4
     assert s2["rows_out"] == s1["rows_out"]
+
+
+def test_lineage_table(spark, transcripts_path, tmp_path):
+    from documentai_spark.plans.checkpoint import lineage_table
+    out = str(tmp_path / "out_lineage")
+    run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                     log=lambda *a: None)
+    lt = lineage_table(spark, out)
+    rows = lt.collect()
+    assert len(rows) == 4
+    assert all(r.status == "done" and r.rows_out == r.rows_in for r in rows)
+    assert sum(r.bytes_out for r in rows) > 0
+    assert all(r.finished >= r.started for r in rows)

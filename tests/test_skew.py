@@ -1,0 +1,36 @@
+"""Skew handling (FIXTURES.md §4 test 4): the mega conversation spreads
+across partitions under both salting and range partitioning; per-task row
+counts stay balanced."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentai_spark.operators.skew import salted_repartition
+
+
+def _partition_counts(df):
+    return (df.withColumn("_pid", F.spark_partition_id())
+              .groupBy("_pid").count().collect())
+
+
+def test_salting_spreads_mega_conversation(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    mega = (df.groupBy("conv_id").count()
+              .orderBy(F.desc("count")).first())
+    assert mega["count"] >= 300  # the fixture's mega conversation
+
+    salted = salted_repartition(df, 16, salt_buckets=8)
+    mega_parts = (salted.filter(F.col("conv_id") == mega.conv_id)
+                  .select(F.spark_partition_id().alias("p"))
+                  .distinct().count())
+    assert mega_parts >= 4  # one conversation never owned by one task
+
+
+def test_range_partitioning_balances_rows(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    ranged = df.repartitionByRange(8, F.col("conv_id"), F.col("turn_idx"))
+    counts = [r["count"] for r in _partition_counts(ranged)]
+    assert len(counts) == 8
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, counts  # no straggler partition

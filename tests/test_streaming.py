@@ -42,3 +42,29 @@ def test_stream_restart_is_exactly_once(spark, transcripts_path, tmp_path):
     q2.awaitTermination(300)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2
+
+
+def test_watermarked_rollup(spark, transcripts_path):
+    """Windowed verdict rollup with watermark: stream totals equal the
+    batch groupBy over the same windows (memory sink, complete mode)."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.streaming.pipeline import (
+        read_transcript_stream, streaming_verdict_rollup,
+    )
+    stream = read_transcript_stream(spark, transcripts_path)
+    q = (streaming_verdict_rollup(stream, window="10 minutes",
+                                  watermark="20 minutes")
+         .writeStream.format("memory").queryName("rollup")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.window.start, r.verdict): r.n_turns
+           for r in spark.sql("select * from rollup").collect()}
+    from documentai_spark.plans.pipeline import extraction_pipeline
+    batch = extraction_pipeline(spark.read.parquet(transcripts_path),
+                                ordered_output=False)
+    want = {((r.win.start), r.verdict): r.n
+            for r in batch.groupBy(F.window("ts", "10 minutes").alias("win"),
+                                   "verdict")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) > 0
