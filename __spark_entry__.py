@@ -374,6 +374,43 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.subtract(users("purchase")).orderBy("user_id")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup tier #5), brute-force over a
+    capped id range so the DuckDB oracle mirrors it exactly; output is id
+    pairs only (floats never reach the hash). The uncapped scale path is
+    operators/dedup.embedding_near_dups (LSH-bucketed)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    v = emb.select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (a.crossJoin(b)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.round(cos, 6) >= 0.4)
+             .select("id_a", "id_b")
+             .orderBy("id_a", "id_b"))
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-data-pipeline op): GPT-style
+    pretokenizer classes without lookahead (RE2-compatible) —
+    '' ?[A-Za-z]+ | ?[0-9]+ | ?[^A-Za-z0-9 \\t\\n]+'' — counted per doc in
+    one regex pass, vs whitespace token count."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    n_ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select("doc_id", n_bpe.alias("n_bpe_tokens"),
+                       n_ws.alias("n_ws_tokens")).orderBy("doc_id")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 percentile aggregates: exact interpolated percentiles per
     event_type (Spark `percentile` and DuckDB `quantile_cont` share the
@@ -576,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": q_lag_delta,
         "user_set_ops": q_user_set_ops,
         "value_percentiles": q_value_percentiles,
+        "embedding_near_dups": q_embedding_near_dups,
+        "bpe_token_count": q_bpe_token_count,
         "t_kind_dispatch": q_t_kind_dispatch,
         "t_conv_stats": q_t_conv_stats,
         "t_role_islands": q_t_role_islands,
@@ -845,6 +884,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND event_id < 1500
             ORDER BY user_id
+        """,
+        "embedding_near_dups": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+              WHERE vec_id < 500
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+'))
+                       AS n_bpe_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens
+            FROM documents ORDER BY doc_id
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -144,6 +144,36 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b", "jaccard"))
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        m_bits: int = 8, seed: int = 7,
+                        dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the scale path).
+
+    Candidates = same random-hyperplane bucket (near-identical vectors
+    collide with probability (1 - theta/pi)^m); exact cosine re-rank
+    keeps only pairs >= threshold. All-pairs work is avoided — each
+    bucket joins only within itself. Returns (id_a, id_b, cosine).
+    """
+    from documentai_spark.operators.similarity import (
+        _as_double, _hyperplanes, dot_col, lsh_bucket_col, norm_col,
+    )
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, m_bits, seed)
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    v = v.withColumn("_b", lsh_bucket_col(F.col("_v"), planes))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_b")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_b")
+    cos = (dot_col(F.col("_va"), F.col("_vb"))
+           / (norm_col(F.col("_va")) * norm_col(F.col("_vb"))))
+    return (a.join(b, "_b")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
 def simhash_col(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash: per-bit majority over token xxhash64 values.
 

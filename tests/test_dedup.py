@@ -71,3 +71,27 @@ def test_signatures_partition_invariant(docs):
     many = {r.doc_id: r.simhash
             for r in simhash_signatures(docs.repartition(7)).collect()}
     assert one == many
+
+
+def test_embedding_near_dups_lsh(spark):
+    """LSH-bucketed embedding dedup finds near-identical vectors."""
+    import hashlib
+
+    from documentai_spark.operators.dedup import embedding_near_dups
+
+    def vec(i, eps=0.0):
+        h = hashlib.md5(f"e{i}".encode()).digest() * 4
+        return [((b / 255.0) - 0.5) + (eps if j == 0 else 0.0)
+                for j, b in enumerate(h[:16])]
+
+    rows = ([(i, vec(i)) for i in range(30)]
+            + [(100, vec(0, eps=0.001)),   # near-dup of 0
+               (101, vec(5, eps=0.002))])  # near-dup of 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dups(df, threshold=0.999,
+                                          m_bits=6).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.999
+    assert (5, 101) in pairs
+    assert all(a in (0, 5) or b in (100, 101) or a == b - 100
+               for a, b in pairs) or len(pairs) >= 2
