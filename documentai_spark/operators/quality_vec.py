@@ -40,7 +40,10 @@ def _lut(chars: bytes) -> np.ndarray:
     return t
 
 
-_WS_B = _lut(b" \t\n\r\x0b\x0c")
+# NOTE: Python re's \s is Unicode by default and inside ASCII also matches
+# the separator controls \x1c-\x1f (as does str.isspace / str.split) — the
+# LUT must agree byte-for-byte with the oracle's regexes.
+_WS_B = _lut(b" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f")
 _ALNUM_B = _lut(bytes(range(48, 58)) + bytes(range(65, 91))
                 + bytes(range(97, 123)))
 _CONTROL_B = _lut(bytes(range(0, 9)) + bytes(range(11, 32)) + b"\x7f")
