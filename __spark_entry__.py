@@ -568,6 +568,18 @@ def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "category", "vote_confidence").orderBy("doc_id"))
 
 
+def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL flagship pipeline over the committed transcripts table
+    (rows-only; per-turn byte-equality is pinned by tests, but this makes
+    the driver's gate execute the production DAG on the true input shape
+    every round)."""
+    from documentai_spark.plans.pipeline import extraction_pipeline
+    df = extraction_pipeline(_transcripts(spark))
+    return df.select("conv_id", "turn_idx", "kind",
+                     F.length("extracted_text").alias("n_extracted_chars"),
+                     F.size("spans").alias("n_spans"), "verdict")
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate NN for 10 anchors (rows-only; recall
     measured against brute force in tests/test_similarity.py)."""
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_extraction": q_entity_extraction,
         "rule_validation": q_rule_validation,
         "classify_vote": q_classify_vote,
+        "transcript_pipeline": q_transcript_pipeline,
     }
 
 

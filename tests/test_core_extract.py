@@ -103,3 +103,18 @@ def test_empty_and_whitespace():
     # yields empty text (the re-scan verdict keys off the RAW text anyway).
     kind, text, spans = extract_turn("   \n\t  \n   ")
     assert kind == "layout" and text == "" and spans == []
+
+
+def test_html_nested_table_and_charrefs():
+    """Pinned edge semantics: nested tables flush the outer row and emit
+    their own rows (SURVEY §7.4 risk #6); charrefs decode; <br> in a cell
+    is a soft space."""
+    t, s = extract_html("<table><tr><td>a</td><td>"
+                        "<table><tr><td>x</td></tr></table>"
+                        "</td></tr></table>")
+    assert t == "a\nx"
+    assert [(x[2], x[3]) for x in s] == [("cell", "a"), ("cell", "x")]
+    t2, _ = extract_html("<table><tr><td>a<br>b</td></tr></table>")
+    assert t2 == "a b"
+    t3, _ = extract_html("<p>one &amp; two " + "w " * 10 + "</p>")
+    assert t3.startswith("one & two")

@@ -18,7 +18,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = qs - os_
     assert rows_only == {"extract_quality", "minhash_dedup", "simhash_dups",
                          "lsh_ann", "entity_extraction", "rule_validation",
-                         "classify_vote"}
+                         "classify_vote", "transcript_pipeline"}
 
 
 def test_entry_returns_rows(spark):
