@@ -31,9 +31,12 @@ from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from documentai_spark.core.entities import ENTITY_CODES  # noqa: E402
 from documentai_spark.core.textstats import STOPWORDS  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
+
+_SWIFT_CODES_SQL = ", ".join(f"'{c}'" for c in sorted(ENTITY_CODES))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -524,14 +527,23 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity extraction + extraction confidence (rows-only; regex field
-    semantics pinned by tests/test_core_quality.py)."""
+    """Entity extraction + extraction confidence, oracle-checked: the
+    entity regexes are re.ASCII-compiled (core/entities._PATTERNS) so the
+    DuckDB RE2 mirror matches character-for-character. Fields emitted as a
+    sorted comma-joined scalar (the gate canonicalizer cannot hash array
+    cells); confidence rounded to 6 on both sides.
+
+    Runs over the committed transcripts fixture (the documents table is
+    digit-free word soup — zero entities, no signal)."""
     from documentai_spark.operators.extraction import with_entities
-    docs = _t(spark, sf_dir, "documents")
-    out = with_entities(docs, extracted_col="text")
-    return (out.select("doc_id", F.map_keys("entities").alias("fields"),
-                       "extraction_confidence")
-               .orderBy("doc_id"))
+    out = with_entities(_transcripts(spark), extracted_col="text")
+    return (out.select(
+                "conv_id", "turn_idx",
+                F.array_join(F.array_sort(F.map_keys("entities")), ",")
+                 .alias("fields"),
+                F.round("extraction_confidence", 6)
+                 .alias("extraction_confidence"))
+               .orderBy("conv_id", "turn_idx"))
 
 
 def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,30 +778,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
                        AS fingerprint
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": r"""
             WITH fp AS (
               SELECT doc_id,
-                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
                          AS fingerprint
               FROM documents
             ), groups AS (
               SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
               FROM fp GROUP BY fingerprint
             )
-            SELECT COUNT(*) AS n_groups, SUM(n_docs) AS n_docs,
-                   SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)
-                       AS n_dropped
+            SELECT COUNT(*) AS n_groups,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped
             FROM groups
         """,
         "ngram_jaccard": r"""
             WITH d AS (
               SELECT doc_id,
                      regexp_split_to_array(
-                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                         trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
                          ' ') AS t
               FROM documents WHERE doc_id < 120
             ), sh AS (
@@ -946,7 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_stats": f"""
             SELECT conv_id, COUNT(*) AS n_turns,
                    MAX(turn_idx) AS max_turn_idx,
-                   SUM(length(text)) AS total_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    COUNT(DISTINCT role) AS n_roles,
                    MAX(turn_idx) = COUNT(*) - 1 AS contiguous
             FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
@@ -980,8 +993,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_turns DESC, conv_id ASC
             LIMIT 5
         """,
+        # RE2 mirrors of core/entities._PATTERNS (re.ASCII-compiled, so the
+        # \b/\d/\w/\s semantics coincide); swift_tag replicates the
+        # first-match-then-membership rule (lc_application.py:24-36):
+        # the FIRST tag-shaped match must be in ENTITY_CODES.
+        "entity_extraction": rf"""
+            WITH m AS (
+              SELECT conv_id, turn_idx,
+                regexp_matches(text,
+                  'PO\s+NUMBER[:\s]+[A-Z0-9/\-]+', 'i') AS b_po,
+                regexp_matches(text,
+                  'PI\s+No[.:\s]+[A-Z0-9/\-]+', 'i') AS b_pi,
+                regexp_matches(text,
+                  '\b\d{{2}}[./-]\d{{2}}[./-]\d{{4}}\b') AS b_dn,
+                regexp_matches(text,
+                  '\b\d{{1,2}}-[A-Za-z]{{3}}-\d{{4}}\b') AS b_da,
+                regexp_matches(text,
+                  '\b[A-Z]{{3}}\s+[\d,]+(?:\.\d+)?\b') AS b_ca,
+                regexp_matches(text, '\b(CFR|CIF|FOB|DAP|EXW)\b') AS b_inc,
+                regexp_matches(text,
+                  '\b[\w.+-]+@[\w-]+\.[\w.]+\b') AS b_em,
+                regexp_matches(text, '\+?\d[\d\s\-]{{7,14}}\d') AS b_ph,
+                regexp_extract(text,
+                  '(?:^|\n):?(\d{{2}}[A-Z]?)\s*:', 1)
+                  IN ({_SWIFT_CODES_SQL}) AS b_sw
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            )
+            SELECT conv_id, turn_idx,
+                   COALESCE(array_to_string(list_sort(list_filter([
+                     CASE WHEN b_po  THEN 'po_number' END,
+                     CASE WHEN b_pi  THEN 'pi_number' END,
+                     CASE WHEN b_dn  THEN 'date_numeric' END,
+                     CASE WHEN b_da  THEN 'date_alpha' END,
+                     CASE WHEN b_ca  THEN 'currency' END,
+                     CASE WHEN b_ca  THEN 'amount' END,
+                     CASE WHEN b_ca  THEN 'currency_amount' END,
+                     CASE WHEN b_inc THEN 'incoterm' END,
+                     CASE WHEN b_em  THEN 'email' END,
+                     CASE WHEN b_ph  THEN 'phone' END,
+                     CASE WHEN b_sw  THEN 'swift_tag' END
+                   ], x -> x IS NOT NULL)), ','), '') AS fields,
+                   ROUND(LEAST(1.0,
+                     CAST(CAST(b_po AS INT) + CAST(b_dn AS INT)
+                          + CAST(b_ca AS INT) + CAST(b_inc AS INT)
+                          + CAST(b_em AS INT) AS DOUBLE) / 5
+                     + 0.1 * (CAST(b_po AS INT) + CAST(b_ca AS INT))), 6)
+                       AS extraction_confidence
+            FROM m ORDER BY conv_id, turn_idx
+        """,
         # extract_quality / minhash_dedup / simhash_dups / lsh_ann /
-        # entity_extraction / rule_validation / classify_vote:
+        # rule_validation / classify_vote:
         # intentionally no oracle (pandas-UDF ensembles or xxhash64-based
         # signatures with no DuckDB equivalent; pinned by tests/)
     }

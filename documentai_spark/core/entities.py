@@ -30,24 +30,32 @@ ENTITY_CODES = frozenset({
     "52A", "51A", "30", "26E",
 })
 
+# All patterns compiled re.ASCII: \d/\w/\s/\b are the ASCII classes, which
+# (a) matches the RE2 semantics of the DuckDB oracle SQL exactly and
+# (b) makes the vectorized digit/'@' pre-gates in
+# operators/quality_vec.completeness_scores sound (the gates count ASCII
+# classes; a Unicode-\d pattern could otherwise match a gated-out row).
+_A = re.ASCII
 _PATTERNS: dict[str, re.Pattern] = {
     # purchase_order.py:13-22
-    "po_number": re.compile(r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)", re.IGNORECASE),
+    "po_number": re.compile(r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)",
+                            re.IGNORECASE | _A),
     # performa_invoice.py:10-13
-    "pi_number": re.compile(r"PI\s+No[.:\s]+([A-Z0-9/\-]+)", re.IGNORECASE),
+    "pi_number": re.compile(r"PI\s+No[.:\s]+([A-Z0-9/\-]+)",
+                            re.IGNORECASE | _A),
     # dd.mm.yyyy / dd-mm-yyyy / dd/mm/yyyy (app.py:788; purchase_order DATED)
-    "date_numeric": re.compile(r"\b(\d{2}[./-]\d{2}[./-]\d{4})\b"),
+    "date_numeric": re.compile(r"\b(\d{2}[./-]\d{2}[./-]\d{4})\b", _A),
     # dd-MMM-yyyy (performa_invoice.py:11)
-    "date_alpha": re.compile(r"\b(\d{1,2}-[A-Za-z]{3}-\d{4})\b"),
+    "date_alpha": re.compile(r"\b(\d{1,2}-[A-Za-z]{3}-\d{4})\b", _A),
     # ISO-4217 currency amount (validation_engine.py:165 format)
-    "currency_amount": re.compile(r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b"),
+    "currency_amount": re.compile(r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b", _A),
     # incoterms (purchase_order.py:71-76)
-    "incoterm": re.compile(r"\b(CFR|CIF|FOB|DAP|EXW)\b"),
+    "incoterm": re.compile(r"\b(CFR|CIF|FOB|DAP|EXW)\b", _A),
     # generic (app.py:787-799)
-    "email": re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b"),
-    "phone": re.compile(r"\+?\d[\d\s\-]{7,14}\d"),
+    "email": re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b", _A),
+    "phone": re.compile(r"\+?\d[\d\s\-]{7,14}\d", _A),
     # SWIFT tag lines like ":40A:" or "40A:" (lc_application.py:24-27)
-    "swift_tag": re.compile(r"(?:^|\n):?(\d{2}[A-Z]?)\s*:"),
+    "swift_tag": re.compile(r"(?:^|\n):?(\d{2}[A-Z]?)\s*:", _A),
 }
 
 # The "expected fields" set used by the completeness score

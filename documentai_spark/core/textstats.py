@@ -32,7 +32,14 @@ STOPWORDS = (
 )
 
 _PUNCT_RE = re.compile(r"[^\w\s]")
-_NORM_RE = re.compile(r"\s+")
+# Pinned whitespace for fingerprint normalization: the Java-regex \s set
+# [ \t\n\x0b\f\r] — identical to Python's re.ASCII \s — so the Spark column
+# (operators/dedup.normalized_text), this oracle, and the DuckDB SQL
+# mirrors (explicit class) collapse the exact same bytes. Python's default
+# Unicode \s additionally matches \x1c-\x1f / \x85 / \xa0, which occur in
+# the fixture domain (see commit e795ab0) and would diverge.
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+_NORM_RE = re.compile(WS_CLASS + "+")
 
 
 def token_count(text: str) -> int:

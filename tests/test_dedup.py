@@ -95,3 +95,32 @@ def test_embedding_near_dups_lsh(spark):
     assert (5, 101) in pairs
     assert all(a in (0, 5) or b in (100, 101) or a == b - 100
                for a, b in pairs) or len(pairs) >= 2
+
+
+def test_fingerprint_whitespace_pin(spark):
+    """Spark fingerprint_col (Java \\s) == textstats.fingerprint (pinned
+    ASCII class) byte-for-byte, including the nasty-whitespace domain:
+    \\x0b is whitespace in both, \\x1c-\\x1f / \\xa0 / \\u2028 are NOT
+    (Python's Unicode \\s would disagree — ADVICE r1 low #2)."""
+    from documentai_spark.core.textstats import fingerprint
+    from documentai_spark.operators.dedup import fingerprint_col
+    from pyspark.sql import functions as F
+
+    texts = [
+        "plain  text",
+        "tabs\tand\nnewlines\r\n",
+        "vertical\x0btab",
+        "file\x1cgroup\x1drecord\x1eunit\x1fseps",
+        "nbsp\xa0and linesep",
+        "  leading and trailing  ",
+        "",
+        "MiXeD Case\x0c\x0bWS",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r.fp
+           for r in df.select("doc_id",
+                              fingerprint_col(F.col("text")).alias("fp"))
+                      .collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == fingerprint(t), repr(t)
