@@ -546,6 +546,56 @@ def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("conv_id", "turn_idx"))
 
 
+def q_entity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level entity extraction, oracle-checked: the first-match
+    GROUP values (not just presence) must agree with DuckDB's RE2
+    regexp_extract group pulls. Absent -> '' on both sides."""
+    from documentai_spark.operators.extraction import with_entities
+    out = with_entities(_transcripts(spark), extracted_col="text")
+    e = lambda f: F.coalesce(F.element_at("entities", F.lit(f)),  # noqa: E731
+                             F.lit("")).alias(f)
+    return (out.select("conv_id", "turn_idx", e("po_number"),
+                       e("date_numeric"), e("currency"), e("amount"),
+                       e("incoterm"), e("email"))
+               .orderBy("conv_id", "turn_idx"))
+
+
+def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity span offsets via the exact -> consecutive-multi-word ->
+    containment cascade (rows-only; core/spans.py spec is pinned by
+    tests/test_spans.py). One row per located entity."""
+    from documentai_spark.operators.extraction import with_entities
+    out = with_entities(_transcripts(spark), extracted_col="text")
+    ex = out.select("conv_id", "turn_idx",
+                    F.explode("entity_spans").alias("s"))
+    return (ex.select("conv_id", "turn_idx", F.col("s.field").alias("field"),
+                      F.col("s.begin").alias("begin"),
+                      F.col("s.end").alias("end"))
+              .filter(F.col("begin").isNotNull())
+              .orderBy("conv_id", "turn_idx", "field"))
+
+
+def q_categorized_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorized-entity transform (api-gateway/app.py:60-108), exploded
+    to scalar rows (rows-only; structure pinned by tests/test_spans.py)."""
+    from documentai_spark.functions.categorize import (
+        with_categorized_entities,
+    )
+    from documentai_spark.operators.extraction import with_entities
+    out = with_categorized_entities(
+        with_entities(_transcripts(spark), extracted_col="text"),
+        "purchase_order")
+    ex = out.select("conv_id", "turn_idx",
+                    F.explode("categorized_entities")
+                     .alias("category", "entries"))
+    ex = ex.select("conv_id", "turn_idx", "category",
+                   F.explode("entries").alias("e"))
+    return (ex.select("conv_id", "turn_idx", "category",
+                      F.col("e.label").alias("label"),
+                      F.col("e.value").alias("value"))
+              .orderBy("conv_id", "turn_idx", "category", "label"))
+
+
 def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """English-rule validation over extracted entities (rows-only; rule
     grammar + checks pinned by tests/test_rules_preprocess.py)."""
@@ -649,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "lsh_ann": q_lsh_ann,
         "entity_extraction": q_entity_extraction,
+        "entity_values": q_entity_values,
+        "entity_spans": q_entity_spans,
+        "categorized_entities": q_categorized_entities,
         "rule_validation": q_rule_validation,
         "classify_vote": q_classify_vote,
         "transcript_pipeline": q_transcript_pipeline,
@@ -1041,8 +1094,33 @@ def oracle_sql() -> dict[str, str]:
                        AS extraction_confidence
             FROM m ORDER BY conv_id, turn_idx
         """,
+        # first-match GROUP values via RE2 (same leftmost-first semantics
+        # as Python re.search over these alternation-free patterns)
+        "entity_values": rf"""
+            SELECT conv_id, turn_idx,
+                   regexp_extract(text,
+                     'PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)', 1, 'i')
+                       AS po_number,
+                   regexp_extract(text,
+                     '\b(\d{{2}}[./-]\d{{2}}[./-]\d{{4}})\b', 1)
+                       AS date_numeric,
+                   regexp_extract(text,
+                     '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 1)
+                       AS currency,
+                   regexp_extract(text,
+                     '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 2)
+                       AS amount,
+                   regexp_extract(text, '\b(CFR|CIF|FOB|DAP|EXW)\b', 1)
+                       AS incoterm,
+                   regexp_extract(text, '\b[\w.+-]+@[\w-]+\.[\w.]+\b', 0)
+                       AS email
+            FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ORDER BY conv_id, turn_idx
+        """,
         # extract_quality / minhash_dedup / simhash_dups / lsh_ann /
-        # rule_validation / classify_vote:
-        # intentionally no oracle (pandas-UDF ensembles or xxhash64-based
-        # signatures with no DuckDB equivalent; pinned by tests/)
+        # rule_validation / classify_vote / entity_spans /
+        # categorized_entities:
+        # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
+        # signatures, or the Python span cascade with no DuckDB
+        # equivalent; pinned by tests/)
     }

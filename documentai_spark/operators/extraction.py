@@ -56,8 +56,16 @@ QUALITY_RESULT_TYPE = StructType([
     StructField("q_completeness", DoubleType(), False),
 ])
 
+ENTITY_SPAN_TYPE = StructType([
+    StructField("field", StringType(), False),
+    StructField("value", StringType(), False),
+    StructField("begin", IntegerType(), True),   # null = cascade missed
+    StructField("end", IntegerType(), True),
+])
+
 ENTITY_RESULT_TYPE = StructType([
     StructField("entities", MapType(StringType(), StringType(), False), False),
+    StructField("entity_spans", ArrayType(ENTITY_SPAN_TYPE, False), False),
     StructField("extraction_confidence", DoubleType(), False),
 ])
 
@@ -99,14 +107,23 @@ def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(ENTITY_RESULT_TYPE)
 def entity_udf(extracted: pd.Series) -> pd.DataFrame:
-    """extracted text -> (flat entity map, extraction confidence)."""
+    """extracted text -> (flat entity map, char-offset entity spans,
+    extraction confidence). Spans locate each entity value inside the
+    text via the reference's exact -> consecutive-multi-word ->
+    containment cascade (entity-extraction-service/app.py:682-755;
+    core/spans.py is the pure-Python spec)."""
+    from documentai_spark.core.spans import entity_spans
     ents = []
+    spans = []
     confs = []
     for e in extracted:
-        d = extract_entities(e or "")
+        t = e or ""
+        d = extract_entities(t)
         ents.append(d)
+        spans.append(entity_spans(t, d) if d else [])
         confs.append(extraction_confidence(d))
-    return pd.DataFrame({"entities": ents, "extraction_confidence": confs})
+    return pd.DataFrame({"entities": ents, "entity_spans": spans,
+                         "extraction_confidence": confs})
 
 
 @pandas_udf(FUSED_RESULT_TYPE)
@@ -166,9 +183,11 @@ def with_quality(df: DataFrame, raw_col: str = "text",
 
 def with_entities(df: DataFrame,
                   extracted_col: str = "extracted_text") -> DataFrame:
-    """Add entities map + extraction_confidence columns (no shuffle)."""
+    """Add entities map + entity_spans + extraction_confidence (no
+    shuffle)."""
     return (df.withColumn("_e", entity_udf(F.col(extracted_col)))
               .withColumn("entities", F.col("_e.entities"))
+              .withColumn("entity_spans", F.col("_e.entity_spans"))
               .withColumn("extraction_confidence",
                           F.col("_e.extraction_confidence"))
               .drop("_e"))

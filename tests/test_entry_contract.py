@@ -18,7 +18,8 @@ def test_oracle_keys_subset_of_queries():
     rows_only = qs - os_
     assert rows_only == {"extract_quality", "minhash_dedup", "simhash_dups",
                          "lsh_ann", "rule_validation",
-                         "classify_vote", "transcript_pipeline"}
+                         "classify_vote", "transcript_pipeline",
+                         "entity_spans", "categorized_entities"}
 
 
 def test_entry_returns_rows(spark):
