@@ -597,19 +597,57 @@ def q_categorized_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """English-rule validation over extracted entities (rows-only; rule
-    grammar + checks pinned by tests/test_rules_preprocess.py)."""
+    """English-rule validation over extracted entities, oracle-checked:
+    the DuckDB mirror re-derives the entity values via RE2 group pulls
+    and replays each typed check in SQL (not_empty / valid_date /
+    numeric-with-comma-strip / case-sensitive one_of). Runs over the
+    transcripts fixture (documents carry zero entities)."""
     from documentai_spark.operators.extraction import with_entities
     from documentai_spark.operators.rules_op import with_rule_validation
-    docs = _t(spark, sf_dir, "documents")
     out = with_rule_validation(
-        with_entities(docs, extracted_col="text"),
+        with_entities(_transcripts(spark), extracted_col="text"),
         ["po_number must not be empty",
          "date_numeric must be a valid date",
          "amount must be a number",
          "currency must be one of USD, EUR or GBP"])
-    return (out.select("doc_id", "rules_passed", "rules_failed",
-                       "overall_valid").orderBy("doc_id"))
+    return (out.select("conv_id", "turn_idx", "rules_passed",
+                       "rules_failed", "overall_valid")
+               .orderBy("conv_id", "turn_idx"))
+
+
+def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field rule types (date_comparison with the YYMMDD-first dual
+    parse, validation_engine.py:213-243; unique :207-210; multiple_choice
+    :245-252), oracle-checked: synthetic 6-digit date fields derived
+    deterministically from doc_id exercise BOTH parse branches and the
+    invalid-in-both-readings failure path; the DuckDB mirror replays the
+    dual parse with explicit calendar validity."""
+    from documentai_spark.operators.rules_op import with_rule_validation
+    docs = _t(spark, sf_dir, "documents")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    d = F.col("doc_id")
+    issue = F.concat(two(d % 29 + 1), two(d % 12 + 1), two(d % 100))
+    expiry = F.concat(two((d * 3) % 31 + 1), two((d * 5) % 14),
+                      two((d * 7) % 100))
+    status = (F.when(d % 4 == 0, "active").when(d % 4 == 1, "closed")
+               .when(d % 4 == 2, "PENDING").otherwise("bogus"))
+    code = F.when(d % 5 == 0, F.lit("")) \
+            .otherwise(F.concat(F.lit("C-"), d.cast("string")))
+    ents = F.create_map(
+        F.lit("issue_date"), issue, F.lit("expiry_date"), expiry,
+        F.lit("status"), status, F.lit("code"), code)
+    out = with_rule_validation(
+        docs.select("doc_id", ents.alias("entities")),
+        ["expiry_date must be on or after issue_date",
+         "status should be active or closed or pending",
+         "code must be unique"])
+    r = F.col("rule_results")
+    return (out.select("doc_id",
+                       r[0]["passed"].alias("date_ok"),
+                       r[1]["passed"].alias("choice_ok"),
+                       r[2]["passed"].alias("unique_ok"),
+                       "rules_passed", "overall_valid")
+               .orderBy("doc_id"))
 
 
 def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_spans": q_entity_spans,
         "categorized_entities": q_categorized_entities,
         "rule_validation": q_rule_validation,
+        "rule_cross_field": q_rule_cross_field,
         "classify_vote": q_classify_vote,
         "transcript_pipeline": q_transcript_pipeline,
     }
@@ -1117,8 +1156,127 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
             ORDER BY conv_id, turn_idx
         """,
+        # typed rule checks replayed in SQL over RE2-re-derived entities:
+        # not_empty, valid_date (day/month ranges, core/rules._valid_date
+        # branch 1), numeric (comma/space strip + cast), one_of
+        # (case-SENSITIVE membership, validation_engine.py semantics)
+        "rule_validation": rf"""
+            WITH e AS (
+              SELECT conv_id, turn_idx,
+                regexp_extract(text,
+                  'PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)', 1, 'i') AS po,
+                regexp_extract(text,
+                  '\b(\d{{2}})[./-](\d{{2}})[./-](\d{{4}})\b', 1) AS dd,
+                regexp_extract(text,
+                  '\b(\d{{2}})[./-](\d{{2}})[./-](\d{{4}})\b', 2) AS mm,
+                regexp_extract(text,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 2) AS amt,
+                regexp_extract(text,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 1) AS curr
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ), checks AS (
+              SELECT conv_id, turn_idx,
+                CAST(po <> '' AS INT)
+                + CAST(dd <> ''
+                       AND try_cast(dd AS INT) BETWEEN 1 AND 31
+                       AND try_cast(mm AS INT) BETWEEN 1 AND 12 AS INT)
+                + CAST(amt <> ''
+                       AND try_cast(replace(replace(amt, ',', ''), ' ', '')
+                                    AS DOUBLE) IS NOT NULL AS INT)
+                + CAST(curr IN ('USD', 'EUR', 'GBP') AS INT) AS p
+              FROM e
+            )
+            SELECT conv_id, turn_idx, p AS rules_passed,
+                   4 - p AS rules_failed, p = 4 AS overall_valid
+            FROM checks ORDER BY conv_id, turn_idx
+        """,
+        # the YYMMDD-first dual parse with explicit calendar validity
+        # (exact mirror of datetime()'s day-in-month check, incl. leap
+        # years — years are 2000-2099 so the %100 exception never bites)
+        "rule_cross_field": """
+            WITH f AS (
+              SELECT doc_id,
+                lpad(CAST(doc_id % 29 + 1 AS VARCHAR), 2, '0')
+                  || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS issue,
+                lpad(CAST((doc_id * 3) % 31 + 1 AS VARCHAR), 2, '0')
+                  || lpad(CAST((doc_id * 5) % 14 AS VARCHAR), 2, '0')
+                  || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0')
+                      AS expiry,
+                CASE doc_id % 4 WHEN 0 THEN 'active' WHEN 1 THEN 'closed'
+                     WHEN 2 THEN 'PENDING' ELSE 'bogus' END AS status,
+                CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE 'C-' || CAST(doc_id AS VARCHAR) END AS code
+              FROM documents
+            ), comp AS (
+              SELECT doc_id, status, code,
+                CAST(substr(issue, 1, 2) AS INT) AS ia,
+                CAST(substr(issue, 3, 2) AS INT) AS ib,
+                CAST(substr(issue, 5, 2) AS INT) AS ic,
+                CAST(substr(expiry, 1, 2) AS INT) AS xa,
+                CAST(substr(expiry, 3, 2) AS INT) AS xb,
+                CAST(substr(expiry, 5, 2) AS INT) AS xc
+              FROM f
+            ), parsed AS (
+              SELECT doc_id, status, code,
+                CASE
+                  WHEN ib BETWEEN 1 AND 12 AND ic BETWEEN 1 AND
+                    CASE ib WHEN 2 THEN
+                           CASE WHEN (2000+ia) % 4 = 0
+                                     AND ((2000+ia) % 100 <> 0
+                                          OR (2000+ia) % 400 = 0)
+                                THEN 29 ELSE 28 END
+                         WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30
+                         WHEN 11 THEN 30 ELSE 31 END
+                  THEN make_date(2000+ia, ib, ic)
+                  WHEN ib BETWEEN 1 AND 12 AND ia BETWEEN 1 AND
+                    CASE ib WHEN 2 THEN
+                           CASE WHEN (2000+ic) % 4 = 0
+                                     AND ((2000+ic) % 100 <> 0
+                                          OR (2000+ic) % 400 = 0)
+                                THEN 29 ELSE 28 END
+                         WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30
+                         WHEN 11 THEN 30 ELSE 31 END
+                  THEN make_date(2000+ic, ib, ia)
+                  ELSE NULL END AS d_issue,
+                CASE
+                  WHEN xb BETWEEN 1 AND 12 AND xc BETWEEN 1 AND
+                    CASE xb WHEN 2 THEN
+                           CASE WHEN (2000+xa) % 4 = 0
+                                     AND ((2000+xa) % 100 <> 0
+                                          OR (2000+xa) % 400 = 0)
+                                THEN 29 ELSE 28 END
+                         WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30
+                         WHEN 11 THEN 30 ELSE 31 END
+                  THEN make_date(2000+xa, xb, xc)
+                  WHEN xb BETWEEN 1 AND 12 AND xa BETWEEN 1 AND
+                    CASE xb WHEN 2 THEN
+                           CASE WHEN (2000+xc) % 4 = 0
+                                     AND ((2000+xc) % 100 <> 0
+                                          OR (2000+xc) % 400 = 0)
+                                THEN 29 ELSE 28 END
+                         WHEN 4 THEN 30 WHEN 6 THEN 30 WHEN 9 THEN 30
+                         WHEN 11 THEN 30 ELSE 31 END
+                  THEN make_date(2000+xc, xb, xa)
+                  ELSE NULL END AS d_expiry
+              FROM comp
+            ), checks AS (
+              SELECT doc_id,
+                (d_issue IS NOT NULL AND d_expiry IS NOT NULL
+                 AND d_expiry >= d_issue) AS date_ok,
+                upper(status) IN ('ACTIVE', 'CLOSED', 'PENDING')
+                    AS choice_ok,
+                trim(code) <> '' AS unique_ok
+              FROM parsed
+            )
+            SELECT doc_id, date_ok, choice_ok, unique_ok,
+                   CAST(date_ok AS INT) + CAST(choice_ok AS INT)
+                     + CAST(unique_ok AS INT) AS rules_passed,
+                   date_ok AND choice_ok AND unique_ok AS overall_valid
+            FROM checks ORDER BY doc_id
+        """,
         # extract_quality / minhash_dedup / simhash_dups / lsh_ann /
-        # rule_validation / classify_vote / entity_spans /
+        # classify_vote / entity_spans /
         # categorized_entities:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
         # signatures, or the Python span cascade with no DuckDB

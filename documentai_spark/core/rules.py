@@ -12,7 +12,10 @@ Rebuilt from rule_engine_updated/validation_engine.py:
 - value parsing quirks preserved: numbers parsed with comma stripping
   (validation_engine.py:64); currency format ``^([A-Z]{3})\\s*([\\d,.]+)$``
   (validation_engine.py:165); DDMMYY/YYMMDD date validation
-  (validation_engine.py:132-158).
+  (validation_engine.py:132-158); cross-field date comparison with the
+  YYMMDD-first dual parse (validation_engine.py:213-243); unique as a
+  deferred non-empty check (:207-210); multiple_choice with uppercased
+  'or'-split choices (:245-252, :327-336).
 
 Rules compile once on the driver and broadcast into the Spark stage
 (SURVEY §2.3 J4: broadcast rules, explode entities).
@@ -27,7 +30,13 @@ _CURRENCY_RE = re.compile(r"^([A-Z]{3})\s*([\d,.]+)$")
 
 _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
     (re.compile(r"^(?P<field>.+?)\s+must\s+not\s+be\s+empty$", re.I), "not_empty"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+unique(?:\s+.*)?$", re.I), "unique"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+valid\s+date$", re.I), "valid_date"),
+    # cross-field date comparison (validation_engine.py:305-317: "after" /
+    # "greater than or equal" family -> compare_with + operator); listed
+    # BEFORE multiple_choice so "on or after" never parses as choices
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+on\s+or\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gte"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gt"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+number$", re.I), "numeric"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+in\s+currency\s+format$", re.I), "currency"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+greater\s+than\s+(?P<value>[\d,.]+)$", re.I), "greater_than"),
@@ -35,6 +44,9 @@ _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
     (re.compile(r"^(?P<field>.+?)\s+must\s+equal\s+(?P<value>.+)$", re.I), "equals"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+contain\s+(?P<value>.+)$", re.I), "contains"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+one\s+of\s+(?P<value>.+)$", re.I), "one_of"),
+    # "X should be A or B or C" (validation_engine.py:327-336): choices
+    # split on 'or', uppercased; compared case-insensitively
+    (re.compile(r"^(?P<field>.+?)\s+(?:should|must)\s+be\s+(?P<value>.+?\s+or\s+.+)$", re.I), "multiple_choice"),
 ]
 
 
@@ -65,6 +77,21 @@ def _valid_date(v: str) -> bool:
     return False
 
 
+def _parse_6digit_date(s: str):
+    """The reference's dual-parse quirk (validation_engine.py:219-234):
+    a 6-digit date is first read as YYMMDD (year = '20' + first two); if
+    that is not a real calendar date, re-read as DDMMYY. Anything that is
+    not exactly 6 digits raises — the reference's parse_date supports no
+    other shape inside date comparisons."""
+    from datetime import datetime
+    if not re.match(r"^\d{6}$", s):
+        raise ValueError(s)
+    try:
+        return datetime(int("20" + s[0:2]), int(s[2:4]), int(s[4:6]))
+    except ValueError:
+        return datetime(int("20" + s[4:6]), int(s[2:4]), int(s[0:2]))
+
+
 def parse_english_rule(sentence: str) -> dict[str, Any] | None:
     """English sentence -> {field, type, parameters, original_text}."""
     s = sentence.strip().rstrip(".")
@@ -83,6 +110,16 @@ def parse_english_rule(sentence: str) -> dict[str, Any] | None:
         elif rtype == "one_of":
             params["values"] = [x.strip() for x in
                                 re.split(r",|\bor\b", m.group("value")) if x.strip()]
+        elif rtype in ("date_comparison_gte", "date_comparison_gt"):
+            # compare_with is another FIELD (validation_engine.py:310-316)
+            params["compare_with"] = (m.group("value").strip().lower()
+                                      .replace(" ", "_"))
+            params["operator"] = ">=" if rtype.endswith("gte") else ">"
+            rtype = "date_comparison"
+        elif rtype == "multiple_choice":
+            params["choices"] = [c.strip().upper() for c in
+                                 re.split(r"\s+or\s+", m.group("value"))
+                                 if c.strip()]
         return {"field": field, "type": rtype, "parameters": params,
                 "original_text": sentence}
     return None
@@ -98,14 +135,35 @@ def compile_rules(sentences: list[str]) -> list[dict[str, Any]]:
     return out
 
 
-def validate_rule(rule: dict[str, Any], value: Any) -> bool:
-    """One rule against one entity value (missing value fails all types)."""
+def validate_rule(rule: dict[str, Any], value: Any,
+                  entities: dict[str, str] | None = None) -> bool:
+    """One rule against one entity value (missing value fails all types).
+    ``entities`` is consulted only by cross-field rules (date_comparison
+    looks up parameters['compare_with'], validation_engine.py:217-219)."""
     rtype = rule["type"]
     if value is None or str(value).strip() == "":
         return False
     v = str(value).strip()
     if rtype == "not_empty":
         return True
+    if rtype == "unique":
+        # the reference's uniqueness check is a non-empty check with the
+        # actual cross-document test deferred ("unique check skipped",
+        # validation_engine.py:207-210) — preserved as-is
+        return True
+    if rtype == "date_comparison":
+        other = (entities or {}).get(rule["parameters"]["compare_with"])
+        if other is None or str(other).strip() == "":
+            return False
+        try:
+            d1 = _parse_6digit_date(v)
+            d2 = _parse_6digit_date(str(other).strip())
+        except (ValueError, IndexError):
+            return False
+        op = rule["parameters"]["operator"]
+        return d1 >= d2 if op == ">=" else d1 > d2
+    if rtype == "multiple_choice":
+        return v.upper() in rule["parameters"]["choices"]
     if rtype == "valid_date":
         return _valid_date(v)
     if rtype == "numeric":
@@ -134,7 +192,7 @@ def validate_entities(rules: list[dict[str, Any]],
     """validate_json analog (validation_engine.py:457-502)."""
     results = []
     for rule in rules:
-        ok = validate_rule(rule, entities.get(rule["field"]))
+        ok = validate_rule(rule, entities.get(rule["field"]), entities)
         results.append({"field": rule["field"], "type": rule["type"],
                         "passed": ok, "original_text": rule["original_text"]})
     passed = sum(1 for r in results if r["passed"])

@@ -39,7 +39,7 @@ def make_rule_validator(sentences: list[str]):
             ents = ents or {}
             out.append([
                 {"field": r["field"], "rule_type": r["type"],
-                 "passed": validate_rule(r, ents.get(r["field"]))}
+                 "passed": validate_rule(r, ents.get(r["field"]), ents)}
                 for r in rules])
         return pd.Series(out)
 

@@ -84,3 +84,68 @@ def test_parse_goods_row(spark):
     assert g.unit_price == "12.50" and g.amount == "1,250.00"
     assert out[1].description == "x" and out[1].amount == "5"
     assert out[2] is None
+
+
+def test_cross_field_date_comparison_grammar():
+    from documentai_spark.core.rules import parse_english_rule
+
+    r = parse_english_rule("expiry date must be on or after issue date")
+    assert r["type"] == "date_comparison"
+    assert r["field"] == "expiry_date"
+    assert r["parameters"] == {"compare_with": "issue_date",
+                               "operator": ">="}
+    r = parse_english_rule("expiry date must be after issue date")
+    assert r["parameters"]["operator"] == ">"
+
+
+def test_date_comparison_dual_parse_quirk():
+    """The YYMMDD-first parse (validation_engine.py:219-234): '200115' is
+    2020-01-15; '311220' is day-31-month-12 only via the DDMMYY fallback
+    (YYMMDD would need day=20 of month 12 in year 2031 — valid! so it
+    stays YYMMDD: 2031-12-20)."""
+    from documentai_spark.core.rules import (
+        _parse_6digit_date, parse_english_rule, validate_rule,
+    )
+
+    assert _parse_6digit_date("200115").isoformat()[:10] == "2020-01-15"
+    # YYMMDD valid -> wins even though DDMMYY would also be valid
+    assert _parse_6digit_date("311220").isoformat()[:10] == "2031-12-20"
+    # YYMMDD invalid (day 40) -> DDMMYY fallback
+    assert _parse_6digit_date("150140").isoformat()[:10] == "2040-01-15"
+    rule = parse_english_rule("expiry must be on or after issue")
+    # 2021-01-01 >= 2020-06-15
+    assert validate_rule(rule, "210101", {"issue": "200615"})
+    assert not validate_rule(rule, "200615", {"issue": "210101"})
+    # equal dates pass >= but not >
+    gt = parse_english_rule("expiry must be after issue")
+    assert validate_rule(rule, "200615", {"issue": "200615"})
+    assert not validate_rule(gt, "200615", {"issue": "200615"})
+    # non-6-digit (dd.mm.yyyy) fails — the reference parse_date supports
+    # only 6-digit shapes inside comparisons (validation_engine.py:221-234)
+    assert not validate_rule(rule, "01.02.2024", {"issue": "200615"})
+    # missing comparison field fails (validation_engine.py:217-219)
+    assert not validate_rule(rule, "210101", {})
+    # invalid in both readings (month 13) fails
+    assert not validate_rule(rule, "151340", {"issue": "200615"})
+
+
+def test_unique_and_multiple_choice():
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    u = parse_english_rule("po number must be unique")
+    assert u["type"] == "unique" and u["field"] == "po_number"
+    assert validate_rule(u, "X-1", {})          # non-empty passes
+    assert not validate_rule(u, "  ", {})       # empty fails
+
+    mc = parse_english_rule("status should be active or closed or pending")
+    assert mc["type"] == "multiple_choice"
+    assert mc["parameters"]["choices"] == ["ACTIVE", "CLOSED", "PENDING"]
+    assert validate_rule(mc, "Active", {})      # case-insensitive
+    assert not validate_rule(mc, "bogus", {})
+
+    # grammar ordering: 'one of' still wins over multiple_choice,
+    # 'on or after' never parses as choices
+    oo = parse_english_rule("currency must be one of USD, EUR or GBP")
+    assert oo["type"] == "one_of"
+    dc = parse_english_rule("expiry must be on or after issue")
+    assert dc["type"] == "date_comparison"
