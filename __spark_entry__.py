@@ -651,21 +651,29 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full 3-technique classification + majority vote (rows-only; the
-    technique-1 component has its own SQL oracle in classify_keywords)."""
-    from documentai_spark.operators.classify import (
-        ClassifierConfig, classify_with_vote,
+    """Full 4-technique classification: 3 rule techniques + the MLlib
+    TF-IDF/LogReg classifier as the 4th vote with k/4 confidence
+    (documentClassifier.py:898-948). Rows-only — the ensemble involves a
+    fitted model; the technique-1 component has its own SQL oracle in
+    classify_keywords and the vote semantics are pinned by
+    tests/test_ml_classify.py."""
+    from documentai_spark.operators.classify import ClassifierConfig
+    from documentai_spark.operators.ml_classify import (
+        classify_with_ml_vote, synthesize_labeled_docs, train_classifier,
     )
     cfg = ClassifierConfig.compile({
-        "query_engine": {"keywords": ["query", "join", "filter", "scan"]},
-        "storage": {"keywords": ["table", "row", "column", "part"]},
-        "streaming": {"keywords": ["stream", "window", "batch"]},
+        "invoice": {"keywords": ["invoice", "amount", "payment"]},
+        "purchase_order": {"keywords": ["purchase", "order", "supplier"]},
+        "letter_of_credit": {"keywords": ["credit", "beneficiary", "swift"]},
+        "shipping": {"keywords": ["vessel", "port", "freight"]},
     })
+    model = train_classifier(synthesize_labeled_docs(spark, n_per_class=80))
     docs = _t(spark, sf_dir, "documents") \
         .withColumnRenamed("text", "extracted_text")
-    out = classify_with_vote(docs, cfg)
+    out = classify_with_ml_vote(docs, cfg, model)
     return (out.select("doc_id", "technique_1", "technique_2", "technique_3",
-                       "category", "vote_confidence").orderBy("doc_id"))
+                       "technique_4", "category", "vote_confidence")
+               .orderBy("doc_id"))
 
 
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

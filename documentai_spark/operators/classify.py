@@ -139,14 +139,29 @@ def _space_norm(c: Column) -> Column:
 
 def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
                        text_col: str = "extracted_text",
-                       default: str = "unclassified") -> DataFrame:
-    """Run the 3 techniques + majority vote per row.
+                       default: str = "unclassified",
+                       ml_category_col: str | None = None) -> DataFrame:
+    """Run the 3 rule techniques (+ optionally the ML classifier as the
+    4th vote) and take the majority per row.
 
-    Adds: technique_1/2/3, category (vote winner), vote_confidence (k/3).
-    Rows shorter than min_text_len go straight to default
-    (documentClassifier.py:394,1020 min-length gate).
-    The vote is row-local (the reference votes per page) — array ops, no
-    shuffle; the *table-level* vote aggregate lives in
+    Adds: technique_1/2/3[/4], category (vote winner), vote_confidence
+    (k/3, or k/4 once ML is wired — documentClassifier.py:946 hardcodes
+    the /4 denominator in the 4-technique processor). Rows shorter than
+    min_text_len go straight to default (documentClassifier.py:394,1020).
+
+    Vote semantics mirror _determine_final_classification_4_4
+    (documentClassifier.py:928-948): count votes per category skipping
+    errored (null) techniques; ``max(votes, key=get)`` breaks ties by
+    dict-insertion order, i.e. the EARLIEST technique whose category
+    reaches the max count wins. A null ml_category (the reference's
+    errored-classifier path, :906-913) is skipped in counting but the
+    denominator stays 4.
+
+    The vote is row-local (the reference votes per page) — plain
+    when-chains over materialized technique columns keep the expression
+    tree small (an array transform/filter formulation re-inlined each
+    technique tree ~10x after projection collapse: measured 60s -> ~2s at
+    sf0.1). The *table-level* vote aggregate lives in
     __spark_entry__.q_majority_vote."""
     t = F.col(text_col)
     too_short = F.length(F.trim(t)) < cfg.min_text_len
@@ -159,24 +174,34 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     df = (df.withColumn("technique_1", t1c)
             .withColumn("technique_2", t2c)
             .withColumn("technique_3", t3c))
-    # mode of exactly 3 values with deterministic ties: any pair agreeing
-    # wins (2/3 or 3/3); otherwise all distinct -> smallest category name
-    # (1/3). Plain when-chains keep the expression tree small — an earlier
-    # array transform/filter formulation re-inlined each technique tree
-    # ~10x after projection collapse (measured 60s -> ~2s at sf0.1).
-    t1, t2, t3 = (F.col("technique_1"), F.col("technique_2"),
-                  F.col("technique_3"))
-    winner = (F.when((t1 == t2) | (t1 == t3), t1)
-               .when(t2 == t3, t2)
-               .otherwise(F.least(t1, t2, t3)))
-    votes = (F.when((t1 == t2) & (t2 == t3), F.lit(3))
-              .when((t1 == t2) | (t1 == t3) | (t2 == t3), F.lit(2))
-              .otherwise(F.lit(1)))
+    names = ["technique_1", "technique_2", "technique_3"]
+    if ml_category_col is not None:
+        df = df.withColumn("technique_4", F.col(ml_category_col))
+        names.append("technique_4")
+    ts = [F.col(n) for n in names]
+    # cnt_i = how many non-null techniques agree with technique_i; the
+    # techniques are materialized columns, so these are cheap column refs
+    def cnt(i: int):
+        c = F.lit(0)
+        for tj in ts:
+            c = c + F.when(tj.isNotNull() & (tj == ts[i]), 1).otherwise(0)
+        return c
+    cnts = [cnt(i) for i in range(len(ts))]
+    max_cnt = F.greatest(*[
+        F.when(ts[i].isNotNull(), cnts[i]).otherwise(0)
+        for i in range(len(ts))]) if len(ts) > 1 else cnts[0]
+    winner = None
+    for i in range(len(ts)):  # ascending = insertion-order tie-break
+        cond = ts[i].isNotNull() & (cnts[i] == max_cnt)
+        winner = (F.when(cond, ts[i]) if winner is None
+                  else winner.when(cond, ts[i]))
+    winner = winner.otherwise(F.lit(default))  # all techniques null
+    denom = float(len(ts))
     return (df.withColumn("category",
                           F.when(too_short, default).otherwise(winner))
               .withColumn("vote_confidence",
                           F.when(too_short, F.lit(0.0)).otherwise(
-                              votes.cast("double") / F.lit(3.0))))
+                              max_cnt.cast("double") / F.lit(denom))))
 
 
 def group_consecutive(df: DataFrame, cfg: ClassifierConfig,

@@ -84,6 +84,24 @@ def predict_with_topk(model: PipelineModel, df: DataFrame,
     return out.drop(*[c for c in drop if c in out.columns])
 
 
+def classify_with_ml_vote(df: DataFrame, cfg, model: PipelineModel,
+                          text_col: str = "extracted_text",
+                          default: str = "unclassified") -> DataFrame:
+    """The full 4-technique ensemble: 3 rule techniques + this ML model
+    as the 4th vote with k/4 confidence (documentClassifier.py:898-948 —
+    'Add ML classifier as 4th technique' + 4/4 final classification).
+
+    MLlib scoring is JVM columnar and the rule techniques are generated
+    expressions, so the whole 4-way vote stays out of Python."""
+    from documentai_spark.operators.classify import classify_with_vote
+    scored = predict_with_topk(model, df, text_col=text_col)
+    if text_col != "text" and "text" in scored.columns:
+        scored = scored.withColumnRenamed("text", text_col)
+    return classify_with_vote(scored, cfg, text_col=text_col,
+                              default=default,
+                              ml_category_col="ml_category")
+
+
 def synthesize_labeled_docs(spark, n_per_class: int = 120,
                             seed: int = 42) -> DataFrame:
     """Deterministic labeled corpus: class-specific vocabulary + shared
