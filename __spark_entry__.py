@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
     df = with_quality(df, raw_col="text")
     df = with_verdict(df)
     return df.select("doc_id", "kind", "extracted_text", "q_blank",
-                     "q_legibility", "q_completeness", "confidence",
+                     "q_legibility", "q_completeness", "q_noise",
+                     "q_contrast", "q_brightness", "confidence",
                      "verdict").orderBy("doc_id")
 
 
@@ -709,7 +710,10 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_quality(with_extraction(docs), raw_col="text")
     df = with_verdict(df)
     return df.select("doc_id", "kind", "q_blank", "q_legibility",
-                     "q_completeness", "confidence", "verdict") \
+                     "q_completeness", "q_noise", "q_contrast",
+                     "q_brightness", "confidence", "verdict",
+                     F.array_join("recommendations", " | ")
+                      .alias("recommendations")) \
              .orderBy("doc_id")
 
 

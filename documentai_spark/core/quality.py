@@ -25,17 +25,29 @@ Text-analog metrics (FIXTURES.md §2):
   exactly like the reference's stub at blank_page_score.py:95-101 — and
   edge_density .05). Reverse-scaled: high = blank.
 - ``q_legibility``   — printable/alnum/word-shape ensemble, the text
-  analog of the blur/sharpness/contrast family.
+  analog of the blur family (blur_score.py).
 - ``q_completeness`` — expected-entity presence
-  (entity-extraction-service/app.py:990-999).
+  (entity-extraction-service/app.py:990-999) — the sharpness slot.
+- ``q_noise``        — encoding-noise ensemble (symbol/control/mojibake
+  densities), analog of noise_level.py; REVERSE metric (high = bad).
+- ``q_contrast``     — line-length-variance ensemble, analog of
+  contrast_score.py.
+- ``q_brightness``   — casing-balance ensemble, analog of
+  brightness_score.py (ALL-CAPS = overexposed).
 
 Verdict machinery (quality_analysis_updated/quality_config.py):
-confidence = weighted mean {legibility:3, completeness:2, blank:1}
-(quality_config.py:39-74 weight-scheme analog) with a 0.55 cap when the
-critical metric is "low"; verdict thresholds {>=.95 direct analysis,
+confidence = weighted mean {legibility:3, completeness:3, noise:2
+(reversed), contrast:1, brightness:1} — the reference's
+{blur:3, sharpness:3, skew:2, noise:2, contrast:1, brightness:1} scheme
+(quality_config.py:45-53) with skew folded out (no text analog); blank is
+EXCLUDED from confidence like blank_page_score (quality_config.py:119-121).
+A low critical metric (legibility, noise) returns the FLAT 0.55
+(quality_config.py:57-62). Verdict thresholds {>=.95 direct analysis,
 >=.8 pre-processing, >=.6 azure document analysis, else reupload}
-(quality_config.py:86-94); blank "low" => hard "re-scan"
-(quality_config.py:109-116).
+(quality_config.py:86-94); blank "low" => hard "re-scan" +
+the single re-scan recommendation (quality_config.py:109-116);
+per-metric recommendations from category tables
+(quality_config.py:96-103 + quality_config.yaml:67-127).
 """
 
 from __future__ import annotations
@@ -54,14 +66,28 @@ VERDICT_PREPROCESS = 0.80
 VERDICT_AZURE = 0.60
 
 # ensemble weights (primary x3, fallback x2) — blank_page_score.py:14-32 /
-# blur_score.py:21-41 weight-scheme analogs. Totals are computed ONCE here
-# and imported by the vectorized implementation so float math is identical.
+# blur_score.py:21-41 weight-scheme analogs; noise/contrast/brightness use
+# the (0.35,0.30,0.25,0.05,0.05) scheme shared by noise_level.py:31-36,
+# contrast_score.py:30-36, brightness_score.py:30-36. Totals are computed
+# ONCE here and imported by the vectorized implementation so float math is
+# identical.
 BLANK_W = (0.40, 0.30, 0.20, 0.05, 0.05)
 LEGIBILITY_W = (0.35, 0.35, 0.30, 0.05, 0.05)
-BLANK_W_PRIMARY = BLANK_W[0] + BLANK_W[1] + BLANK_W[2]
-BLANK_W_ALL = BLANK_W_PRIMARY + BLANK_W[3] + BLANK_W[4]
-LEGIBILITY_W_PRIMARY = LEGIBILITY_W[0] + LEGIBILITY_W[1] + LEGIBILITY_W[2]
-LEGIBILITY_W_ALL = LEGIBILITY_W_PRIMARY + LEGIBILITY_W[3] + LEGIBILITY_W[4]
+NOISE_W = (0.35, 0.30, 0.25, 0.05, 0.05)
+CONTRAST_W = (0.35, 0.30, 0.25, 0.05, 0.05)
+BRIGHTNESS_W = (0.35, 0.30, 0.25, 0.05, 0.05)
+
+
+def _w_totals(w: tuple) -> tuple[float, float]:
+    primary = w[0] + w[1] + w[2]
+    return primary, primary + w[3] + w[4]
+
+
+BLANK_W_PRIMARY, BLANK_W_ALL = _w_totals(BLANK_W)
+LEGIBILITY_W_PRIMARY, LEGIBILITY_W_ALL = _w_totals(LEGIBILITY_W)
+NOISE_W_PRIMARY, NOISE_W_ALL = _w_totals(NOISE_W)
+CONTRAST_W_PRIMARY, CONTRAST_W_ALL = _w_totals(CONTRAST_W)
+BRIGHTNESS_W_PRIMARY, BRIGHTNESS_W_ALL = _w_totals(BRIGHTNESS_W)
 
 # pinned ASCII character classes (regex is the definition, see module doc)
 RE_WS = re.compile(r"\s")
@@ -71,15 +97,32 @@ RE_CONTROL = re.compile(r"[\x00-\x08\x0B-\x1F\x7F]")
 RE_VOWEL = re.compile(r"[aeiouAEIOU]")
 RE_LETTER = re.compile(r"[A-Za-z]")
 RE_LONG_TOKEN = re.compile(r"\S{21,}")
+RE_UPPER = re.compile(r"[A-Z]")
+# encoding-noise markers: mojibake/replacement-ish glyphs (the text analog
+# of sensor noise); � rows are non-ASCII and take the per-row path
+RE_NOISE_MARK = re.compile(r"[?#~^`|\\�]")
+# token-initial capital (ASCII cap after a token boundary)
+RE_CAP_START = re.compile(r"(?<!\S)[A-Z]")
 
-# metric weights for confidence (quality_config.py:39-74 analog)
-CONFIDENCE_WEIGHTS = (("legibility", 3.0), ("completeness", 2.0), ("blank", 1.0))
+# metric weights for confidence — the reference's
+# {blur:3, sharpness:3, skew:2, noise:2, contrast:1, brightness:1} scheme
+# (quality_config.py:45-53) mapped to the text analogs:
+# legibility<-blur 3, completeness<-sharpness 3, noise 2 (reverse),
+# contrast 1, brightness 1. blank is EXCLUDED from confidence like the
+# reference's blank_page_score (quality_config.py:119-121) — it acts only
+# as the hard verdict blocker. skew has no text analog (weight folded out).
+CONFIDENCE_WEIGHTS = (("legibility", 3.0), ("completeness", 3.0),
+                      ("noise", 2.0), ("contrast", 1.0), ("brightness", 1.0))
+CONFIDENCE_W_TOTAL = 10.0
 
 
 class QualityScores(NamedTuple):
     q_blank: float
     q_legibility: float
     q_completeness: float
+    q_noise: float
+    q_contrast: float
+    q_brightness: float
     confidence: float
     verdict: str
 
@@ -147,16 +190,98 @@ def legibility_score(extracted_text: str) -> float:
                         LEGIBILITY_W, LEGIBILITY_W_PRIMARY, LEGIBILITY_W_ALL)
 
 
-def confidence_score(q_blank: float, q_legibility: float,
-                     q_completeness: float) -> float:
-    """Weighted mean of normalized metrics with critical cap
-    (quality_config.py:39-74). Operation order mirrored in SQL
-    (functions/verdict.py) — bit-identical doubles."""
-    conf = (q_legibility * 3.0 + q_completeness * 2.0
-            + (1.0 - q_blank) * 1.0) / 6.0
-    if q_legibility < CRITICAL_LOW:
-        conf = min(conf, CRITICAL_CAP)
-    return conf
+def noise_score(extracted_text: str) -> float:
+    """Encoding-noise ensemble (noise_level.py:16-36 skeleton analog);
+    REVERSE metric: high = noisy. Empty/blank -> 0.0 (no noise signal)."""
+    t = extracted_text or ""
+    n = len(t)
+    if n == 0 or not t.strip():
+        return 0.0
+    ws = len(RE_WS.findall(t))
+    nonws = n - ws
+    alnum = len(RE_ALNUM.findall(t))
+    n_tokens = len(t.split())
+    symbol_ratio = ((nonws - alnum) / nonws) if nonws else 0.0    # .35
+    control_ratio = len(RE_CONTROL.findall(t)) / n                # .30
+    marker_ratio = len(RE_NOISE_MARK.findall(t)) / n              # .25
+    long_ratio = (len(RE_LONG_TOKEN.findall(t)) / n_tokens
+                  if n_tokens else 0.0)                           # .05
+    ws_anomaly = abs(ws / n - 0.16) / 0.84                        # .05
+    return _ensemble3_2(symbol_ratio, control_ratio, marker_ratio,
+                        long_ratio, ws_anomaly,
+                        NOISE_W, NOISE_W_PRIMARY, NOISE_W_ALL)
+
+
+def contrast_score(extracted_text: str) -> float:
+    """Line-length-variance ensemble (contrast_score.py:25-36 skeleton
+    analog); high = good structural contrast."""
+    t = extracted_text or ""
+    n = len(t)
+    if n == 0 or not t.strip():
+        return 0.0
+    lines = t.split("\n")
+    k = len(lines)
+    lens = [float(len(ln)) for ln in lines]
+    mean_l = sum(lens) / k
+    var_l = sum((x - mean_l) ** 2 for x in lens) / k
+    cv = (math.sqrt(var_l) / mean_l) if mean_l > 0 else 1.0
+    p1 = 1.0 - min(1.0, cv)                                       # .35
+    p2 = 1.0 - min(1.0, abs(mean_l - 60.0) / 60.0)                # .30
+    p3 = min(1.0, len(set(t)) / 40.0)                             # .25
+    ws = len(RE_WS.findall(t))
+    nonws = n - ws
+    alnum = len(RE_ALNUM.findall(t))
+    f1 = (alnum / nonws) if nonws else 0.0                        # .05
+    n_tokens = len(t.split())
+    f2 = ((n_tokens - len(RE_LONG_TOKEN.findall(t))) / n_tokens
+          if n_tokens else 0.0)                                   # .05
+    return _ensemble3_2(p1, p2, p3, f1, f2,
+                        CONTRAST_W, CONTRAST_W_PRIMARY, CONTRAST_W_ALL)
+
+
+def brightness_score(extracted_text: str) -> float:
+    """Casing-balance ensemble (brightness_score.py:25-36 skeleton
+    analog); high = good. ALL-CAPS text is the overexposure analog."""
+    t = extracted_text or ""
+    n = len(t)
+    if n == 0 or not t.strip():
+        return 0.0
+    upper = len(RE_UPPER.findall(t))
+    letter = len(RE_LETTER.findall(t))
+    alnum = len(RE_ALNUM.findall(t))
+    ws = len(RE_WS.findall(t))
+    nonws = n - ws
+    n_tokens = len(t.split())
+    upper_ratio = (upper / letter) if letter else 0.0
+    p1 = max(0.0, 1.0 - abs(upper_ratio - 0.06) / 0.94)           # .35
+    p2 = (letter / nonws) if nonws else 0.0                       # .30
+    cap_ratio = (len(RE_CAP_START.findall(t)) / n_tokens
+                 if n_tokens else 0.0)
+    p3 = 1.0 - min(1.0, max(0.0, cap_ratio - 0.15) / 0.85)        # .25
+    n_vowel = len(RE_VOWEL.findall(t))
+    vowel_ratio = (n_vowel / letter) if letter else 0.0
+    f1 = max(0.0, 1.0 - abs(vowel_ratio - 0.4) / 0.4)             # .05
+    f2 = 1.0 - ((alnum - letter) / alnum if alnum else 0.0)       # .05
+    return _ensemble3_2(p1, p2, p3, f1, f2,
+                        BRIGHTNESS_W, BRIGHTNESS_W_PRIMARY,
+                        BRIGHTNESS_W_ALL)
+
+
+def confidence_score(q_legibility: float, q_completeness: float,
+                     q_noise: float, q_contrast: float,
+                     q_brightness: float) -> float:
+    """Weighted mean of normalized metrics, reverse metrics flipped
+    (quality_config.py:39-74 calculate_confidence_from_metrics). A LOW
+    critical metric (legibility<-blur, noise) short-circuits to the flat
+    0.55 return — the reference RETURNS confidence_cats['medium']-0.01 /
+    0.55 outright (quality_config.py:57-62), it does not min() it.
+    Operation order mirrored in SQL (functions/verdict.py) —
+    bit-identical doubles."""
+    if q_legibility < CRITICAL_LOW or (1.0 - q_noise) < CRITICAL_LOW:
+        return CRITICAL_CAP
+    return (q_legibility * 3.0 + q_completeness * 3.0
+            + (1.0 - q_noise) * 2.0 + q_contrast * 1.0
+            + q_brightness * 1.0) / CONFIDENCE_W_TOTAL
 
 
 def verdict_for(q_blank: float, confidence: float) -> str:
@@ -172,10 +297,101 @@ def verdict_for(q_blank: float, confidence: float) -> str:
     return "reupload"
 
 
+# per-metric category thresholds (>= excellent / good / medium, else low)
+# — quality_config.yaml:1-66 threshold-table analog; the reverse metric
+# (noise) is categorized on its normalized value 1-q_noise, mirroring
+# get_metric_category(reverse=True) (quality_config.py:17-27).
+METRIC_THRESHOLDS: dict[str, tuple[float, float, float]] = {
+    "legibility": (0.95, 0.80, CRITICAL_LOW),
+    "completeness": (0.80, 0.60, 0.20),
+    "noise": (0.95, 0.80, CRITICAL_LOW),
+    "contrast": (0.90, 0.70, 0.40),
+    "brightness": (0.90, 0.70, 0.40),
+}
+
+# per-metric/per-category advice (quality_config.yaml:67-127 analog,
+# text-domain wording; 'excellent' gets none — same as the yaml)
+RECOMMENDATION_TEXT: dict[str, dict[str, str]] = {
+    "legibility": {
+        "good": "Text is nearly clean. Light normalization may help.",
+        "medium": "Strip control characters and re-tokenize long runs.",
+        "low": "Re-extract the source; the text layer is unreadable.",
+    },
+    "completeness": {
+        "good": "Most expected fields present. Check optional fields.",
+        "medium": "Several expected fields missing; review extraction rules.",
+        "low": "Key fields absent; route to manual entity review.",
+    },
+    "noise": {
+        "good": "Minor symbol noise. Conservative cleanup possible.",
+        "medium": "Apply encoding repair and symbol-run filtering.",
+        "low": "Heavy mojibake/noise; re-decode from the original bytes.",
+    },
+    "contrast": {
+        "good": "Line structure is nearly regular. Minor reflow possible.",
+        "medium": "Reflow lines to even lengths before layout parsing.",
+        "low": "Degenerate line structure; re-run layout extraction.",
+    },
+    "brightness": {
+        "good": "Casing is near-balanced. Minor recasing possible.",
+        "medium": "Normalize casing before classification.",
+        "low": "Casing is degenerate (all-caps/no-caps); apply truecasing.",
+    },
+}
+
+# the blank hard-blocker recommendation (quality_config.py:112-115,
+# reworded for the text domain)
+BLANK_RECOMMENDATION = ("Quality issue detected: blank content. This "
+                        "cannot be fixed by pre-processing. Please "
+                        "re-extract or re-upload the source.")
+
+_METRIC_ORDER = ("legibility", "completeness", "noise", "contrast",
+                 "brightness")
+
+
+def metric_category(name: str, value: float) -> str:
+    """excellent/good/medium/low per the threshold table; reverse metrics
+    are categorized on 1-value (quality_config.py:17-27)."""
+    v = 1.0 - value if name == "noise" else value
+    exc, good, med = METRIC_THRESHOLDS[name]
+    if v >= exc:
+        return "excellent"
+    if v >= good:
+        return "good"
+    if v >= med:
+        return "medium"
+    return "low"
+
+
+def recommendations_for(q_blank: float, q_legibility: float,
+                        q_completeness: float, q_noise: float,
+                        q_contrast: float, q_brightness: float) -> list[str]:
+    """Per-metric advice strings (generate_recommendations,
+    quality_config.py:96-103: '{Metric}: {advice}' per non-excellent
+    category), with the blank hard blocker short-circuiting to the single
+    re-scan line (quality_config.py:109-116)."""
+    if q_blank >= BLANK_LOW:
+        return [BLANK_RECOMMENDATION]
+    vals = {"legibility": q_legibility, "completeness": q_completeness,
+            "noise": q_noise, "contrast": q_contrast,
+            "brightness": q_brightness}
+    recs = []
+    for m in _METRIC_ORDER:
+        cat = metric_category(m, vals[m])
+        text = RECOMMENDATION_TEXT[m].get(cat)
+        if text is not None:
+            recs.append(f"{m.replace('_', ' ').capitalize()}: {text}")
+    return recs
+
+
 def score_turn(raw_text: str, extracted_text: str,
                q_completeness: float) -> QualityScores:
     """Full per-turn quality record (the A11 partial stage)."""
     qb = blank_score(raw_text or "")
     ql = legibility_score(extracted_text or "")
-    conf = confidence_score(qb, ql, q_completeness)
-    return QualityScores(qb, ql, q_completeness, conf, verdict_for(qb, conf))
+    qn = noise_score(extracted_text or "")
+    qc = contrast_score(extracted_text or "")
+    qbr = brightness_score(extracted_text or "")
+    conf = confidence_score(ql, q_completeness, qn, qc, qbr)
+    return QualityScores(qb, ql, q_completeness, qn, qc, qbr, conf,
+                         verdict_for(qb, conf))

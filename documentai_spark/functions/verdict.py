@@ -1,4 +1,4 @@
-"""Confidence + verdict as pure Spark SQL column expressions.
+"""Confidence + verdict + recommendations as pure Spark SQL expressions.
 
 The reference's verdict machinery is scalar threshold logic
 (quality_analysis_updated/quality_config.py:39-129), so it stays JVM-side
@@ -6,9 +6,13 @@ in whole-stage codegen — no Python round trip (SURVEY §2.10:
 ``verdict_for_page`` -> pure when/otherwise).
 
 Arithmetic is written in exactly the oracle's operation order
-(core/quality.py: sequential weighted sum legibility*3 + completeness*2 +
-(1-blank)*1, then /6) so the IEEE-double results are bit-identical to the
-pytest oracle — verified by tests/test_pipeline_oracle.py.
+(core/quality.confidence_score: sequential weighted sum legibility*3 +
+completeness*3 + (1-noise)*2 + contrast*1 + brightness*1, then /10; blank
+EXCLUDED like the reference excludes blank_page_score from confidence,
+quality_config.py:119-121) so the IEEE-double results are bit-identical to
+the pytest oracle — verified by tests/test_pipeline_oracle.py. A low
+critical metric (legibility, noise) returns the flat 0.55
+(quality_config.py:57-62 returns medium-0.01/0.55 outright, not a min).
 """
 
 from __future__ import annotations
@@ -17,18 +21,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from documentai_spark.core.quality import (
-    BLANK_LOW, CRITICAL_CAP, CRITICAL_LOW, VERDICT_AZURE, VERDICT_DIRECT,
-    VERDICT_PREPROCESS,
+    BLANK_LOW, BLANK_RECOMMENDATION, CONFIDENCE_W_TOTAL, CRITICAL_CAP,
+    CRITICAL_LOW, METRIC_THRESHOLDS, RECOMMENDATION_TEXT, VERDICT_AZURE,
+    VERDICT_DIRECT, VERDICT_PREPROCESS, _METRIC_ORDER,
 )
 
+_METRIC_COL = {"legibility": "q_legibility", "completeness":
+               "q_completeness", "noise": "q_noise", "contrast":
+               "q_contrast", "brightness": "q_brightness"}
 
-def confidence_col(q_blank: Column, q_legibility: Column,
-                   q_completeness: Column) -> Column:
-    """Weighted mean with critical cap (quality_config.py:39-74 analog)."""
-    conf = (q_legibility * F.lit(3.0) + q_completeness * F.lit(2.0)
-            + (F.lit(1.0) - q_blank) * F.lit(1.0)) / F.lit(6.0)
-    return F.when(q_legibility < F.lit(CRITICAL_LOW),
-                  F.least(conf, F.lit(CRITICAL_CAP))).otherwise(conf)
+
+def confidence_col(q_legibility: Column, q_completeness: Column,
+                   q_noise: Column, q_contrast: Column,
+                   q_brightness: Column) -> Column:
+    """Weighted mean with the critical flat-return
+    (quality_config.py:39-74 analog; weights legibility 3, completeness 3,
+    noise 2 reversed, contrast 1, brightness 1)."""
+    conf = (q_legibility * F.lit(3.0) + q_completeness * F.lit(3.0)
+            + (F.lit(1.0) - q_noise) * F.lit(2.0)
+            + q_contrast * F.lit(1.0) + q_brightness * F.lit(1.0)) \
+        / F.lit(CONFIDENCE_W_TOTAL)
+    critical_low = (q_legibility < F.lit(CRITICAL_LOW)) \
+        | ((F.lit(1.0) - q_noise) < F.lit(CRITICAL_LOW))
+    return F.when(critical_low, F.lit(CRITICAL_CAP)).otherwise(conf)
 
 
 def verdict_col(q_blank: Column, confidence: Column) -> Column:
@@ -50,11 +65,50 @@ def needs_preprocessing_col(verdict: Column) -> Column:
     return verdict.isin("pre-processing", "azure document analysis")
 
 
+def _category_col(metric: str, value: Column) -> Column:
+    """excellent/good/medium/low when-chain per the threshold table; the
+    reverse metric (noise) is categorized on 1-value
+    (core/quality.metric_category; quality_config.py:17-27)."""
+    v = (F.lit(1.0) - value) if metric == "noise" else value
+    exc, good, med = METRIC_THRESHOLDS[metric]
+    return (F.when(v >= F.lit(exc), "excellent")
+             .when(v >= F.lit(good), "good")
+             .when(v >= F.lit(med), "medium")
+             .otherwise("low"))
+
+
+def recommendations_col(q_blank: Column, **metric_cols: Column) -> Column:
+    """array<string> of '{Metric}: {advice}' lines per non-excellent
+    metric (generate_recommendations, quality_config.py:96-103), with the
+    blank hard blocker short-circuiting to the single re-scan line
+    (quality_config.py:109-116). Metric order is pinned
+    (core/quality._METRIC_ORDER) so the array matches the oracle."""
+    entries = []
+    for m in _METRIC_ORDER:
+        cat = _category_col(m, metric_cols[m])
+        texts = RECOMMENDATION_TEXT[m]
+        label = m.replace("_", " ").capitalize()
+        e = None
+        for c in ("good", "medium", "low"):
+            branch = F.when(cat == c, F.lit(f"{label}: {texts[c]}"))
+            e = branch if e is None else e.when(cat == c,
+                                                F.lit(f"{label}: {texts[c]}"))
+        entries.append(e)  # null on 'excellent'
+    recs = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return F.when(q_blank >= F.lit(BLANK_LOW),
+                  F.array(F.lit(BLANK_RECOMMENDATION))).otherwise(recs)
+
+
 def with_verdict(df: DataFrame) -> DataFrame:
-    """Add confidence / verdict / needs_preprocessing columns (pure SQL)."""
+    """Add confidence / verdict / needs_preprocessing / recommendations
+    columns (pure SQL over the six q_* metrics)."""
     df = df.withColumn("confidence", confidence_col(
-        F.col("q_blank"), F.col("q_legibility"), F.col("q_completeness")))
+        F.col("q_legibility"), F.col("q_completeness"), F.col("q_noise"),
+        F.col("q_contrast"), F.col("q_brightness")))
     df = df.withColumn("verdict", verdict_col(F.col("q_blank"),
                                               F.col("confidence")))
-    return df.withColumn("needs_preprocessing",
-                         needs_preprocessing_col(F.col("verdict")))
+    df = df.withColumn("needs_preprocessing",
+                       needs_preprocessing_col(F.col("verdict")))
+    return df.withColumn("recommendations", recommendations_col(
+        F.col("q_blank"),
+        **{m: F.col(c) for m, c in _METRIC_COL.items()}))

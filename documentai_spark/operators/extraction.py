@@ -54,6 +54,9 @@ QUALITY_RESULT_TYPE = StructType([
     StructField("q_blank", DoubleType(), False),
     StructField("q_legibility", DoubleType(), False),
     StructField("q_completeness", DoubleType(), False),
+    StructField("q_noise", DoubleType(), False),
+    StructField("q_contrast", DoubleType(), False),
+    StructField("q_brightness", DoubleType(), False),
 ])
 
 ENTITY_SPAN_TYPE = StructType([
@@ -90,19 +93,28 @@ def extract_udf(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(QUALITY_RESULT_TYPE)
 def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
-    """(raw text, extracted text) -> three quality metrics.
+    """(raw text, extracted text) -> six quality metrics (the text
+    analogs of the reference's 10-metric image ensemble; SURVEY App. A).
 
     Fully vectorized (operators/quality_vec mirrors core/quality
-    bit-for-bit; equality pinned by tests). Confidence + verdict are pure
-    SQL on top (functions/verdict) — the reference's verdict machinery is
-    scalar thresholds (quality_config.py:86-129), no UDF needed.
+    bit-for-bit; equality pinned by tests). Confidence + verdict +
+    recommendations are pure SQL on top (functions/verdict) — the
+    reference's verdict machinery is scalar thresholds
+    (quality_config.py:86-129), no UDF needed.
     """
     from documentai_spark.operators.quality_vec import (
-        blank_scores, completeness_scores, legibility_scores,
+        _Counts, blank_scores, brightness_scores, completeness_scores,
+        contrast_scores, legibility_scores, noise_scores,
     )
-    return pd.DataFrame({"q_blank": blank_scores(raw),
-                         "q_legibility": legibility_scores(extracted),
-                         "q_completeness": completeness_scores(extracted)})
+    c = _Counts(extracted.fillna("").tolist())
+    return pd.DataFrame({
+        "q_blank": blank_scores(raw),
+        "q_legibility": legibility_scores(extracted, counts=c),
+        "q_completeness": completeness_scores(extracted, counts=c),
+        "q_noise": noise_scores(extracted, counts=c),
+        "q_contrast": contrast_scores(extracted, counts=c),
+        "q_brightness": brightness_scores(extracted, counts=c),
+    })
 
 
 @pandas_udf(ENTITY_RESULT_TYPE)
@@ -146,10 +158,11 @@ def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
         texts.append(extracted)
         spans_col.append(spans)  # NamedTuples serialize as structs (2.3x
         # cheaper than dicts through the Arrow converter, measured)
-    qb, ql, qc = fused_quality(text, texts)
+    qb, ql, qc, qn, qct, qbr = fused_quality(text, texts)
     return pd.DataFrame({
         "kind": kinds, "extracted_text": texts, "spans": spans_col,
         "q_blank": qb, "q_legibility": ql, "q_completeness": qc,
+        "q_noise": qn, "q_contrast": qct, "q_brightness": qbr,
     })
 
 
@@ -173,12 +186,12 @@ def with_extraction(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_quality(df: DataFrame, raw_col: str = "text",
                  extracted_col: str = "extracted_text") -> DataFrame:
-    """Add q_blank / q_legibility / q_completeness columns (no shuffle)."""
-    return (df.withColumn("_q", quality_udf(F.col(raw_col), F.col(extracted_col)))
-              .withColumn("q_blank", F.col("_q.q_blank"))
-              .withColumn("q_legibility", F.col("_q.q_legibility"))
-              .withColumn("q_completeness", F.col("_q.q_completeness"))
-              .drop("_q"))
+    """Add the six q_* metric columns (no shuffle)."""
+    out = df.withColumn("_q", quality_udf(F.col(raw_col),
+                                          F.col(extracted_col)))
+    for f in QUALITY_RESULT_TYPE.fieldNames():
+        out = out.withColumn(f, F.col(f"_q.{f}"))
+    return out.drop("_q")
 
 
 def with_entities(df: DataFrame,

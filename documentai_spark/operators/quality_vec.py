@@ -19,8 +19,10 @@ import pandas as pd
 
 from documentai_spark.core.entities import EXPECTED_FIELDS, _PATTERNS
 from documentai_spark.core.quality import (
-    BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY, CONSISTENCY_THRESHOLD,
-    LEGIBILITY_W, LEGIBILITY_W_ALL, LEGIBILITY_W_PRIMARY,
+    BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY, BRIGHTNESS_W, BRIGHTNESS_W_ALL,
+    BRIGHTNESS_W_PRIMARY, CONSISTENCY_THRESHOLD, CONTRAST_W, CONTRAST_W_ALL,
+    CONTRAST_W_PRIMARY, LEGIBILITY_W, LEGIBILITY_W_ALL, LEGIBILITY_W_PRIMARY,
+    NOISE_W, NOISE_W_ALL, NOISE_W_PRIMARY,
 )
 
 
@@ -49,16 +51,23 @@ _ALNUM_B = _lut(bytes(range(48, 58)) + bytes(range(65, 91))
 _CONTROL_B = _lut(bytes(range(0, 9)) + bytes(range(11, 32)) + b"\x7f")
 _VOWEL_B = _lut(b"aeiouAEIOU")
 _LETTER_B = _lut(bytes(range(65, 91)) + bytes(range(97, 123)))
+_UPPER_B = _lut(bytes(range(65, 91)))
+# ASCII subset of core.quality.RE_NOISE_MARK (the � member is non-ASCII,
+# so marker-bearing non-ASCII rows take the per-row regex path anyway)
+_MARKER_B = _lut(b"?#~^`|\\")
+_NL_B = _lut(b"\n")
 
 
 class _Counts:
     """Per-row ASCII class counts + token-run stats for a batch."""
 
     __slots__ = ("n", "ws", "alnum", "control", "vowel", "letter",
-                 "nonws", "tokens", "long_tokens", "strip_len")
+                 "nonws", "tokens", "long_tokens", "strip_len",
+                 "upper", "markers", "cap_starts", "line_mean", "line_var")
 
     FIELDS = ("ws", "alnum", "control", "vowel", "letter", "tokens",
-              "long_tokens")
+              "long_tokens", "upper", "markers", "cap_starts",
+              "line_mean", "line_var")
 
     def __init__(self, texts: list[str], reuse=None):
         """``reuse=(other, same_mask)`` copies rows where this batch's text
@@ -121,6 +130,26 @@ class _Counts:
         self.control[out_idx] = count(_CONTROL_B)
         self.vowel[out_idx] = count(_VOWEL_B)
         self.letter[out_idx] = count(_LETTER_B)
+        self.upper[out_idx] = count(_UPPER_B)
+        self.markers[out_idx] = count(_MARKER_B)
+        # line stats: every '\n' (incl. each row's trailing separator)
+        # terminates exactly one line, and the terminator's row_id is the
+        # line's row — so global segments-between-\n == all rows' lines in
+        # order, matching t.split("\n") (k lines = internal \n + 1).
+        # Two bincount passes reproduce the scalar's
+        # sum(lens)/k then sum((x-mean)^2)/k left-to-right adds exactly.
+        nl_pos = np.nonzero(_NL_B[arr])[0]  # LUT gather, not elementwise ==
+        line_lens = np.diff(nl_pos, prepend=-1).astype(np.float64) - 1.0
+        line_rows = row_ids[nl_pos]
+        line_k = np.bincount(line_rows, minlength=k).astype(np.float64)
+        line_sum = np.bincount(line_rows, weights=line_lens, minlength=k)
+        mean = np.divide(line_sum, line_k,
+                         out=np.zeros(k), where=line_k > 0)
+        dev2 = (line_lens - mean[line_rows]) ** 2
+        var = np.divide(np.bincount(line_rows, weights=dev2, minlength=k),
+                        line_k, out=np.zeros(k), where=line_k > 0)
+        self.line_mean[out_idx] = mean
+        self.line_var[out_idx] = var
         # token runs: starts of maximal non-ws runs (separators are ws, so
         # runs never bridge rows)
         nonws_mask = ~_WS_B[arr]
@@ -137,21 +166,40 @@ class _Counts:
         if len(long_s):
             self.long_tokens[out_idx] += np.bincount(
                 row_ids[long_s], minlength=k).astype(np.float64)
+        # token-initial capitals (RE_CAP_START): first byte of each token
+        # run through the uppercase LUT
+        cap_s = s_idx[_UPPER_B[arr[s_idx]]]
+        self.cap_starts[out_idx] = np.bincount(
+            row_ids[cap_s], minlength=k).astype(np.float64)
 
     def _per_row_regex(self, texts: list[str], out_idx: np.ndarray) -> None:
         """Fallback for non-ASCII rows: the oracle's own regexes."""
         from documentai_spark.core.quality import (
-            RE_ALNUM, RE_CONTROL, RE_LETTER, RE_LONG_TOKEN, RE_VOWEL, RE_WS,
+            RE_ALNUM, RE_CAP_START, RE_CONTROL, RE_LETTER, RE_LONG_TOKEN,
+            RE_NOISE_MARK, RE_UPPER, RE_VOWEL, RE_WS,
         )
         k = len(texts)
         for attr, pat in (("ws", RE_WS), ("alnum", RE_ALNUM),
                           ("control", RE_CONTROL), ("vowel", RE_VOWEL),
                           ("letter", RE_LETTER),
-                          ("long_tokens", RE_LONG_TOKEN)):
+                          ("long_tokens", RE_LONG_TOKEN),
+                          ("upper", RE_UPPER), ("markers", RE_NOISE_MARK),
+                          ("cap_starts", RE_CAP_START)):
             getattr(self, attr)[out_idx] = np.fromiter(
                 (len(pat.findall(t)) for t in texts), np.float64, k)
         self.tokens[out_idx] = np.fromiter(
             (len(t.split()) for t in texts), np.float64, k)
+        # line stats, the scalar way (t.split("\n") incl. empties)
+        means = np.zeros(k)
+        varis = np.zeros(k)
+        for i, t in enumerate(texts):
+            lens = [float(len(ln)) for ln in t.split("\n")]
+            kl = len(lens)
+            m = sum(lens) / kl
+            means[i] = m
+            varis[i] = sum((x - m) ** 2 for x in lens) / kl
+        self.line_mean[out_idx] = means
+        self.line_var[out_idx] = varis
 
 
 def _ensemble3_2_np(p1, p2, p3, f1, f2, weights, w_primary, w_all):
@@ -204,6 +252,63 @@ def legibility_scores(extracted: pd.Series,
     return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
 
 
+def noise_scores(extracted: pd.Series,
+                 counts: _Counts | None = None) -> np.ndarray:
+    """Vector of core.quality.noise_score (reverse metric: high = noisy)."""
+    c = counts if counts is not None else _Counts(extracted.fillna("").tolist())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p1 = np.where(c.nonws > 0, (c.nonws - c.alnum) / c.nonws, 0.0)
+        p2 = np.where(c.n > 0, c.control / c.n, 0.0)
+        p3 = np.where(c.n > 0, c.markers / c.n, 0.0)
+        f1 = np.where(c.tokens > 0, c.long_tokens / c.tokens, 0.0)
+        f2 = np.where(c.n > 0, np.abs(c.ws / c.n - 0.16) / 0.84, 0.0)
+    score = _ensemble3_2_np(p1, p2, p3, f1, f2,
+                            NOISE_W, NOISE_W_PRIMARY, NOISE_W_ALL)
+    return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
+
+
+def contrast_scores(extracted: pd.Series,
+                    counts: _Counts | None = None) -> np.ndarray:
+    """Vector of core.quality.contrast_score (line-length-variance
+    ensemble)."""
+    texts = extracted.fillna("").tolist()
+    c = counts if counts is not None else _Counts(texts)
+    distinct = np.fromiter((len(set(t)) for t in texts),
+                           dtype=np.float64, count=len(texts))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cv = np.where(c.line_mean > 0,
+                      np.sqrt(c.line_var) / c.line_mean, 1.0)
+        f1 = np.where(c.nonws > 0, c.alnum / c.nonws, 0.0)
+        f2 = np.where(c.tokens > 0,
+                      (c.tokens - c.long_tokens) / c.tokens, 0.0)
+    p1 = 1.0 - np.minimum(1.0, cv)
+    p2 = 1.0 - np.minimum(1.0, np.abs(c.line_mean - 60.0) / 60.0)
+    p3 = np.minimum(1.0, distinct / 40.0)
+    score = _ensemble3_2_np(p1, p2, p3, f1, f2,
+                            CONTRAST_W, CONTRAST_W_PRIMARY, CONTRAST_W_ALL)
+    return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
+
+
+def brightness_scores(extracted: pd.Series,
+                      counts: _Counts | None = None) -> np.ndarray:
+    """Vector of core.quality.brightness_score (casing-balance ensemble)."""
+    c = counts if counts is not None else _Counts(extracted.fillna("").tolist())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        upper_ratio = np.where(c.letter > 0, c.upper / c.letter, 0.0)
+        p2 = np.where(c.nonws > 0, c.letter / c.nonws, 0.0)
+        cap_ratio = np.where(c.tokens > 0, c.cap_starts / c.tokens, 0.0)
+        vowel_ratio = np.where(c.letter > 0, c.vowel / c.letter, 0.0)
+        f2 = 1.0 - np.where(c.alnum > 0,
+                            (c.alnum - c.letter) / c.alnum, 0.0)
+    p1 = np.maximum(0.0, 1.0 - np.abs(upper_ratio - 0.06) / 0.94)
+    p3 = 1.0 - np.minimum(1.0, np.maximum(0.0, cap_ratio - 0.15) / 0.85)
+    f1 = np.maximum(0.0, 1.0 - np.abs(vowel_ratio - 0.4) / 0.4)
+    score = _ensemble3_2_np(p1, p2, p3, f1, f2,
+                            BRIGHTNESS_W, BRIGHTNESS_W_PRIMARY,
+                            BRIGHTNESS_W_ALL)
+    return np.where((c.n == 0) | (c.strip_len == 0), 0.0, score)
+
+
 def completeness_scores(extracted: pd.Series,
                         counts: _Counts | None = None) -> np.ndarray:
     """Vector of core.entities.completeness_from_text over a batch:
@@ -244,9 +349,11 @@ def completeness_scores(extracted: pd.Series,
 
 
 def fused_quality(raw: pd.Series, ext_texts: list[str]):
-    """All three metrics with count reuse: rows whose extraction is the
+    """All six metrics with count reuse: rows whose extraction is the
     identity (extracted IS raw — plain rows, incl. the CPU-dominant mega
-    turns) share one _Counts pass between blank and legibility."""
+    turns) share one _Counts pass between blank and the extracted-side
+    metrics. Returns (blank, legibility, completeness, noise, contrast,
+    brightness) arrays."""
     raw_texts = raw.fillna("").tolist()
     c_raw = _Counts(raw_texts)
     same = np.fromiter(
@@ -256,4 +363,7 @@ def fused_quality(raw: pd.Series, ext_texts: list[str]):
     c_ext = _Counts(ext_texts, reuse=(c_raw, same))
     return (blank_scores(raw, counts=c_raw),
             legibility_scores(ext_series, counts=c_ext),
-            completeness_scores(ext_series, counts=c_ext))
+            completeness_scores(ext_series, counts=c_ext),
+            noise_scores(ext_series, counts=c_ext),
+            contrast_scores(ext_series, counts=c_ext),
+            brightness_scores(ext_series, counts=c_ext))

@@ -9,8 +9,8 @@ intermediate files (SURVEY §3.1 "Spark rewrite"):
     read transcripts
       -> salted repartition (skew defusal; the ONLY shuffle before write)
       -> extract_udf   (kind dispatch -> extracted_text + spans)
-      -> quality_udf   (q_blank / q_legibility / q_completeness)
-      -> confidence + verdict + routing  (pure SQL when/otherwise)
+      -> quality_udf   (six q_* metric analogs of the 10-metric ensemble)
+      -> confidence + verdict + routing + recommendations (pure SQL)
       -> [optional] entity_udf
       -> restore (conv_id, turn_idx) order  (range exchange, W1)
       -> write partitioned output
@@ -38,8 +38,9 @@ from documentai_spark.operators.skew import salted_repartition
 
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "kind", "extracted_text",
-    "spans", "q_blank", "q_legibility", "q_completeness", "confidence",
-    "verdict", "needs_preprocessing",
+    "spans", "q_blank", "q_legibility", "q_completeness", "q_noise",
+    "q_contrast", "q_brightness", "confidence", "verdict",
+    "needs_preprocessing", "recommendations",
 ]
 
 

@@ -41,10 +41,51 @@ def test_verdict_thresholds():
     assert verdict_for(0.95, 0.99) == "re-scan"  # hard blocker wins
 
 
-def test_confidence_critical_cap():
-    # legibility below CRITICAL_LOW caps confidence at 0.55
-    assert confidence_score(0.0, 0.1, 1.0) <= 0.55
-    assert confidence_score(0.0, 0.9, 0.9) > 0.8
+def test_confidence_critical_flat_return():
+    # legibility (blur analog) below CRITICAL_LOW returns the flat 0.55
+    # (quality_config.py:57-62 returns it outright, not min())
+    assert confidence_score(0.1, 1.0, 0.0, 1.0, 1.0) == 0.55
+    # noise is reverse-critical: 1-noise < 0.4 -> flat 0.55 even when the
+    # weighted mean would be LOWER or higher
+    assert confidence_score(0.9, 0.9, 0.7, 0.9, 0.9) == 0.55
+    # healthy metrics -> plain weighted mean
+    assert confidence_score(0.9, 0.9, 0.1, 0.9, 0.9) > 0.8
+    # blank is excluded from confidence entirely (signature has no blank)
+
+
+def test_new_metric_extremes():
+    from documentai_spark.core.quality import (
+        brightness_score, contrast_score, noise_score,
+    )
+    assert noise_score("") == 0.0
+    clean = "a perfectly ordinary sentence with normal words here"
+    noisy = "??? ### ~~~ ^^^ ||| \\\\ ??? mojibake #### ~~ ???"
+    assert noise_score(noisy) > noise_score(clean)
+    assert contrast_score("") == 0.0
+    even = "\n".join(["a sensible line of roughly sixty characters in "
+                      "total here ok"] * 5)
+    ragged = "\n".join(["x", "a" * 300, "", "yz", "b" * 250])
+    assert contrast_score(even) > contrast_score(ragged)
+    assert brightness_score("") == 0.0
+    normal = "The quick brown Fox jumps over the lazy dog near a river"
+    caps = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR A RIVER"
+    assert brightness_score(normal) > brightness_score(caps)
+
+
+def test_recommendations():
+    from documentai_spark.core.quality import (
+        BLANK_RECOMMENDATION, recommendations_for,
+    )
+    # blank hard blocker -> single re-scan line
+    assert recommendations_for(0.95, 1.0, 1.0, 0.0, 1.0, 1.0) == \
+        [BLANK_RECOMMENDATION]
+    # all excellent -> no advice
+    assert recommendations_for(0.0, 1.0, 1.0, 0.0, 1.0, 1.0) == []
+    # low legibility + medium contrast -> two lines, pinned order/format
+    recs = recommendations_for(0.0, 0.2, 1.0, 0.0, 0.5, 1.0)
+    assert len(recs) == 2
+    assert recs[0].startswith("Legibility: ")
+    assert recs[1].startswith("Contrast: ")
 
 
 def test_entities():

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from documentai_spark.core.entities import completeness_score, extract_entities
 from documentai_spark.core.extract import extract_turn
-from documentai_spark.core.quality import score_turn
+from documentai_spark.core.quality import recommendations_for, score_turn
 from documentai_spark.plans.pipeline import extraction_pipeline
 from documentai_spark.sources.transcripts import gen_rows
 
@@ -49,8 +49,14 @@ def test_per_turn_equality(spark, transcripts_path):
         assert r.q_blank == q.q_blank
         assert r.q_legibility == q.q_legibility
         assert r.q_completeness == q.q_completeness
+        assert r.q_noise == q.q_noise
+        assert r.q_contrast == q.q_contrast
+        assert r.q_brightness == q.q_brightness
         assert r.confidence == q.confidence
         assert r.verdict == q.verdict
+        assert list(r.recommendations) == recommendations_for(
+            q.q_blank, q.q_legibility, q.q_completeness, q.q_noise,
+            q.q_contrast, q.q_brightness)
 
 
 def test_determinism_across_parallelism(spark, transcripts_path):

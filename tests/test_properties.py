@@ -13,10 +13,12 @@ from documentai_spark.core.entities import (
 )
 from documentai_spark.core.extract import extract_turn
 from documentai_spark.core.quality import (
-    blank_score, legibility_score, score_turn,
+    blank_score, brightness_score, contrast_score, legibility_score,
+    noise_score, score_turn,
 )
 from documentai_spark.operators.quality_vec import (
-    blank_scores, legibility_scores,
+    blank_scores, brightness_scores, contrast_scores, legibility_scores,
+    noise_scores,
 )
 
 # texts that stress the parsers: html-ish tags, layout whitespace, control
@@ -55,6 +57,9 @@ def test_quality_bounds_and_verdict(text):
     assert 0.0 <= s.q_blank <= 1.0
     assert 0.0 <= s.q_legibility <= 1.0
     assert 0.0 <= s.q_completeness <= 1.0
+    assert 0.0 <= s.q_noise <= 1.0
+    assert 0.0 <= s.q_contrast <= 1.0
+    assert 0.0 <= s.q_brightness <= 1.0
     assert 0.0 <= s.confidence <= 1.0
     assert s.verdict in {"direct analysis", "pre-processing",
                          "azure document analysis", "reupload", "re-scan"}
@@ -66,9 +71,15 @@ def test_vectorized_equals_scalar_on_arbitrary(texts):
     s = pd.Series(texts, dtype=object)
     vb = blank_scores(s)
     vl = legibility_scores(s)
+    vn = noise_scores(s)
+    vc = contrast_scores(s)
+    vbr = brightness_scores(s)
     for i, t in enumerate(texts):
         assert vb[i] == blank_score(t)
         assert vl[i] == legibility_score(t)
+        assert vn[i] == noise_score(t)
+        assert vc[i] == contrast_score(t)
+        assert vbr[i] == brightness_score(t)
 
 
 @settings(max_examples=200, deadline=None)

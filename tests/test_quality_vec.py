@@ -9,9 +9,13 @@ import pandas as pd
 
 from documentai_spark.core.entities import completeness_from_text
 from documentai_spark.core.extract import extract_turn
-from documentai_spark.core.quality import blank_score, legibility_score
+from documentai_spark.core.quality import (
+    blank_score, brightness_score, contrast_score, legibility_score,
+    noise_score,
+)
 from documentai_spark.operators.quality_vec import (
-    blank_scores, completeness_scores, legibility_scores,
+    blank_scores, brightness_scores, completeness_scores, contrast_scores,
+    legibility_scores, noise_scores,
 )
 from documentai_spark.sources.transcripts import gen_rows
 
@@ -53,6 +57,27 @@ def test_completeness_bit_identical():
         assert vec[i] == completeness_from_text(t), (i, repr(t[:60]))
 
 
+def test_noise_bit_identical():
+    texts = _texts()
+    vec = noise_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == noise_score(t), (i, repr(t[:60]))
+
+
+def test_contrast_bit_identical():
+    texts = _texts()
+    vec = contrast_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == contrast_score(t), (i, repr(t[:60]))
+
+
+def test_brightness_bit_identical():
+    texts = _texts()
+    vec = brightness_scores(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert vec[i] == brightness_score(t), (i, repr(t[:60]))
+
+
 def test_none_handling():
     vec = blank_scores(pd.Series([None, "x"], dtype=object))
     assert vec[0] == 1.0
@@ -70,11 +95,16 @@ def test_fused_quality_equals_individual():
         raws.append(r["text"])
         exts.append(extract_turn(r["text"])[1])
     raw_s = pd.Series(raws, dtype=object)
-    qb, ql, qc = fused_quality(raw_s, exts)
+    qb, ql, qc, qn, qct, qbr = fused_quality(raw_s, exts)
     ext_s = pd.Series(exts, dtype=object)
     assert (qb == blank_scores(raw_s)).all()
     assert (ql == legibility_scores(ext_s)).all()
     assert (qc == completeness_scores(ext_s)).all()
+    assert (qn == noise_scores(ext_s)).all()
+    assert (qct == contrast_scores(ext_s)).all()
+    assert (qbr == brightness_scores(ext_s)).all()
     # and against the scalar oracle directly
     for i, (r, e) in enumerate(zip(raws, exts)):
         assert qb[i] == blank_score(r) and ql[i] == legibility_score(e)
+        assert qn[i] == noise_score(e) and qct[i] == contrast_score(e)
+        assert qbr[i] == brightness_score(e)
