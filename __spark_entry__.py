@@ -512,11 +512,16 @@ def q_t_mega_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs on documents (rows-only: xxhash64
-    signatures are Spark-native; semantics tested in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, oracle-checked at threshold 0.9: the
+    banded LSH (b=16, r=4) has candidate-miss probability ~3e-8 per true
+    pair at J>=0.9 AND is fully deterministic (fixed xxhash64 salts), so
+    the verified pair set equals the exact shingle-Jaccard pair set on the
+    fixture — the DuckDB oracle computes the exact set via a shingle
+    equi-join (no all-pairs). Banding internals stay pinned by
+    tests/test_dedup.py at looser thresholds."""
     from documentai_spark.operators.dedup import minhash_dedup_pairs
     docs = _t(spark, sf_dir, "documents")
-    return (minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+    return (minhash_dedup_pairs(docs, jaccard_threshold=0.9)
             .orderBy("id_a", "id_b"))
 
 
@@ -696,7 +701,9 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
-    out = lsh_ann_topk(emb, anchors, k=5, m_bits=6)
+    # dim threaded explicitly (the fixture embeds at 64): no .first()
+    # probe job before the main action
+    out = lsh_ann_topk(emb, anchors, k=5, m_bits=6, dim=64)
     return out.select("anchor_id", "rank", "neighbor_id") \
               .orderBy("anchor_id", "rank")
 
@@ -1145,6 +1152,36 @@ def oracle_sql() -> dict[str, str]:
                        AS extraction_confidence
             FROM m ORDER BY conv_id, turn_idx
         """,
+        # exact shingle-Jaccard pairs at 0.9 (equals the deterministic
+        # banded-LSH verified set; see q_minhash_dedup docstring)
+        "minhash_dedup": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(
+                trim(regexp_replace(lower(text),
+                     '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)])
+                ELSE list_distinct([array_to_string(t, ' ')]) END AS shingles
+              FROM d
+            ), ex AS (
+              SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS shingle
+              FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.ns AS na, b.ns AS nb, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (na + nb - inter), 6) AS jaccard
+            FROM pairs
+            WHERE ROUND(inter / (na + nb - inter), 6) >= 0.9
+            ORDER BY id_a, id_b
+        """,
         # first-match GROUP values via RE2 (same leftmost-first semantics
         # as Python re.search over these alternation-free patterns)
         "entity_values": rf"""
@@ -1287,9 +1324,8 @@ def oracle_sql() -> dict[str, str]:
                    date_ok AND choice_ok AND unique_ok AS overall_valid
             FROM checks ORDER BY doc_id
         """,
-        # extract_quality / minhash_dedup / simhash_dups / lsh_ann /
-        # classify_vote / entity_spans /
-        # categorized_entities:
+        # extract_quality / simhash_dups / lsh_ann /
+        # classify_vote / entity_spans / categorized_entities:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
         # signatures, or the Python span cascade with no DuckDB
         # equivalent; pinned by tests/)

@@ -125,12 +125,20 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         jaccard_threshold: float = 0.8) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard (J-verify step).
 
-    The verify join re-fetches only candidate docs' shingle sets — at scale
-    this is a broadcast-able fraction of the corpus.
+    Verify-join width (the 100 TB decision): candidates are a tiny
+    fraction of the corpus, so the shingle table is SEMI-JOIN-FILTERED to
+    candidate ids before any wide join — only candidate docs' shingle
+    arrays ever shuffle, not the whole corpus's. The candidate set is
+    cached (it is consumed three times: two semi filters + the verify
+    join); at cluster scale it would be materialized to a table instead.
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    sh = df.select(F.col(id_col),
-                   shingle_col(F.col(text_col)).alias("_sh"))
+    cand = cand.persist()
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                    .union(cand.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+    sh = (df.select(F.col(id_col), shingle_col(F.col(text_col)).alias("_sh"))
+            .join(cand_ids, id_col, "left_semi"))
     j = (cand
          .join(sh.select(F.col(id_col).alias("id_a"),
                          F.col("_sh").alias("_sha")), "id_a")
