@@ -38,7 +38,20 @@ _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+on\s+or\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gte"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gt"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+number$", re.I), "numeric"),
+    # declared single-format date check (validation_engine.py:291-298
+    # 'yymmdd'/'ddmmyy' in text -> date_format; NO dual-parse fallback,
+    # unlike date_comparison — validate_date_format :133-159)
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+date\s+in\s+"
+                r"(?P<value>YYMMDD|DDMMYY)\s+format$", re.I), "date_format"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+in\s+currency\s+format$", re.I), "currency"),
+    # max length, incl. the SWIFT '35x4' chars-per-line form
+    # (validation_engine.py:269-288 grammar; :180-193 validator)
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+max(?:imum)?\s+"
+                r"(?P<a>\d+)\s*[x×]\s*(?P<b>\d+)$", re.I), "max_length_lines"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+(?:max(?:imum)?|at\s+most)\s+"
+                r"(?P<value>\d+)(?:\s+char(?:acter)?s?)?$", re.I), "max_length"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+between\s+"
+                r"(?P<a>[\d,.]+)\s+and\s+(?P<b>[\d,.]+)$", re.I), "between"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+greater\s+than\s+(?P<value>[\d,.]+)$", re.I), "greater_than"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+less\s+than\s+(?P<value>[\d,.]+)$", re.I), "less_than"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+equal\s+(?P<value>.+)$", re.I), "equals"),
@@ -120,6 +133,18 @@ def parse_english_rule(sentence: str) -> dict[str, Any] | None:
             params["choices"] = [c.strip().upper() for c in
                                  re.split(r"\s+or\s+", m.group("value"))
                                  if c.strip()]
+        elif rtype == "max_length":
+            params["max_length"] = int(m.group("value"))
+        elif rtype == "max_length_lines":
+            # '35x4' = chars-per-line x lines (validation_engine.py:277-283)
+            params["max_chars_per_line"] = int(m.group("a"))
+            params["max_lines"] = int(m.group("b"))
+            rtype = "max_length"
+        elif rtype == "between":
+            params["min_val"] = _to_number(m.group("a"))
+            params["max_val"] = _to_number(m.group("b"))
+        elif rtype == "date_format":
+            params["format"] = m.group("value").upper()
         return {"field": field, "type": rtype, "parameters": params,
                 "original_text": sentence}
     return None
@@ -164,12 +189,55 @@ def validate_rule(rule: dict[str, Any], value: Any,
         return d1 >= d2 if op == ">=" else d1 > d2
     if rtype == "multiple_choice":
         return v.upper() in rule["parameters"]["choices"]
+    if rtype == "max_length":
+        # the reference measures the RAW value, not the stripped one
+        # (validation_engine.py:180-193)
+        raw = str(value)
+        p = rule["parameters"]
+        if "max_lines" in p:
+            lines = raw.split("\n")
+            return (len(lines) <= p["max_lines"]
+                    and all(len(ln) <= p["max_chars_per_line"]
+                            for ln in lines))
+        return len(raw) <= p["max_length"]
+    if rtype == "between":
+        # currency-symbol-tolerant numeric parse (validation_engine.py:88)
+        try:
+            n = float(v.replace(",", "").replace("$", "")
+                       .replace("USD", "").replace("EUR", "").strip())
+        except (ValueError, TypeError):
+            return False
+        p = rule["parameters"]
+        return (p["min_val"] is not None and p["max_val"] is not None
+                and p["min_val"] <= n <= p["max_val"])
+    if rtype == "date_format":
+        # single declared interpretation, no fallback
+        # (validate_date_format, validation_engine.py:133-159)
+        from datetime import datetime
+        if not re.match(r"^\d{6}$", v):
+            return False
+        try:
+            if rule["parameters"]["format"] == "DDMMYY":
+                datetime(int("20" + v[4:6]), int(v[2:4]), int(v[0:2]))
+            else:  # YYMMDD
+                datetime(int("20" + v[0:2]), int(v[2:4]), int(v[4:6]))
+            return True
+        except ValueError:
+            return False
     if rtype == "valid_date":
         return _valid_date(v)
     if rtype == "numeric":
         return _to_number(v) is not None
     if rtype == "currency":
-        return _CURRENCY_RE.match(v) is not None
+        # full reference semantics: shape match AND amount > 0
+        # (validate_currency_format, validation_engine.py:161-178)
+        m = _CURRENCY_RE.match(v)
+        if not m:
+            return False
+        try:
+            return float(m.group(2).replace(",", "")) > 0
+        except ValueError:
+            return False
     if rtype == "greater_than":
         n = _to_number(v)
         return n is not None and rule["parameters"]["value"] is not None \
@@ -179,7 +247,26 @@ def validate_rule(rule: dict[str, Any], value: Any,
         return n is not None and rule["parameters"]["value"] is not None \
             and n < rule["parameters"]["value"]
     if rtype == "equals":
-        return v == rule["parameters"]["value"]
+        # reference exact_match semantics (validation_engine.py:96-122):
+        # case-insensitive, accepts the first word of the expected phrase,
+        # and field 40E treats 'UCP' == 'UCP LATEST VERSION'
+        expected = str(rule["parameters"]["value"]).upper().strip()
+        actual = v.upper()
+        if rule["field"].upper() == "40E":
+            ne = expected.replace("LATEST VERSION", "").strip()
+            na = actual.replace("LATEST VERSION", "").strip()
+            if ne == "UCP" and na == "UCP":
+                return True
+            if (expected in ("UCP LATEST VERSION", "UCP")
+                    and actual in ("UCP LATEST VERSION", "UCP")):
+                return True
+            if ne == "UCP" and na.startswith("UCP"):
+                return True
+            if na == "UCP" and ne.startswith("UCP"):
+                return True
+        if actual == expected:
+            return True
+        return bool(expected.split()) and actual == expected.split()[0]
     if rtype == "contains":
         return rule["parameters"]["value"].upper() in v.upper()
     if rtype == "one_of":

@@ -171,6 +171,12 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
         technique_regex_count(t, cfg, default))
     t3c = F.when(too_short, default).otherwise(
         technique_token_overlap(t, cfg, default))
+    # The vote below references each technique column ~10x (counts, max,
+    # winner chain). Safe: CollapseProject only inlines non-cheap
+    # projection aliases referenced at most once (SPARK-36718), so each
+    # technique tree materializes exactly once per row — verified in the
+    # physical plan (one regexp_extract_all per category, not per
+    # reference).
     df = (df.withColumn("technique_1", t1c)
             .withColumn("technique_2", t2c)
             .withColumn("technique_3", t3c))

@@ -88,7 +88,7 @@ def extraction_pipeline(transcripts: DataFrame, *,
     cols = list(OUTPUT_COLUMNS)
     if include_entities:
         df = with_entities(df)
-        cols += ["entities", "extraction_confidence"]
+        cols += ["entities", "entity_spans", "extraction_confidence"]
     return df.select(*cols)
 
 

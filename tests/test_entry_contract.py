@@ -17,7 +17,8 @@ def test_oracle_keys_subset_of_queries():
     # the rows-only set is intentional and documented
     rows_only = qs - os_
     assert rows_only == {"extract_quality", "simhash_dups",
-                         "lsh_ann", "classify_vote", "transcript_pipeline",
+                         "lsh_ann", "ivf_ann", "classify_vote",
+                         "transcript_pipeline",
                          "entity_spans", "categorized_entities"}
 
 

@@ -149,3 +149,66 @@ def test_unique_and_multiple_choice():
     assert oo["type"] == "one_of"
     dc = parse_english_rule("expiry must be on or after issue")
     assert dc["type"] == "date_comparison"
+
+
+def test_max_length_between_date_format():
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    ml = parse_english_rule("po number must be maximum 16 characters")
+    assert ml["type"] == "max_length"
+    assert ml["parameters"] == {"max_length": 16}
+    assert validate_rule(ml, "X" * 16, {})
+    assert not validate_rule(ml, "X" * 17, {})
+
+    # the SWIFT 35x4 form: chars-per-line x lines
+    mlx = parse_english_rule("goods description must be max 35x4")
+    assert mlx["type"] == "max_length"
+    assert mlx["parameters"] == {"max_chars_per_line": 35, "max_lines": 4}
+    assert validate_rule(mlx, "\n".join(["a" * 35] * 4), {})
+    assert not validate_rule(mlx, "\n".join(["a" * 36] * 2), {})
+    assert not validate_rule(mlx, "\n".join(["a"] * 5), {})
+
+    bt = parse_english_rule("amount must be between 100 and 5,000")
+    assert bt["type"] == "between"
+    assert bt["parameters"] == {"min_val": 100.0, "max_val": 5000.0}
+    assert validate_rule(bt, "USD 4,999.50", {})   # currency-tolerant parse
+    assert validate_rule(bt, "100", {})
+    assert not validate_rule(bt, "99.99", {})
+    assert not validate_rule(bt, "not a number", {})
+
+    df = parse_english_rule("issue date must be a date in YYMMDD format")
+    assert df["type"] == "date_format"
+    assert df["parameters"] == {"format": "YYMMDD"}
+    assert validate_rule(df, "200115", {})         # 2020-01-15
+    assert not validate_rule(df, "201315", {})     # month 13, NO fallback
+    ddf = parse_english_rule("issue date must be a date in DDMMYY format")
+    assert validate_rule(ddf, "151320", {}) is False  # month 13
+    assert validate_rule(ddf, "311220", {})        # 31 Dec 2020
+    assert not validate_rule(df, "01.02.2024", {})
+
+
+def test_currency_requires_positive_amount():
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    c = parse_english_rule("total must be in currency format")
+    assert c["type"] == "currency"
+    assert validate_rule(c, "USD 1,250.00", {})
+    assert not validate_rule(c, "USD 0", {})       # amount must be > 0
+    assert not validate_rule(c, "us dollars 5", {})
+
+
+def test_exact_match_reference_semantics():
+    """Case-insensitive equals + first-word acceptance + the 40E UCP
+    equivalence (validate_exact_match, validation_engine.py:96-122)."""
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    eq = parse_english_rule("currency must equal usd")
+    assert validate_rule(eq, "USD", {})            # case-insensitive
+    eq2 = parse_english_rule("terms must equal CIF Singapore Port")
+    assert validate_rule(eq2, "cif singapore port", {})
+    assert validate_rule(eq2, "CIF", {})           # first word accepted
+    assert not validate_rule(eq2, "FOB", {})
+
+    ucp = parse_english_rule("40E must equal UCP LATEST VERSION")
+    assert validate_rule(ucp, "UCP", {})           # 40E equivalence
+    assert validate_rule(ucp, "UCP LATEST VERSION", {})
