@@ -43,6 +43,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _quality_oracle_sql() -> str:
+    from documentai_spark.functions.quality_sql import (
+        extract_quality_oracle_sql,
+    )
+    return extract_quality_oracle_sql(
+        kind_html_pat=_KIND_HTML_PAT, kind_blocksep=_KIND_BLOCKSEP,
+        kind_multicol=_KIND_MULTICOL)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -1346,7 +1355,12 @@ def oracle_sql() -> dict[str, str]:
                    date_ok AND choice_ok AND unique_ok AS overall_valid
             FROM checks ORDER BY doc_id
         """,
-        # extract_quality / simhash_dups / lsh_ann / ivf_ann /
+        # the ENTIRE six-ensemble quality stack + confidence + verdict +
+        # recommendations, replayed bit-exact in SQL (generated from the
+        # same Python constants — functions/quality_sql.py); the kind
+        # dispatch runs for real, and a non-plain row would fail loudly
+        "extract_quality": _quality_oracle_sql(),
+        # simhash_dups / lsh_ann / ivf_ann /
         # classify_vote / entity_spans / categorized_entities:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
         # signatures, or the Python span cascade with no DuckDB

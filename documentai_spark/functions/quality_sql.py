@@ -1,0 +1,243 @@
+"""DuckDB-SQL mirror of the six quality ensembles + confidence/verdict/
+recommendations (core/quality) — generated from the SAME Python constants
+so every float literal is the bit-identical double.
+
+Purpose: promote the ``extract_quality`` gate query from rows-only to a
+full value-hash check. The oracle replays, in SQL, exactly what the
+vectorized UDF computes:
+
+- ASCII class counts as RE2 classes (the core's pinned regex definitions;
+  Python's Unicode \\s inside ASCII = [ \\t\\n\\x0b\\f\\r\\x1c-\\x1f],
+  spelled out explicitly because RE2's \\s lacks \\x0b and \\x1c-\\x1f);
+- the 3+2 consistency-gated ensembles with the reference weight schemes,
+  operation-for-operation in core.quality._ensemble3_2's order (IEEE
+  doubles are bit-identical when the op order matches);
+- weight totals and thresholds embedded via ``repr()`` (round-trips to
+  the identical double) and cast ::DOUBLE so DuckDB never switches to
+  DECIMAL arithmetic.
+
+Scope note: quality runs on the EXTRACTED text. The oracle can only
+mirror the identity extraction (kind = 'plain'); the synthetic documents
+fixture is 100% plain/ASCII (verified), and a non-plain row would fail
+the kind CASE loudly rather than silently diverge.
+"""
+
+from __future__ import annotations
+
+from documentai_spark.core.quality import (
+    BLANK_LOW, BLANK_RECOMMENDATION, BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY,
+    BRIGHTNESS_W, BRIGHTNESS_W_ALL, BRIGHTNESS_W_PRIMARY,
+    CONSISTENCY_THRESHOLD, CONTRAST_W, CONTRAST_W_ALL, CONTRAST_W_PRIMARY,
+    CRITICAL_CAP, CRITICAL_LOW, LEGIBILITY_W, LEGIBILITY_W_ALL,
+    LEGIBILITY_W_PRIMARY, METRIC_THRESHOLDS, NOISE_W, NOISE_W_ALL,
+    NOISE_W_PRIMARY, RECOMMENDATION_TEXT, VERDICT_AZURE, VERDICT_DIRECT,
+    VERDICT_PREPROCESS, _METRIC_ORDER,
+)
+
+# Python-\s inside ASCII (core.quality.RE_WS domain for ASCII rows)
+_WS = r" \t\n\x0b\f\r\x1c-\x1f"
+
+
+def _d(x: float) -> str:
+    """A double literal that parses to the bit-identical value."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _ensemble(prefix: str, w: tuple, w_primary: float, w_all: float) -> str:
+    """SQL columns replaying core.quality._ensemble3_2 for columns
+    {prefix}_p1..{prefix}_f2 -> one expression {prefix}_score."""
+    p1, p2, p3 = f"{prefix}_p1", f"{prefix}_p2", f"{prefix}_p3"
+    f1, f2 = f"{prefix}_f1", f"{prefix}_f2"
+    w1, w2, w3, w4, w5 = (_d(x) for x in w)
+    mean = f"(({p1} + {p2} + {p3}) / 3.0)"
+    var = (f"((({p1} - {mean}) * ({p1} - {mean})"
+           f" + ({p2} - {mean}) * ({p2} - {mean})"
+           f" + ({p3} - {mean}) * ({p3} - {mean})) / 3.0)")
+    consistency = (f"(CASE WHEN {mean} > {_d(1e-12)}"
+                   f" THEN 1.0 - (sqrt({var}) / {mean}) ELSE 0.0 END)")
+    primary = (f"(({p1} * {w1} + {p2} * {w2} + {p3} * {w3})"
+               f" / {_d(w_primary)})")
+    full = (f"(({p1} * {w1} + {p2} * {w2} + {p3} * {w3}"
+            f" + {f1} * {w4} + {f2} * {w5}) / {_d(w_all)})")
+    return (f"(CASE WHEN {consistency} >= {_d(CONSISTENCY_THRESHOLD)}"
+            f" THEN {primary} ELSE {full} END)")
+
+
+def _category(metric: str, value_expr: str) -> str:
+    v = f"(1.0 - {value_expr})" if metric == "noise" else value_expr
+    exc, good, med = METRIC_THRESHOLDS[metric]
+    return (f"(CASE WHEN {v} >= {_d(exc)} THEN 'excellent'"
+            f" WHEN {v} >= {_d(good)} THEN 'good'"
+            f" WHEN {v} >= {_d(med)} THEN 'medium'"
+            f" ELSE 'low' END)")
+
+
+def extract_quality_oracle_sql(
+        table: str = "documents", id_col: str = "doc_id",
+        kind_html_pat: str = "", kind_blocksep: str = "",
+        kind_multicol: str = "") -> str:
+    """The full extract_quality mirror (see module docstring)."""
+    # entity presence for completeness (RE2 mirrors of the re.ASCII
+    # patterns; EXPECTED_FIELDS = po/date_numeric/currency_amount/
+    # incoterm/email)
+    present = " + ".join([
+        r"CAST(regexp_matches(t, 'PO\s+NUMBER[:\s]+[A-Z0-9/\-]+', 'i') AS INT)",
+        r"CAST(regexp_matches(t, '\b\d{2}[./-]\d{2}[./-]\d{4}\b') AS INT)",
+        r"CAST(regexp_matches(t, '\b[A-Z]{3}\s+[\d,]+(?:\.\d+)?\b') AS INT)",
+        r"CAST(regexp_matches(t, '\b(CFR|CIF|FOB|DAP|EXW)\b') AS INT)",
+        r"CAST(regexp_matches(t, '\b[\w.+-]+@[\w-]+\.[\w.]+\b') AS INT)",
+    ])
+    ws_chars = ("' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+                " || chr(28) || chr(29) || chr(30) || chr(31)")
+    kind = (f"CASE WHEN regexp_matches(t, '{kind_html_pat}') THEN 'html' "
+            f"WHEN contains(t, chr(10)) AND (regexp_matches(t, "
+            f"'{kind_blocksep}') OR regexp_matches(t, '{kind_multicol}')) "
+            f"THEN 'layout' ELSE 'plain' END") if kind_html_pat else "'plain'"
+
+    mcol = {"legibility": "q_legibility", "completeness": "q_completeness",
+            "noise": "q_noise", "contrast": "q_contrast",
+            "brightness": "q_brightness"}
+    rec_entries = []
+    for m in _METRIC_ORDER:
+        cat = _category(m, mcol[m])
+        label = m.replace("_", " ").capitalize()
+        texts = RECOMMENDATION_TEXT[m]
+        branches = " ".join(
+            f"WHEN {cat} = '{c}' THEN '{label}: {texts[c]}'"
+            for c in ("good", "medium", "low"))
+        rec_entries.append(f"CASE {branches} END")
+    recs = (f"CASE WHEN q_blank >= {_d(BLANK_LOW)} "
+            f"THEN '{BLANK_RECOMMENDATION}' "
+            f"ELSE COALESCE(array_to_string(list_filter(["
+            + ", ".join(rec_entries)
+            + "], x -> x IS NOT NULL), ' | '), '') END")
+
+    return f"""
+WITH src AS (
+  -- quality runs on the EXTRACTED text; only the identity (plain) branch
+  -- is mirror-able in SQL — non-plain rows would change `kind` and fail
+  -- the compare loudly (fixture verified 100% plain/ASCII)
+  SELECT {id_col}, {kind} AS kind, text AS t FROM (
+    SELECT {id_col}, text, text AS t FROM {table}
+  )
+), counts AS (
+  SELECT {id_col}, kind, t,
+    CAST(length(t) AS DOUBLE) AS n,
+    CAST(length(trim(t, {ws_chars})) AS DOUBLE) AS strip_len,
+    CAST(len(regexp_extract_all(t, '[{_WS}]')) AS DOUBLE) AS ws,
+    CAST(len(regexp_extract_all(t, '[^{_WS}]+')) AS DOUBLE) AS tokens,
+    CAST(len(regexp_extract_all(t, '[^{_WS}]{{21,}}')) AS DOUBLE)
+        AS long_toks,
+    CAST(len(regexp_extract_all(t, '[0-9A-Za-z]')) AS DOUBLE) AS alnum,
+    CAST(len(regexp_extract_all(t, '[\\x00-\\x08\\x0b-\\x1f\\x7f]'))
+         AS DOUBLE) AS control,
+    CAST(len(regexp_extract_all(t, '[aeiouAEIOU]')) AS DOUBLE) AS vowel,
+    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS DOUBLE) AS letter,
+    CAST(len(regexp_extract_all(t, '[A-Z]')) AS DOUBLE) AS upper_c,
+    CAST(len(regexp_extract_all(t, '[?#~^`|\\\\]')) AS DOUBLE) AS markers,
+    CAST(len(regexp_extract_all(t, '(^|[{_WS}])[A-Z]')) AS DOUBLE)
+        AS cap_starts,
+    CAST(len(list_distinct(regexp_extract_all(trim(t, {ws_chars}),
+         '(?s).'))) AS DOUBLE) AS distinct_stripped,
+    CAST(len(list_distinct(regexp_extract_all(t, '(?s).'))) AS DOUBLE)
+        AS distinct_full,
+    [CAST(length(x) AS DOUBLE) for x in string_split(t, chr(10))] AS ll,
+    ({present}) AS present
+  FROM src
+), lstats AS (
+  SELECT *, CAST(len(ll) AS DOUBLE) AS lk,
+         list_sum(ll) / CAST(len(ll) AS DOUBLE) AS lmean
+  FROM counts
+), lstats2 AS (
+  SELECT *,
+    list_sum([(x - lmean) * (x - lmean) for x in ll]) / lk AS lvar,
+    n - ws AS nonws
+  FROM lstats
+), prim AS (
+  SELECT {id_col}, kind, n, strip_len, present,
+    -- blank (raw text)
+    CASE WHEN n > 0 THEN ws / n ELSE 0.0 END AS bl_p1,
+    1.0 - least(1.0, tokens / 5.0) AS bl_p2,
+    1.0 - least(1.0, strip_len / 100.0) AS bl_p3,
+    1.0 AS bl_f1,
+    1.0 - least(1.0, distinct_stripped / 20.0) AS bl_f2,
+    -- legibility
+    CASE WHEN n > 0 THEN 1.0 - control / n ELSE 0.0 END AS lg_p1,
+    CASE WHEN nonws > 0 THEN alnum / nonws ELSE 0.0 END AS lg_p2,
+    greatest(0.0, 1.0 - abs((CASE WHEN tokens > 0 THEN nonws / tokens
+                             ELSE 0.0 END) - 5.0) / 10.0) AS lg_p3,
+    greatest(0.0, 1.0 - abs((CASE WHEN letter > 0 THEN vowel / letter
+                             ELSE 0.0 END) - {_d(0.4)}) / {_d(0.4)})
+        AS lg_f1,
+    CASE WHEN tokens > 0 THEN (tokens - long_toks) / tokens
+         ELSE 0.0 END AS lg_f2,
+    -- noise
+    CASE WHEN nonws > 0 THEN (nonws - alnum) / nonws ELSE 0.0 END AS no_p1,
+    CASE WHEN n > 0 THEN control / n ELSE 0.0 END AS no_p2,
+    CASE WHEN n > 0 THEN markers / n ELSE 0.0 END AS no_p3,
+    CASE WHEN tokens > 0 THEN long_toks / tokens ELSE 0.0 END AS no_f1,
+    CASE WHEN n > 0 THEN abs(ws / n - {_d(0.16)}) / {_d(0.84)}
+         ELSE 0.0 END AS no_f2,
+    -- contrast
+    1.0 - least(1.0, CASE WHEN lmean > 0 THEN sqrt(lvar) / lmean
+                     ELSE 1.0 END) AS co_p1,
+    1.0 - least(1.0, abs(lmean - 60.0) / 60.0) AS co_p2,
+    least(1.0, distinct_full / 40.0) AS co_p3,
+    CASE WHEN nonws > 0 THEN alnum / nonws ELSE 0.0 END AS co_f1,
+    CASE WHEN tokens > 0 THEN (tokens - long_toks) / tokens
+         ELSE 0.0 END AS co_f2,
+    -- brightness
+    greatest(0.0, 1.0 - abs((CASE WHEN letter > 0 THEN upper_c / letter
+                             ELSE 0.0 END) - {_d(0.06)}) / {_d(0.94)})
+        AS br_p1,
+    CASE WHEN nonws > 0 THEN letter / nonws ELSE 0.0 END AS br_p2,
+    1.0 - least(1.0, greatest(0.0, (CASE WHEN tokens > 0
+                                    THEN cap_starts / tokens ELSE 0.0 END)
+                              - {_d(0.15)}) / {_d(0.85)}) AS br_p3,
+    greatest(0.0, 1.0 - abs((CASE WHEN letter > 0 THEN vowel / letter
+                             ELSE 0.0 END) - {_d(0.4)}) / {_d(0.4)})
+        AS br_f1,
+    1.0 - (CASE WHEN alnum > 0 THEN (alnum - letter) / alnum
+           ELSE 0.0 END) AS br_f2
+  FROM lstats2
+), scored AS (
+  SELECT {id_col}, kind,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 1.0
+         ELSE {_ensemble('bl', BLANK_W, BLANK_W_PRIMARY, BLANK_W_ALL)}
+         END AS q_blank,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('lg', LEGIBILITY_W, LEGIBILITY_W_PRIMARY,
+                         LEGIBILITY_W_ALL)} END AS q_legibility,
+    CAST(present AS DOUBLE) / 5 AS q_completeness,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('no', NOISE_W, NOISE_W_PRIMARY, NOISE_W_ALL)}
+         END AS q_noise,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('co', CONTRAST_W, CONTRAST_W_PRIMARY,
+                         CONTRAST_W_ALL)} END AS q_contrast,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('br', BRIGHTNESS_W, BRIGHTNESS_W_PRIMARY,
+                         BRIGHTNESS_W_ALL)} END AS q_brightness
+  FROM prim
+), conf AS (
+  SELECT *,
+    CASE WHEN q_legibility < {_d(CRITICAL_LOW)}
+              OR (1.0 - q_noise) < {_d(CRITICAL_LOW)}
+         THEN {_d(CRITICAL_CAP)}
+         ELSE (q_legibility * 3.0 + q_completeness * 3.0
+               + (1.0 - q_noise) * 2.0 + q_contrast * 1.0
+               + q_brightness * 1.0) / 10.0 END AS confidence
+  FROM scored
+)
+SELECT {id_col}, kind, q_blank, q_legibility, q_completeness, q_noise,
+       q_contrast, q_brightness, confidence,
+       CASE WHEN q_blank >= {_d(BLANK_LOW)} THEN 're-scan'
+            WHEN confidence >= {_d(VERDICT_DIRECT)} THEN 'direct analysis'
+            WHEN confidence >= {_d(VERDICT_PREPROCESS)}
+                THEN 'pre-processing'
+            WHEN confidence >= {_d(VERDICT_AZURE)}
+                THEN 'azure document analysis'
+            ELSE 'reupload' END AS verdict,
+       {recs} AS recommendations
+FROM conf ORDER BY {id_col}
+"""

@@ -1,0 +1,67 @@
+"""The generated DuckDB quality oracle (functions/quality_sql) is
+bit-identical to the pure-Python core over the documents fixture and an
+adversarial ASCII set — every metric, confidence, verdict, and the
+recommendations string. (The Spark side is pinned to the same core by
+test_quality_vec / test_pipeline_oracle, closing the triangle.)"""
+
+from __future__ import annotations
+
+import duckdb
+
+from documentai_spark.core.entities import completeness_from_text
+from documentai_spark.core.quality import (
+    blank_score, brightness_score, confidence_score, contrast_score,
+    legibility_score, noise_score, recommendations_for, verdict_for,
+)
+from documentai_spark.functions.quality_sql import extract_quality_oracle_sql
+
+ADVERSARIAL = [
+    "", "   ", " \n\t \n ", "x", "ok", "a" * 200, " a  b   c ",
+    "\x00\x01\x02 control", "ALLCAPS TOKENS ONLY", "123 456 789",
+    "w" * 25 + " short", "PO NUMBER PO-1 DATED 01.01.2024 USD 5,000.00 FOB",
+    "no\nnewlines\nhandled\n\nblocks", "?? ## ~~ mojibake ^^ || \\\\",
+    "Even Line One\nEven Line Two\nEven Line Tri",
+    "x\n" + "a" * 300 + "\n\nyz\n" + "b" * 250,
+    "vertical\x0btab and\x1cseps\x1d\x1e\x1f here",
+]
+
+
+def _expected(t: str):
+    qb, ql = blank_score(t), legibility_score(t)
+    qc = completeness_from_text(t)
+    qn, qco, qbr = noise_score(t), contrast_score(t), brightness_score(t)
+    conf = confidence_score(ql, qc, qn, qco, qbr)
+    return (qb, ql, qc, qn, qco, qbr, conf, verdict_for(qb, conf),
+            " | ".join(recommendations_for(qb, ql, qc, qn, qco, qbr)))
+
+
+def _run_oracle(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con.execute(extract_quality_oracle_sql()).df()
+
+
+def test_sql_oracle_bit_identical_adversarial():
+    rows = [(i, t) for i, t in enumerate(ADVERSARIAL)]
+    df = _run_oracle(rows)
+    for (i, t), (_, r) in zip(rows, df.iterrows()):
+        qb, ql, qc, qn, qco, qbr, conf, v, recs = _expected(t)
+        got = (r.q_blank, r.q_legibility, r.q_completeness, r.q_noise,
+               r.q_contrast, r.q_brightness, r.confidence)
+        assert got == (qb, ql, qc, qn, qco, qbr, conf), (i, repr(t[:40]))
+        assert r.verdict == v and r.recommendations == recs, (i, repr(t))
+
+
+def test_sql_oracle_bit_identical_fixture_sample():
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "ORDER BY doc_id").fetchall()
+    df = _run_oracle(rows)
+    for (i, t), (_, r) in zip(rows, df.iterrows()):
+        qb, ql, qc, qn, qco, qbr, conf, v, recs = _expected(t)
+        assert (r.q_blank, r.q_legibility, r.q_completeness, r.q_noise,
+                r.q_contrast, r.q_brightness, r.confidence) \
+            == (qb, ql, qc, qn, qco, qbr, conf), i
+        assert r.verdict == v and r.recommendations == recs, i
