@@ -43,6 +43,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _lsh_ann_oracle_sql(dim: int = 64, m_bits: int = 6, seed: int = 7,
+                        k: int = 5, n_anchors: int = 10) -> str:
+    """DuckDB mirror of operators/similarity.lsh_ann_topk: the seeded
+    hyperplanes are driver-side literals, so bucket assignment and the
+    exact-cosine re-rank replay in SQL with the same left-associative
+    double sums (bit-identical folds -> identical ranking)."""
+    from documentai_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(dim, m_bits, seed)
+
+    def dot_lit(plane: list, arr: str) -> str:
+        return " + ".join(
+            f"CAST({x!r} AS DOUBLE) * {arr}[{i + 1}]"
+            for i, x in enumerate(plane))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot_lit(p, 'v')}) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    dot_vv = " + ".join(f"av[{i + 1}] * v[{i + 1}]" for i in range(dim))
+    norm = lambda a: ("sqrt(" + " + ".join(  # noqa: E731
+        f"{a}[{i + 1}] * {a}[{i + 1}]" for i in range(dim)) + ")")
+    return f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, v, ({bucket}) AS bucket FROM v
+        ), anchors AS (
+          SELECT vec_id AS anchor_id, v AS av, bucket FROM b
+          WHERE vec_id < {n_anchors}
+        ), cand AS (
+          SELECT a.anchor_id, b.vec_id,
+                 ({dot_vv}) / ({norm('av')} * {norm('v')}) AS cos
+          FROM anchors a JOIN b ON a.bucket = b.bucket
+          WHERE b.vec_id <> a.anchor_id
+        )
+        SELECT anchor_id, rank, neighbor_id FROM (
+          SELECT anchor_id, vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand
+        ) WHERE rank <= {k} ORDER BY anchor_id, rank
+    """
+
+
 def _quality_oracle_sql() -> str:
     from documentai_spark.functions.quality_sql import (
         extract_quality_oracle_sql,
@@ -1360,8 +1404,57 @@ def oracle_sql() -> dict[str, str]:
         # same Python constants — functions/quality_sql.py); the kind
         # dispatch runs for real, and a non-plain row would fail loudly
         "extract_quality": _quality_oracle_sql(),
-        # simhash_dups / lsh_ann / ivf_ann /
-        # classify_vote / entity_spans / categorized_entities:
+        # the static category table + regex value pulls, replayed as a
+        # UNION ALL per (category, label, field regex) with empty values
+        # dropped (api-gateway/app.py:85-105 semantics)
+        "categorized_entities": rf"""
+            WITH e AS (
+              SELECT conv_id, turn_idx,
+                regexp_extract(text,
+                  'PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)', 1, 'i') AS po_number,
+                regexp_extract(text,
+                  '\b(\d{{2}}[./-]\d{{2}}[./-]\d{{4}})\b', 1)
+                    AS date_numeric,
+                regexp_extract(text,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 1) AS currency,
+                regexp_extract(text,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 2) AS amount,
+                regexp_extract(text,
+                  '\b[A-Z]{{3}}\s+[\d,]+(?:\.\d+)?\b', 0)
+                    AS currency_amount,
+                regexp_extract(text, '\b(CFR|CIF|FOB|DAP|EXW)\b', 1)
+                    AS incoterm,
+                regexp_extract(text, '\b[\w.+-]+@[\w-]+\.[\w.]+\b', 0)
+                    AS email,
+                regexp_extract(text, '\+?\d[\d\s\-]{{7,14}}\d', 0) AS phone
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ), u AS (
+              SELECT conv_id, turn_idx, 'Basic Information' AS category,
+                     'Po Number' AS label, po_number AS value FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Basic Information',
+                     'Date Numeric', date_numeric FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Amounts',
+                     'Currency', currency FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Amounts',
+                     'Amount', amount FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Amounts',
+                     'Currency Amount', currency_amount FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Terms',
+                     'Incoterm', incoterm FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Contact',
+                     'Email', email FROM e
+              UNION ALL SELECT conv_id, turn_idx, 'Contact',
+                     'Phone', phone FROM e
+            )
+            SELECT conv_id, turn_idx, category, label, value FROM u
+            WHERE value <> ''
+            ORDER BY conv_id, turn_idx, category, label
+        """,
+        # hyperplane-LSH ANN: literal planes -> SQL bucket + exact
+        # re-rank (see _lsh_ann_oracle_sql)
+        "lsh_ann": _lsh_ann_oracle_sql(),
+        # simhash_dups / ivf_ann (KMeans fit not SQL-expressible) /
+        # classify_vote / entity_spans:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
         # signatures, or the Python span cascade with no DuckDB
         # equivalent; pinned by tests/)

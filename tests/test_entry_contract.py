@@ -16,10 +16,8 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs, f"oracle keys without queries: {os_ - qs}"
     # the rows-only set is intentional and documented
     rows_only = qs - os_
-    assert rows_only == {"simhash_dups",
-                         "lsh_ann", "ivf_ann", "classify_vote",
-                         "transcript_pipeline",
-                         "entity_spans", "categorized_entities"}
+    assert rows_only == {"simhash_dups", "ivf_ann", "classify_vote",
+                         "transcript_pipeline", "entity_spans"}
 
 
 def test_entry_returns_rows(spark):
