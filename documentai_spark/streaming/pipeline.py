@@ -46,6 +46,44 @@ def streaming_verdict_rollup(stream: DataFrame,
                .agg(F.count(F.lit(1)).alias("n_turns")))
 
 
+def streaming_conversation_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-conversation totals that survive across micro-batches.
+
+    This is the streaming form of the batch per-conversation rollup
+    (q_t_conv_stats): state = (n_turns, total_chars, max_turn_idx) per
+    conv_id; every micro-batch that touches a conversation emits its
+    updated totals (outputMode=update). At 10^12-turn scale the state
+    store shards by conv_id with the shuffle, so a conversation's state
+    lives on exactly one executor; mega-conversations are a single hot
+    key only for this aggregate's tiny fixed-size state, not for the
+    extraction work. A production variant would add EventTimeTimeout to
+    emit-and-evict closed conversations (state.setTimeoutTimestamp on the
+    watermark + gap); the fixture drain is one-shot, so the test pins the
+    no-timeout running-total semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_type = ("conv_id string, n_turns bigint, total_chars bigint, "
+                "max_turn_idx int")
+    state_type = "n_turns bigint, total_chars bigint, max_turn_idx int"
+
+    def update(key, pdfs, state):
+        n, chars, mx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf["text"].str.len().sum())
+            mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, chars, mx))
+        yield pd.DataFrame([{"conv_id": key[0], "n_turns": n,
+                             "total_chars": chars, "max_turn_idx": mx}])
+
+    return (stream.groupBy("conv_id")
+            .applyInPandasWithState(update, out_type, state_type,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def start_to_parquet(stream_df: DataFrame, out_path: str,
                      checkpoint: str, trigger_once: bool = True):
     """Exactly-once parquet sink; availableNow drains existing input."""

@@ -68,3 +68,35 @@ def test_watermarked_rollup(spark, transcripts_path):
                                    "verdict")
                           .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_conversation_totals(spark, transcripts_path):
+    """applyInPandasWithState running totals: state accumulates across
+    micro-batches (maxFilesPerTrigger forces several), and the FINAL
+    emission per conversation equals the batch groupBy rollup."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.streaming.pipeline import (
+        read_transcript_stream, streaming_conversation_totals,
+    )
+
+    stream = read_transcript_stream(spark, transcripts_path,
+                                    max_files_per_trigger=2)
+    out = streaming_conversation_totals(stream)
+    q = (out.writeStream.format("memory").queryName("conv_totals")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # totals are monotone across updates -> max() per conv == final state
+    got = {r.conv_id: (r.n_turns, r.total_chars, r.max_turn_idx)
+           for r in spark.sql(
+               "SELECT conv_id, max(n_turns) n_turns, "
+               "max(total_chars) total_chars, max(max_turn_idx) "
+               "max_turn_idx FROM conv_totals GROUP BY conv_id").collect()}
+    want = {r.conv_id: (r.n_turns, r.total_chars, r.max_turn_idx)
+            for r in spark.read.parquet(transcripts_path)
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.max("turn_idx").alias("max_turn_idx")).collect()}
+    assert got == want
