@@ -87,13 +87,13 @@ def _lsh_ann_oracle_sql(dim: int = 64, m_bits: int = 6, seed: int = 7,
     """
 
 
-def _quality_oracle_sql() -> str:
+def _quality_oracle_sql(**kw) -> str:
     from documentai_spark.functions.quality_sql import (
         extract_quality_oracle_sql,
     )
     return extract_quality_oracle_sql(
         kind_html_pat=_KIND_HTML_PAT, kind_blocksep=_KIND_BLOCKSEP,
-        kind_multicol=_KIND_MULTICOL)
+        kind_multicol=_KIND_MULTICOL, **kw)
 
 
 # --------------------------------------------------------------------------
@@ -781,6 +781,28 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("anchor_id", "rank")
 
 
+def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six-ensemble quality stack over the REAL input shape: the
+    fused extraction+quality UDF runs on the transcripts table, restricted
+    to plain-kind turns (the identity-extraction subset the SQL oracle can
+    mirror — html/layout extraction is Python-only). Membership itself is
+    cross-checked: the oracle recomputes kind from the shared RE2
+    dispatch, so a routing disagreement fails as a row-count mismatch."""
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction_and_quality,
+    )
+    t = _transcripts(spark)
+    df = with_verdict(with_extraction_and_quality(t))
+    return (df.filter(F.col("kind") == "plain")
+              .select("conv_id", "turn_idx", "kind", "q_blank",
+                      "q_legibility", "q_completeness", "q_noise",
+                      "q_contrast", "q_brightness", "confidence", "verdict",
+                      F.array_join("recommendations", " | ")
+                       .alias("recommendations"))
+              .orderBy("conv_id", "turn_idx"))
+
+
 def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction+quality pipeline over documents."""
     from documentai_spark.functions.verdict import with_verdict
@@ -824,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_stats": q_t_conv_stats,
         "t_role_islands": q_t_role_islands,
         "t_mega_skew": q_t_mega_skew,
+        "t_plain_quality": q_t_plain_quality,
         # rows-only (no SQL-expressible oracle):
         "extract_quality": q_extract_quality,
         "minhash_dedup": q_minhash_dedup,
@@ -1404,6 +1427,12 @@ def oracle_sql() -> dict[str, str]:
         # same Python constants — functions/quality_sql.py); the kind
         # dispatch runs for real, and a non-plain row would fail loudly
         "extract_quality": _quality_oracle_sql(),
+        # the same generated mirror over the transcripts fixture's
+        # plain-kind subset (composite key, membership cross-checked via
+        # the shared RE2 kind dispatch)
+        "t_plain_quality": _quality_oracle_sql(
+            table=f"read_parquet('{TRANSCRIPTS_TEST}/*.parquet')",
+            id_col="conv_id, turn_idx", only_plain=True),
         # the static category table + regex value pulls, replayed as a
         # UNION ALL per (category, label, field regex) with empty values
         # dropped (api-gateway/app.py:85-105 semantics)

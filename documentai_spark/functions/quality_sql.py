@@ -75,8 +75,13 @@ def _category(metric: str, value_expr: str) -> str:
 def extract_quality_oracle_sql(
         table: str = "documents", id_col: str = "doc_id",
         kind_html_pat: str = "", kind_blocksep: str = "",
-        kind_multicol: str = "") -> str:
-    """The full extract_quality mirror (see module docstring)."""
+        kind_multicol: str = "", only_plain: bool = False) -> str:
+    """The full extract_quality mirror (see module docstring).
+
+    ``id_col`` may be a comma-joined composite key ("conv_id, turn_idx");
+    ``only_plain=True`` restricts to kind='plain' rows (the identity-
+    extraction subset — lets the oracle run on mixed-kind tables like the
+    transcripts fixture, where html/layout extraction is Python-only)."""
     # entity presence for completeness (RE2 mirrors of the re.ASCII
     # patterns; EXPECTED_FIELDS = po/date_numeric/currency_amount/
     # incoterm/email)
@@ -93,6 +98,7 @@ def extract_quality_oracle_sql(
             f"WHEN contains(t, chr(10)) AND (regexp_matches(t, "
             f"'{kind_blocksep}') OR regexp_matches(t, '{kind_multicol}')) "
             f"THEN 'layout' ELSE 'plain' END") if kind_html_pat else "'plain'"
+    plain_filter = " WHERE kind = 'plain'" if only_plain else ""
 
     mcol = {"legibility": "q_legibility", "completeness": "q_completeness",
             "noise": "q_noise", "contrast": "q_contrast",
@@ -113,13 +119,15 @@ def extract_quality_oracle_sql(
             + "], x -> x IS NOT NULL), ' | '), '') END")
 
     return f"""
-WITH src AS (
+WITH src0 AS (
   -- quality runs on the EXTRACTED text; only the identity (plain) branch
-  -- is mirror-able in SQL — non-plain rows would change `kind` and fail
-  -- the compare loudly (fixture verified 100% plain/ASCII)
+  -- is mirror-able in SQL — an unexpected non-plain row changes `kind`
+  -- and fails the compare loudly
   SELECT {id_col}, {kind} AS kind, text AS t FROM (
     SELECT {id_col}, text, text AS t FROM {table}
   )
+), src AS (
+  SELECT * FROM src0{plain_filter}
 ), counts AS (
   SELECT {id_col}, kind, t,
     CAST(length(t) AS DOUBLE) AS n,
