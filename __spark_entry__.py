@@ -795,9 +795,12 @@ def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark)
     df = with_verdict(with_extraction_and_quality(t))
     return (df.filter(F.col("kind") == "plain")
-              .select("conv_id", "turn_idx", "kind", "q_blank",
-                      "q_legibility", "q_completeness", "q_noise",
-                      "q_contrast", "q_brightness", "confidence", "verdict",
+              .select("conv_id", "turn_idx", "kind",
+                      F.length("extracted_text").alias("n_extracted_chars"),
+                      F.size("spans").alias("n_spans"),
+                      "q_blank", "q_legibility", "q_completeness",
+                      "q_noise", "q_contrast", "q_brightness", "confidence",
+                      "verdict",
                       F.array_join("recommendations", " | ")
                        .alias("recommendations"))
               .orderBy("conv_id", "turn_idx"))
@@ -1432,7 +1435,8 @@ def oracle_sql() -> dict[str, str]:
         # the shared RE2 kind dispatch)
         "t_plain_quality": _quality_oracle_sql(
             table=f"read_parquet('{TRANSCRIPTS_TEST}/*.parquet')",
-            id_col="conv_id, turn_idx", only_plain=True),
+            id_col="conv_id, turn_idx", only_plain=True,
+            span_counts=True),
         # the static category table + regex value pulls, replayed as a
         # UNION ALL per (category, label, field regex) with empty values
         # dropped (api-gateway/app.py:85-105 semantics)

@@ -75,7 +75,8 @@ def _category(metric: str, value_expr: str) -> str:
 def extract_quality_oracle_sql(
         table: str = "documents", id_col: str = "doc_id",
         kind_html_pat: str = "", kind_blocksep: str = "",
-        kind_multicol: str = "", only_plain: bool = False) -> str:
+        kind_multicol: str = "", only_plain: bool = False,
+        span_counts: bool = False) -> str:
     """The full extract_quality mirror (see module docstring).
 
     ``id_col`` may be a comma-joined composite key ("conv_id, turn_idx");
@@ -99,6 +100,13 @@ def extract_quality_oracle_sql(
             f"'{kind_blocksep}') OR regexp_matches(t, '{kind_multicol}')) "
             f"THEN 'layout' ELSE 'plain' END") if kind_html_pat else "'plain'"
     plain_filter = " WHERE kind = 'plain'" if only_plain else ""
+    # plain-branch extraction surface (core/extract._extract_plain):
+    # extracted == text; spans = non-empty lines
+    sc_counts = (", CAST(length(t) AS INT) AS n_extracted_chars, "
+                 "CAST(len(list_filter(string_split(t, chr(10)), "
+                 f"x -> trim(x, {ws_chars}) <> '')) AS INT) AS n_spans"
+                 if span_counts else "")
+    sc_pass = (", n_extracted_chars, n_spans" if span_counts else "")
 
     mcol = {"legibility": "q_legibility", "completeness": "q_completeness",
             "noise": "q_noise", "contrast": "q_contrast",
@@ -150,7 +158,7 @@ WITH src0 AS (
     CAST(len(list_distinct(regexp_extract_all(t, '(?s).'))) AS DOUBLE)
         AS distinct_full,
     [CAST(length(x) AS DOUBLE) for x in string_split(t, chr(10))] AS ll,
-    ({present}) AS present
+    ({present}) AS present{sc_counts}
   FROM src
 ), lstats AS (
   SELECT *, CAST(len(ll) AS DOUBLE) AS lk,
@@ -162,7 +170,7 @@ WITH src0 AS (
     n - ws AS nonws
   FROM lstats
 ), prim AS (
-  SELECT {id_col}, kind, n, strip_len, present,
+  SELECT {id_col}, kind, n, strip_len, present{sc_pass},
     -- blank (raw text)
     CASE WHEN n > 0 THEN ws / n ELSE 0.0 END AS bl_p1,
     1.0 - least(1.0, tokens / 5.0) AS bl_p2,
@@ -209,7 +217,7 @@ WITH src0 AS (
            ELSE 0.0 END) AS br_f2
   FROM lstats2
 ), scored AS (
-  SELECT {id_col}, kind,
+  SELECT {id_col}, kind{sc_pass},
     CASE WHEN n = 0 OR strip_len = 0 THEN 1.0
          ELSE {_ensemble('bl', BLANK_W, BLANK_W_PRIMARY, BLANK_W_ALL)}
          END AS q_blank,
@@ -237,8 +245,8 @@ WITH src0 AS (
                + q_brightness * 1.0) / 10.0 END AS confidence
   FROM scored
 )
-SELECT {id_col}, kind, q_blank, q_legibility, q_completeness, q_noise,
-       q_contrast, q_brightness, confidence,
+SELECT {id_col}, kind{sc_pass}, q_blank, q_legibility, q_completeness,
+       q_noise, q_contrast, q_brightness, confidence,
        CASE WHEN q_blank >= {_d(BLANK_LOW)} THEN 're-scan'
             WHEN confidence >= {_d(VERDICT_DIRECT)} THEN 'direct analysis'
             WHEN confidence >= {_d(VERDICT_PREPROCESS)}
