@@ -38,6 +38,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 _SWIFT_CODES_SQL = ", ".join(f"'{c}'" for c in sorted(ENTITY_CODES))
 
+# Python str.strip()'s ASCII whitespace set as a DuckDB trim charset
+_WSC = ("' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+        " || chr(28) || chr(29) || chr(30) || chr(31)")
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -781,6 +785,41 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("anchor_id", "rank")
 
 
+PO_DOCS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "data", "po_docs")
+
+
+def q_po_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed purchase-order extraction (extractor/purchase_order.py:5-85
+    regex-for-regex) over the committed synthetic PO corpus, fully
+    oracle-checked: block joins, the seller PO-NUMBER line skip, the
+    missing-DATED empty path, comma strips — all replayed in RE2+list
+    SQL."""
+    from documentai_spark.operators.typed_entities import with_po_entities
+    docs = spark.read.parquet(PO_DOCS)
+    out = with_po_entities(docs)
+    return (out.select("doc_id", "po_number", "po_date", "seller_name",
+                       "buyer_name", "goods_description", "quantity",
+                       "currency", "total_value", "delivery_terms",
+                       "unit_price")
+               .orderBy("doc_id"))
+
+
+def q_pi_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed proforma-invoice extraction (extractor/performa_invoice.py)
+    over the transcripts fixture (PI No / Date fire on ~1.4k turns;
+    the goods-table path is pinned by tests/test_typed_extract.py)."""
+    from documentai_spark.operators.typed_entities import with_pi_entities
+    out = with_pi_entities(_transcripts(spark))
+    return (out.select("conv_id", "turn_idx", "invoice_number",
+                       "invoice_date", "contract_po_reference",
+                       "incoterm_named_place",
+                       "shipment_period_or_delivery_date",
+                       "payment_terms", "country_of_origin",
+                       "currency", "total_amount")
+               .orderBy("conv_id", "turn_idx"))
+
+
 def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The six-ensemble quality stack over the REAL input shape: the
     fused extraction+quality UDF runs on the transcripts table, restricted
@@ -850,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_role_islands": q_t_role_islands,
         "t_mega_skew": q_t_mega_skew,
         "t_plain_quality": q_t_plain_quality,
+        "po_extraction": q_po_extraction,
+        "pi_extraction": q_pi_extraction,
         # rows-only (no SQL-expressible oracle):
         "extract_quality": q_extract_quality,
         "minhash_dedup": q_minhash_dedup,
@@ -1486,6 +1527,92 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane-LSH ANN: literal planes -> SQL bucket + exact
         # re-rank (see _lsh_ann_oracle_sql)
         "lsh_ann": _lsh_ann_oracle_sql(),
+        # purchase_order.py:5-85 replayed in RE2 + list SQL; the
+        # lookahead po_number pattern uses the equivalent consuming form
+        # (identical group under greedy backtracking); line filters run
+        # on the RAW line like the reference's startswith
+        "po_extraction": rf"""
+            WITH src AS (
+              SELECT doc_id, text AS t
+              FROM read_parquet('{PO_DOCS}/*.parquet')
+            ), blocks AS (
+              SELECT doc_id, t,
+                regexp_extract(t, '(?is)SELLER.*?\n(.*?)\nBUYER', 1)
+                    AS seller_block,
+                regexp_extract(t,
+                  '(?i)BUYER\s*\n([\s\S]+?)(UNITED ARAB EMIRATES)', 1)
+                    AS buyer_block,
+                regexp_matches(t,
+                  '(?i)BUYER\s*\n[\s\S]+?UNITED ARAB EMIRATES') AS has_buyer
+              FROM src
+            )
+            SELECT doc_id,
+              trim(regexp_extract(t,
+                '(?i)PO NUMBER\s*[:\-]?\s*([A-Z0-9/ ]+)\s*DATED', 1),
+                {_WSC}) AS po_number,
+              regexp_extract(t,
+                'DATED\s*([0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}})', 1)
+                  AS po_date,
+              COALESCE(array_to_string(
+                [trim(x, {_WSC}) for x in string_split(seller_block, chr(10))
+                 if length(trim(x, {_WSC})) > 0
+                    AND NOT starts_with(upper(x), 'PO NUMBER')],
+                ', '), '') AS seller_name,
+              CASE WHEN has_buyer THEN
+                COALESCE(array_to_string(
+                  [trim(x, {_WSC}) for x in string_split(buyer_block, chr(10))
+                   if length(trim(x, {_WSC})) > 0], ', '), '')
+                || ', UNITED ARAB EMIRATES'
+              ELSE '' END AS buyer_name,
+              trim(replace(regexp_extract(t,
+                '(?is)DESCRIPTION OF GOODS\s*\n(.+?)'
+                '(\nPARTIAL SHIPMENT|\nTRANSHIPMENT|\n{{2,}}|$)', 1),
+                chr(10), ' '), {_WSC}) AS goods_description,
+              replace(regexp_extract(t,
+                '(?i)[0-9,]+(?:\.\d+)?\s*(?:MT|KG|TON|PCS)', 0), ',', '')
+                  AS quantity,
+              regexp_extract(t,
+                '(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{{2}})', 1) AS currency,
+              regexp_extract(t,
+                '(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{{2}})', 2) AS total_value,
+              trim(regexp_extract(t,
+                '(?i)(CFR|CIF|FOB|DAP|EXW)[ \w,()/-]+(?:INCOTERMS ?\d{{4}})?',
+                0), {_WSC}) AS delivery_terms,
+              '' AS unit_price
+            FROM blocks ORDER BY doc_id
+        """,
+        # performa_invoice.py scalar fields via RE2 (case-SENSITIVE like
+        # the reference; the goods-table split is pinned by tests)
+        "pi_extraction": rf"""
+            SELECT conv_id, turn_idx,
+              regexp_extract(text, 'PI No\s*([A-Za-z0-9\-]+)', 1)
+                  AS invoice_number,
+              regexp_extract(text,
+                'Date\s*([0-9]{{2}}-[A-Za-z]{{3}}-[0-9]{{4}})', 1)
+                  AS invoice_date,
+              regexp_extract(text, 'PI No\s*([A-Za-z0-9\-]+)', 1)
+                  AS contract_po_reference,
+              trim(regexp_extract(text,
+                'Shipment Terms\s*\|\s*(.+?)\s*Delivery Window', 1),
+                {_WSC}) AS incoterm_named_place,
+              CASE WHEN regexp_matches(text,
+                     'Delivery Window\s*By\s*[0-9A-Za-z\-]+')
+                   THEN 'By ' || regexp_extract(text,
+                     'Delivery Window\s*By\s*([0-9A-Za-z\-]+)', 1)
+                   ELSE '' END AS shipment_period_or_delivery_date,
+              trim(regexp_extract(text, 'Payment Terms:\s*([^\n]+)', 1),
+                {_WSC}) AS payment_terms,
+              regexp_extract(text, 'Origin:\s*([A-Za-z]+)', 1)
+                  AS country_of_origin,
+              regexp_extract(text,
+                'Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{{2}})', 1)
+                  AS currency,
+              replace(regexp_extract(text,
+                'Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{{2}})', 2),
+                ',', '') AS total_amount
+            FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ORDER BY conv_id, turn_idx
+        """,
         # simhash_dups / ivf_ann (KMeans fit not SQL-expressible) /
         # classify_vote / entity_spans:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based

@@ -1,0 +1,148 @@
+"""Document-type-specific extractors (pure Python; UDF oracle).
+
+Rebuilt regex-for-regex from the reference's typed extractor classes:
+
+- ``extract_purchase_order`` — entity_extraction_updated/extractor/
+  purchase_order.py:5-85: PO number (bounded by DATED), PO date, fuzzy
+  SELLER/BUYER blocks with line filtering + comma joins, goods
+  description up to PARTIAL SHIPMENT/TRANSHIPMENT/blank-blank, quantity
+  with unit, currency + total value, delivery terms with optional
+  INCOTERMS year; unit_price / payment_terms /
+  governing_law_or_force_majeure are structurally absent in the PO format
+  and stay '' (purchase_order.py:63-84).
+- ``extract_proforma_invoice`` — extractor/performa_invoice.py:5-71:
+  PI number/date, fixed-party seller/buyer lines, incoterm+named place,
+  delivery window, payment terms, origin, the goods TABLE split from the
+  right into 6 fields per row (performa_invoice.py:43-65; see also
+  functions/goods.parse_goods_row for the Spark column form), total
+  amount + currency with comma strip.
+
+Every field returns '' when its pattern misses (the reference's
+ternary-else-'' convention), so downstream rule validation sees the same
+missing-field semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+# purchase_order.py:13-15 — the (?=\s*DATED) lookahead is kept verbatim;
+# the DuckDB oracle uses the equivalent consuming form
+# '([A-Z0-9/ ]+)\s*DATED' (identical group under greedy backtracking)
+_PO_NUMBER = re.compile(r"PO NUMBER\s*[:\-]?\s*([A-Z0-9\/ ]+)(?=\s*DATED)",
+                        re.I)
+_PO_DATE = re.compile(r"DATED\s*([0-9]{2}\.[0-9]{2}\.[0-9]{4})")
+_SELLER = re.compile(r"SELLER.*?\n(.*?)(?:\nBUYER)", re.I | re.S)
+_BUYER = re.compile(r"BUYER\s*\n([\s\S]+?)(UNITED ARAB EMIRATES)", re.I)
+_GOODS_DESC = re.compile(
+    r"DESCRIPTION OF GOODS\s*\n(.+?)(?:\nPARTIAL SHIPMENT|\nTRANSHIPMENT"
+    r"|\n{2,}|$)", re.S | re.I)
+_QUANTITY = re.compile(r"([0-9,]+(?:\.\d+)?\s*(?:MT|KG|TON|PCS))", re.I)
+_TOTAL_VALUE = re.compile(r"(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{2})")
+_DELIVERY = re.compile(r"(CFR|CIF|FOB|DAP|EXW)[ \w,()/-]+(INCOTERMS ?\d{4})?",
+                       re.I)
+
+PO_FIELDS = ("po_number", "po_date", "seller_name", "buyer_name",
+             "goods_description", "quantity", "unit_price", "currency",
+             "total_value", "delivery_terms", "payment_terms",
+             "governing_law_or_force_majeure")
+
+
+def extract_purchase_order(text: str) -> dict[str, str]:
+    """purchase_order.py:5-85, field for field."""
+    t = text or ""
+    e: dict[str, str] = {}
+    m = _PO_NUMBER.search(t)
+    e["po_number"] = m.group(1).strip() if m else ""
+    m = _PO_DATE.search(t)
+    e["po_date"] = m.group(1).strip() if m else ""
+    m = _SELLER.search(t)
+    if m:  # skip PO NUMBER lines inside the block (purchase_order.py:29-31)
+        lines = [ln.strip() for ln in m.group(1).split("\n")
+                 if ln.strip() and not ln.upper().startswith("PO NUMBER")]
+        e["seller_name"] = ", ".join(lines)
+    else:
+        e["seller_name"] = ""
+    m = _BUYER.search(t)
+    if m:  # purchase_order.py:36-43
+        lines = [ln.strip() for ln in m.group(1).split("\n") if ln.strip()]
+        e["buyer_name"] = ", ".join(lines) + ", UNITED ARAB EMIRATES"
+    else:
+        e["buyer_name"] = ""
+    m = _GOODS_DESC.search(t)
+    e["goods_description"] = (m.group(1).replace("\n", " ").strip()
+                              if m else "")
+    m = _QUANTITY.search(t)
+    e["quantity"] = m.group(1).replace(",", "") if m else ""
+    e["unit_price"] = ""  # purchase_order.py:63-64
+    m = _TOTAL_VALUE.search(t)
+    e["currency"] = m.group(1) if m else ""
+    e["total_value"] = m.group(2) if m else ""
+    m = _DELIVERY.search(t)
+    e["delivery_terms"] = m.group(0).strip() if m else ""
+    e["payment_terms"] = ""  # purchase_order.py:80-81
+    e["governing_law_or_force_majeure"] = ""  # purchase_order.py:83-84
+    return e
+
+
+# performa_invoice.py:10-41,67-70
+_PI_NO = re.compile(r"PI No\s*([A-Za-z0-9\-]+)")
+_PI_DATE = re.compile(r"Date\s*([0-9]{2}-[A-Za-z]{3}-[0-9]{4})")
+_PI_SELLER = re.compile(r"(Global Exports Ltd\.,[^\n]+)")
+_PI_BUYER = re.compile(r"(ABC Importers LLC,[^\n]+)")
+_PI_INCOTERM = re.compile(r"Shipment Terms\s*\|\s*(.+?)\s*Delivery Window")
+_PI_WINDOW = re.compile(r"Delivery Window\s*By\s*([0-9A-Za-z\-]+)")
+_PI_PAYMENT = re.compile(r"Payment Terms:\s*([^\n]+)")
+_PI_ORIGIN = re.compile(r"Origin:\s*([A-Za-z]+)")
+_PI_TABLE_HEADER = re.compile(
+    r"Description HS Code Qty Unit Unit Price Amount\s*\n")
+_PI_TOTAL = re.compile(r"Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})")
+
+PI_FIELDS = ("invoice_number", "invoice_date", "seller", "buyer",
+             "contract_po_reference", "incoterm_named_place",
+             "shipment_period_or_delivery_date", "payment_terms",
+             "country_of_origin", "currency", "total_amount")
+
+
+def extract_proforma_invoice(text: str) -> tuple[dict[str, str], list[dict]]:
+    """performa_invoice.py:5-71: (scalar fields, goods rows)."""
+    t = text or ""
+    e: dict[str, str] = {}
+    m = _PI_NO.search(t)
+    e["invoice_number"] = m.group(1) if m else ""
+    m = _PI_DATE.search(t)
+    e["invoice_date"] = m.group(1) if m else ""
+    m = _PI_SELLER.search(t)
+    e["seller"] = m.group(1).strip() if m else ""
+    m = _PI_BUYER.search(t)
+    e["buyer"] = m.group(1).strip() if m else ""
+    e["contract_po_reference"] = e["invoice_number"]  # :24-25
+    m = _PI_INCOTERM.search(t)
+    e["incoterm_named_place"] = m.group(1).strip() if m else ""
+    m = _PI_WINDOW.search(t)
+    e["shipment_period_or_delivery_date"] = (
+        f"By {m.group(1)}" if m else "")
+    m = _PI_PAYMENT.search(t)
+    e["payment_terms"] = m.group(1).strip() if m else ""
+    m = _PI_ORIGIN.search(t)
+    e["country_of_origin"] = m.group(1) if m else ""
+    goods: list[dict] = []
+    m = _PI_TABLE_HEADER.search(t)
+    if m:  # split-from-right goods rows (performa_invoice.py:47-64)
+        for line in t[m.end():].strip().split("\n"):
+            raw = line.strip()
+            if not raw or "Total" in raw or raw.startswith("<b>"):
+                break
+            parts = raw.rsplit(" ", 5)
+            if len(parts) == 6:
+                desc, hs, qty, unit, price, amount = parts
+                goods.append({"description": desc.strip(),
+                              "hs_code": hs.strip(),
+                              "quantity": qty.strip(),
+                              "unit": unit.strip(),
+                              "unit_price": price.strip(),
+                              "amount": amount.replace(",", "").strip()})
+    m = _PI_TOTAL.search(t)
+    e["currency"] = m.group(1) if m else ""
+    e["total_amount"] = m.group(2).replace(",", "") if m else ""
+    return e, goods
