@@ -220,6 +220,18 @@ class _Extractor:
         return self.units
 
 
+def table_rows(text: str) -> list[list[str]]:
+    """All table rows as raw cell-text lists (collapsed, empties kept) —
+    the ``find_all('tr') -> find_all('td')`` traversal surface the LC
+    extractor consumes (extractor/lc_application.py:20-36)."""
+    parser = _Extractor()
+    try:
+        parser.feed(text)
+    except Exception:
+        return []
+    return [u.cells for u in parser.finish() if u.kind == "row"]
+
+
 def extract_html(text: str) -> tuple[str, list[tuple[int, int, str, str]]]:
     """HTML fragment -> (extracted_text, spans).
 

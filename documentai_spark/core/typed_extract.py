@@ -98,6 +98,44 @@ _PI_TABLE_HEADER = re.compile(
     r"Description HS Code Qty Unit Unit Price Amount\s*\n")
 _PI_TOTAL = re.compile(r"Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})")
 
+# LC application SWIFT field codes, verbatim (lc_application.py:8-13 —
+# note these are the F-prefixed table codes, distinct from the bare tag
+# set in core/entities.ENTITY_CODES used by the generic swift_tag regex)
+LC_ENTITY_CODES = (
+    "F-40A", "F-23", "F-31C", "F40E", "F31D", "F51A", "F50", "F59", "F32B",
+    "F39A", "F39C", "F41A", "F42C", "F42A_2", "F42M", "F42P", "F43P",
+    "F43T", "F44A", "F44E", "F44F", "F44B", "F44C", "F44D", "F45A", "F46A",
+    "F47A", "F718", "F48", "F49", "F53A", "F78", "F57A", "F72",
+)
+
+_LC_NORM = {c.replace("-", "").replace(" ", "").lower(): c
+            for c in LC_ENTITY_CODES}
+
+
+def extract_lc_application(md_text: str,
+                           existing_entities: dict[str, str] | None = None
+                           ) -> dict[str, str]:
+    """LC table-code extraction (lc_application.py:16-37
+    ``extract_entities_from_html_tables``): per table row, a first cell
+    that normalizes (dash/space-stripped, lowercased) to a known F-code
+    yields that code's value from the THIRD cell (merged-colspan rows:
+    the SECOND); first occurrence wins across tables/pages."""
+    from documentai_spark.core.html_extract import table_rows
+    out = dict(existing_entities) if existing_entities else {}
+    for cells in table_rows(md_text or ""):
+        if len(cells) >= 3:
+            value_idx = 2
+        elif len(cells) == 2:
+            value_idx = 1
+        else:
+            continue
+        key = cells[0].replace("-", "").replace(" ", "").lower()
+        code = _LC_NORM.get(key)
+        if code is not None and code not in out:
+            out[code] = cells[value_idx]
+    return out
+
+
 PI_FIELDS = ("invoice_number", "invoice_date", "seller", "buyer",
              "contract_po_reference", "incoterm_named_place",
              "shipment_period_or_delivery_date", "payment_terms",

@@ -128,3 +128,47 @@ def test_typed_udfs(spark):
     assert r.invoice_number == "PI-2024-001"
     assert [g.description for g in r.goods] == ["Basmati Rice Grade A",
                                                 "Cane Sugar"]
+
+
+def test_lc_application_table_codes():
+    """LC F-code table extraction (lc_application.py:16-37): normalized
+    first-cell code match, value from cell 3 (or cell 2 on merged rows),
+    first-wins across tables."""
+    from documentai_spark.core.typed_extract import extract_lc_application
+
+    html = """
+    <table>
+      <tr><td>F-40A</td><td>x</td><td>IRREVOCABLE</td></tr>
+      <tr><td>f 31c</td><td>y</td><td>240115</td></tr>
+      <tr><td>F32B</td><td>USD 500,000.00</td></tr>
+      <tr><td>UNKNOWN</td><td>a</td><td>b</td></tr>
+      <tr><td>ignored</td></tr>
+    </table>
+    <table>
+      <tr><td>F-40A</td><td>z</td><td>SHOULD NOT OVERWRITE</td></tr>
+    </table>
+    """
+    e = extract_lc_application(html)
+    assert e["F-40A"] == "IRREVOCABLE"          # first-wins
+    assert e["F-31C"] == "240115"               # normalized 'f 31c'
+    assert e["F32B"] == "USD 500,000.00"        # 2-cell merged row
+    assert "UNKNOWN" not in e and len(e) == 3
+
+    # existing entities are preserved, not overwritten
+    e2 = extract_lc_application(html, {"F-40A": "KEEP"})
+    assert e2["F-40A"] == "KEEP"
+
+
+def test_lc_plus_rule_validation_roundtrip():
+    """LC codes feed the cross-field date rule (the reference's marquee
+    check: expiry 31D on-or-after issue 31C) through the same rule core."""
+    from documentai_spark.core.rules import compile_rules, validate_entities
+    from documentai_spark.core.typed_extract import extract_lc_application
+
+    html = ("<table><tr><td>F-31C</td><td>.</td><td>240115</td></tr>"
+            "<tr><td>F31D</td><td>.</td><td>240315</td></tr></table>")
+    ents = {k.lower().replace("-", ""): v
+            for k, v in extract_lc_application(html).items()}
+    rules = compile_rules(["f31d must be on or after f31c"])
+    res = validate_entities(rules, ents)
+    assert res["overall_valid"]
