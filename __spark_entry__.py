@@ -605,8 +605,7 @@ def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.array_sort(F.map_keys("entities")), ",")
                  .alias("fields"),
                 F.round("extraction_confidence", 6)
-                 .alias("extraction_confidence"))
-               .orderBy("conv_id", "turn_idx"))
+                 .alias("extraction_confidence")))
 
 
 def q_entity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,10 +616,9 @@ def q_entity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_entities(_transcripts(spark), extracted_col="text")
     e = lambda f: F.coalesce(F.element_at("entities", F.lit(f)),  # noqa: E731
                              F.lit("")).alias(f)
-    return (out.select("conv_id", "turn_idx", e("po_number"),
-                       e("date_numeric"), e("currency"), e("amount"),
-                       e("incoterm"), e("email"))
-               .orderBy("conv_id", "turn_idx"))
+    return out.select("conv_id", "turn_idx", e("po_number"),
+                      e("date_numeric"), e("currency"), e("amount"),
+                      e("incoterm"), e("email"))
 
 
 def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,8 +632,7 @@ def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ex.select("conv_id", "turn_idx", F.col("s.field").alias("field"),
                       F.col("s.begin").alias("begin"),
                       F.col("s.end").alias("end"))
-              .filter(F.col("begin").isNotNull())
-              .orderBy("conv_id", "turn_idx", "field"))
+              .filter(F.col("begin").isNotNull()))
 
 
 def q_categorized_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,10 +650,9 @@ def q_categorized_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("category", "entries"))
     ex = ex.select("conv_id", "turn_idx", "category",
                    F.explode("entries").alias("e"))
-    return (ex.select("conv_id", "turn_idx", "category",
-                      F.col("e.label").alias("label"),
-                      F.col("e.value").alias("value"))
-              .orderBy("conv_id", "turn_idx", "category", "label"))
+    return ex.select("conv_id", "turn_idx", "category",
+                     F.col("e.label").alias("label"),
+                     F.col("e.value").alias("value"))
 
 
 def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,9 +669,8 @@ def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
          "date_numeric must be a valid date",
          "amount must be a number",
          "currency must be one of USD, EUR or GBP"])
-    return (out.select("conv_id", "turn_idx", "rules_passed",
-                       "rules_failed", "overall_valid")
-               .orderBy("conv_id", "turn_idx"))
+    return out.select("conv_id", "turn_idx", "rules_passed",
+                      "rules_failed", "overall_valid")
 
 
 def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,8 +704,7 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        r[0]["passed"].alias("date_ok"),
                        r[1]["passed"].alias("choice_ok"),
                        r[2]["passed"].alias("unique_ok"),
-                       "rules_passed", "overall_valid")
-               .orderBy("doc_id"))
+                       "rules_passed", "overall_valid"))
 
 
 def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,9 +735,9 @@ def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents") \
         .withColumnRenamed("text", "extracted_text")
     out = classify_with_ml_vote(docs, cfg, model)
-    return (out.select("doc_id", "technique_1", "technique_2", "technique_3",
-                       "technique_4", "category", "vote_confidence")
-               .orderBy("doc_id"))
+    return out.select("doc_id", "technique_1", "technique_2",
+                      "technique_3", "technique_4", "category",
+                      "vote_confidence")
 
 
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,8 +795,7 @@ def q_po_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", "po_number", "po_date", "seller_name",
                        "buyer_name", "goods_description", "quantity",
                        "currency", "total_value", "delivery_terms",
-                       "unit_price")
-               .orderBy("doc_id"))
+                       "unit_price"))
 
 
 def q_pi_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +809,7 @@ def q_pi_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "incoterm_named_place",
                        "shipment_period_or_delivery_date",
                        "payment_terms", "country_of_origin",
-                       "currency", "total_amount")
-               .orderBy("conv_id", "turn_idx"))
+                       "currency", "total_amount"))
 
 
 def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,8 +833,7 @@ def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "q_noise", "q_contrast", "q_brightness", "confidence",
                       "verdict",
                       F.array_join("recommendations", " | ")
-                       .alias("recommendations"))
-              .orderBy("conv_id", "turn_idx"))
+                       .alias("recommendations")))
 
 
 def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,8 +849,7 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "q_completeness", "q_noise", "q_contrast",
                      "q_brightness", "confidence", "verdict",
                      F.array_join("recommendations", " | ")
-                      .alias("recommendations")) \
-             .orderBy("doc_id")
+                      .alias("recommendations"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
