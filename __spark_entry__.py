@@ -740,6 +740,29 @@ def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "vote_confidence")
 
 
+def q_classify_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL rule-technique classification chain, oracle-checked: 3
+    techniques (substring len*4 scoring, regex occurrence count, token
+    overlap) + the insertion-order majority vote + consecutive grouping
+    with max_pages chunking (documentClassifier.py:406-557, 928-948,
+    1039-1121) — every stage replayed in SQL over the transcripts. The
+    ML 4th vote stays in classify_vote (rows-only; fitted model)."""
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, classify_with_vote, group_consecutive,
+    )
+    cfg = ClassifierConfig.compile({
+        "billing": {"keywords": ["invoice", "amount", "total"],
+                    "max_pages": 3},
+        "shipping": {"keywords": ["vessel", "port", "freight", "shipment"]},
+        "credit": {"keywords": ["credit", "beneficiary"]},
+    })
+    t = _transcripts(spark).withColumnRenamed("text", "extracted_text")
+    out = group_consecutive(classify_with_vote(t, cfg), cfg)
+    return out.select("conv_id", "turn_idx", "technique_1", "technique_2",
+                      "technique_3", "category", "vote_confidence",
+                      "group_id")
+
+
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL flagship pipeline over the committed transcripts table
     (rows-only; per-turn byte-equality is pinned by tests, but this makes
@@ -894,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_validation": q_rule_validation,
         "rule_cross_field": q_rule_cross_field,
         "classify_vote": q_classify_vote,
+        "classify_grouping": q_classify_grouping,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -1602,6 +1626,108 @@ def oracle_sql() -> dict[str, str]:
                 ',', '') AS total_amount
             FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
             ORDER BY conv_id, turn_idx
+        """,
+        # the 3-technique chain + insertion-order vote + consecutive
+        # grouping, all in SQL (scores are compile-time constants:
+        # len(kw)*4*weight; patterns alphabetical per ClassifierConfig)
+        "classify_grouping": rf"""
+            WITH base AS (
+              SELECT conv_id, turn_idx,
+                length(trim(text)) < 5 AS too_short,
+                regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS nt,
+                trim(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'))
+                    AS snt,
+                lower(text) AS lt
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ), scored AS (
+              SELECT conv_id, turn_idx, too_short,
+                CASE WHEN contains(nt,'invoice') THEN 28.0 ELSE 0 END
+                + CASE WHEN contains(nt,'amount') THEN 24.0 ELSE 0 END
+                + CASE WHEN contains(nt,'total') THEN 20.0 ELSE 0 END AS a0,
+                CASE WHEN contains(nt,'shipment') THEN 32.0 ELSE 0 END
+                + CASE WHEN contains(nt,'freight') THEN 28.0 ELSE 0 END
+                + CASE WHEN contains(nt,'vessel') THEN 24.0 ELSE 0 END
+                + CASE WHEN contains(nt,'port') THEN 16.0 ELSE 0 END AS a1,
+                CASE WHEN contains(nt,'beneficiary') THEN 44.0 ELSE 0 END
+                + CASE WHEN contains(nt,'credit') THEN 24.0 ELSE 0 END AS a2,
+                CAST(len(regexp_extract_all(lt,
+                  'amount|invoice|total')) AS DOUBLE) AS b0,
+                CAST(len(regexp_extract_all(lt,
+                  'freight|port|shipment|vessel')) AS DOUBLE) AS b1,
+                CAST(len(regexp_extract_all(lt,
+                  'beneficiary|credit')) AS DOUBLE) AS b2,
+                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                  if x IN ('invoice','amount','total')]) AS DOUBLE) AS c0,
+                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                  if x IN ('vessel','port','freight','shipment')])
+                  AS DOUBLE) AS c1,
+                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                  if x IN ('credit','beneficiary')]) AS DOUBLE) AS c2
+              FROM base
+            ), tech AS (
+              SELECT conv_id, turn_idx, too_short,
+                CASE WHEN too_short THEN 'unclassified'
+                     WHEN a0 >= a1 AND a0 >= a2 AND a0 > 0 THEN 'billing'
+                     WHEN a1 >= a2 AND a1 > 0 THEN 'shipping'
+                     WHEN a2 > 0 THEN 'credit'
+                     ELSE 'unclassified' END AS t1,
+                CASE WHEN too_short THEN 'unclassified'
+                     WHEN b0 >= b1 AND b0 >= b2 AND b0 > 0 THEN 'billing'
+                     WHEN b1 >= b2 AND b1 > 0 THEN 'shipping'
+                     WHEN b2 > 0 THEN 'credit'
+                     ELSE 'unclassified' END AS t2,
+                CASE WHEN too_short THEN 'unclassified'
+                     WHEN c0 >= c1 AND c0 >= c2 AND c0 > 0 THEN 'billing'
+                     WHEN c1 >= c2 AND c1 > 0 THEN 'shipping'
+                     WHEN c2 > 0 THEN 'credit'
+                     ELSE 'unclassified' END AS t3
+              FROM scored
+            ), vote AS (
+              SELECT conv_id, turn_idx, too_short,
+                t1 AS technique_1, t2 AS technique_2, t3 AS technique_3,
+                CAST(t1 = t1 AS INT) + CAST(t2 = t1 AS INT)
+                  + CAST(t3 = t1 AS INT) AS n1,
+                CAST(t1 = t2 AS INT) + CAST(t2 = t2 AS INT)
+                  + CAST(t3 = t2 AS INT) AS n2,
+                CAST(t1 = t3 AS INT) + CAST(t2 = t3 AS INT)
+                  + CAST(t3 = t3 AS INT) AS n3
+              FROM tech
+            ), win AS (
+              SELECT conv_id, turn_idx, technique_1, technique_2,
+                technique_3,
+                CASE WHEN too_short THEN 'unclassified'
+                     WHEN n1 = greatest(n1, n2, n3) THEN technique_1
+                     WHEN n2 = greatest(n1, n2, n3) THEN technique_2
+                     ELSE technique_3 END AS category,
+                CASE WHEN too_short THEN 0.0
+                     ELSE CAST(greatest(n1, n2, n3) AS DOUBLE) / 3.0
+                     END AS vote_confidence
+              FROM vote
+            ), grp AS (
+              SELECT *, CASE WHEN lag(turn_idx) OVER w IS NULL
+                          OR turn_idx <> lag(turn_idx) OVER w + 1
+                          OR category <> lag(category) OVER w
+                     THEN 1 ELSE 0 END AS brk
+              FROM win
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), isl AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx
+                                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM grp
+            ), subbed AS (
+              SELECT *, CASE WHEN category = 'billing'
+                   THEN CAST(floor((ROW_NUMBER() OVER (
+                          PARTITION BY conv_id, island
+                          ORDER BY turn_idx) - 1) / 3) AS BIGINT)
+                   ELSE 0 END AS subid
+              FROM isl
+            )
+            SELECT conv_id, turn_idx, technique_1, technique_2,
+                   technique_3, category, vote_confidence,
+                   CAST(island AS VARCHAR) || '-'
+                     || CAST(subid AS VARCHAR) AS group_id
+            FROM subbed
         """,
         # simhash_dups / ivf_ann (KMeans fit not SQL-expressible) /
         # classify_vote / entity_spans:
