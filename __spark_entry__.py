@@ -91,6 +91,30 @@ def _lsh_ann_oracle_sql(dim: int = 64, m_bits: int = 6, seed: int = 7,
     """
 
 
+def _preprocess_route_oracle_sql() -> str:
+    quality = _quality_oracle_sql(
+        table=f"read_parquet('{TRANSCRIPTS_TEST}/*.parquet')",
+        id_col="conv_id, turn_idx", only_plain=True)
+    norm = (r"regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'[\x00-\x08\x0b-\x1f\x7f]', '', 'g'), "
+            r"'(\w)-\n(\w)', '\1\2', 'g'), "
+            r"'[ \t]{2,}', ' ', 'g')")
+    return f"""
+        WITH q AS ({quality}),
+        j AS (
+          SELECT q.conv_id, q.turn_idx, t.text,
+            q.verdict IN ('pre-processing', 'azure document analysis')
+                AS needs_preprocessing
+          FROM q JOIN read_parquet('{TRANSCRIPTS_TEST}/*.parquet') t
+            ON q.conv_id = t.conv_id AND q.turn_idx = t.turn_idx
+        )
+        SELECT conv_id, turn_idx, needs_preprocessing,
+          CASE WHEN needs_preprocessing THEN {norm} <> text
+          ELSE FALSE END AS touched
+        FROM j
+    """
+
+
 def _quality_oracle_sql(**kw) -> str:
     from documentai_spark.functions.quality_sql import (
         extract_quality_oracle_sql,
@@ -763,6 +787,28 @@ def q_classify_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "group_id")
 
 
+def q_preprocess_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective preprocessing (P5/P12/U3/X1) routing, oracle-checked on
+    the plain-kind subset: needs_preprocessing comes from the SQL-mirrored
+    verdict, and `touched` (= the enhancement kernel changed the text,
+    i.e. was_preprocessed OR was_reverted) is replayed via the same
+    control-strip / de-hyphenation / whitespace-collapse regex chain.
+    The revert DIRECTION (worse-legibility rollback) is pinned by
+    tests/test_rules_preprocess.py."""
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction_and_quality,
+    )
+    from documentai_spark.operators.preprocess import selective_preprocess
+    t = _transcripts(spark)
+    df = with_verdict(with_extraction_and_quality(t))
+    df = df.filter(F.col("kind") == "plain")
+    out = selective_preprocess(df)
+    return out.select("conv_id", "turn_idx", "needs_preprocessing",
+                      (F.col("was_preprocessed") | F.col("was_reverted"))
+                      .alias("touched"))
+
+
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL flagship pipeline over the committed transcripts table
     (rows-only; per-turn byte-equality is pinned by tests, but this makes
@@ -918,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cross_field": q_rule_cross_field,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
+        "preprocess_route": q_preprocess_route,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -1729,6 +1776,10 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(subid AS VARCHAR) AS group_id
             FROM subbed
         """,
+        # routing verdict from the generated quality mirror + the
+        # enhancement kernel's changed-flag via the same regex chain
+        # (control strip -> de-hyphenate -> collapse runs, in order)
+        "preprocess_route": _preprocess_route_oracle_sql(),
         # simhash_dups / ivf_ann (KMeans fit not SQL-expressible) /
         # classify_vote / entity_spans:
         # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
