@@ -16,7 +16,12 @@ Cross-engine exactness rules used throughout (so value-hashes match):
   Spark / naive in DuckDB) — ``timestampdiff`` for gaps, string-cast
   ``date_trunc`` for buckets; never epoch/timezone rendering;
 - deterministic tie-breaks on every window/top-k (rank flips would flip
-  the hash).
+  the hash);
+- NO final orderBy on shuffle-free (map-only) UDF queries: the driver
+  canonical-sorts rows by all columns before hashing, while a global
+  sort's RangePartitioner sampling job would re-execute the whole
+  Python chain (measured 2x). Queries whose plan already shuffles keep
+  their cosmetic sorts (the sampling job reuses the map stages).
 """
 
 from __future__ import annotations
@@ -588,8 +593,9 @@ def q_t_mega_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (xxhash64 signatures / pandas-UDF ensembles have no
-# DuckDB equivalent — correctness pinned by tests/ instead)
+# operator-backed queries; the few without an oracle_sql mirror (xxhash64
+# signatures, fitted models, Python-only extraction) are rows-only at the
+# gate and pinned by tests/ instead
 # --------------------------------------------------------------------------
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,7 +828,8 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate NN for 10 anchors (rows-only; recall
+    """Hyperplane-LSH approximate NN for 10 anchors (oracle-checked:
+    literal planes -> SQL bucket + exact re-rank; recall additionally
     measured against brute force in tests/test_similarity.py)."""
     from documentai_spark.operators.similarity import lsh_ann_topk
     emb = _t(spark, sf_dir, "embeddings")
@@ -950,7 +957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_plain_quality": q_t_plain_quality,
         "po_extraction": q_po_extraction,
         "pi_extraction": q_pi_extraction,
-        # rows-only (no SQL-expressible oracle):
         "extract_quality": q_extract_quality,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dups": q_simhash_dups,
