@@ -721,19 +721,25 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(d % 4 == 2, "PENDING").otherwise("bogus"))
     code = F.when(d % 5 == 0, F.lit("")) \
             .otherwise(F.concat(F.lit("C-"), d.cast("string")))
+    amount = ((d * 37) % 10000).cast("string")
     ents = F.create_map(
         F.lit("issue_date"), issue, F.lit("expiry_date"), expiry,
-        F.lit("status"), status, F.lit("code"), code)
+        F.lit("status"), status, F.lit("code"), code,
+        F.lit("amount_field"), amount)
     out = with_rule_validation(
         docs.select("doc_id", ents.alias("entities")),
         ["expiry_date must be on or after issue_date",
          "status should be active or closed or pending",
-         "code must be unique"])
+         "code must be unique",
+         "amount_field must be between 100 and 5,000",
+         "code must be maximum 4 characters"])
     r = F.col("rule_results")
     return (out.select("doc_id",
                        r[0]["passed"].alias("date_ok"),
                        r[1]["passed"].alias("choice_ok"),
                        r[2]["passed"].alias("unique_ok"),
+                       r[3]["passed"].alias("between_ok"),
+                       r[4]["passed"].alias("maxlen_ok"),
                        "rules_passed", "overall_valid"))
 
 
@@ -1464,10 +1470,11 @@ def oracle_sql() -> dict[str, str]:
                 CASE doc_id % 4 WHEN 0 THEN 'active' WHEN 1 THEN 'closed'
                      WHEN 2 THEN 'PENDING' ELSE 'bogus' END AS status,
                 CASE WHEN doc_id % 5 = 0 THEN ''
-                     ELSE 'C-' || CAST(doc_id AS VARCHAR) END AS code
+                     ELSE 'C-' || CAST(doc_id AS VARCHAR) END AS code,
+                CAST((doc_id * 37) % 10000 AS VARCHAR) AS amount_field
               FROM documents
             ), comp AS (
-              SELECT doc_id, status, code,
+              SELECT doc_id, status, code, amount_field,
                 CAST(substr(issue, 1, 2) AS INT) AS ia,
                 CAST(substr(issue, 3, 2) AS INT) AS ib,
                 CAST(substr(issue, 5, 2) AS INT) AS ic,
@@ -1476,7 +1483,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(substr(expiry, 5, 2) AS INT) AS xc
               FROM f
             ), parsed AS (
-              SELECT doc_id, status, code,
+              SELECT doc_id, status, code, amount_field,
                 CASE
                   WHEN ib BETWEEN 1 AND 12 AND ic BETWEEN 1 AND
                     CASE ib WHEN 2 THEN
@@ -1524,13 +1531,21 @@ def oracle_sql() -> dict[str, str]:
                  AND d_expiry >= d_issue) AS date_ok,
                 upper(status) IN ('ACTIVE', 'CLOSED', 'PENDING')
                     AS choice_ok,
-                trim(code) <> '' AS unique_ok
+                trim(code) <> '' AS unique_ok,
+                CAST(amount_field AS DOUBLE) BETWEEN 100.0 AND 5000.0
+                    AS between_ok,
+                -- max_length measures the RAW value, but the empty
+                -- value fails first (validate_rule's early check)
+                trim(code) <> '' AND length(code) <= 4 AS maxlen_ok
               FROM parsed
             )
-            SELECT doc_id, date_ok, choice_ok, unique_ok,
+            SELECT doc_id, date_ok, choice_ok, unique_ok, between_ok,
+                   maxlen_ok,
                    CAST(date_ok AS INT) + CAST(choice_ok AS INT)
-                     + CAST(unique_ok AS INT) AS rules_passed,
-                   date_ok AND choice_ok AND unique_ok AS overall_valid
+                     + CAST(unique_ok AS INT) + CAST(between_ok AS INT)
+                     + CAST(maxlen_ok AS INT) AS rules_passed,
+                   date_ok AND choice_ok AND unique_ok AND between_ok
+                     AND maxlen_ok AS overall_valid
             FROM checks ORDER BY doc_id
         """,
         # the ENTIRE six-ensemble quality stack + confidence + verdict +
