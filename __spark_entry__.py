@@ -299,7 +299,10 @@ def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
                                        F.lit(sw_pat), F.lit(0)))
-    sw_ratio = F.when(n_toks > 0, F.round(n_sw / n_toks, 6)).otherwise(F.lit(0.0))
+    # branch-free ratio (CSE-friendly: the stopword regex stays out of
+    # lazy CaseWhen branches): n_toks = 0 implies n_sw = 0, so dividing
+    # by greatest(n_toks, 1) yields the identical 0.0 for empty rows
+    sw_ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
     return (docs.select(
                 "doc_id", n_toks.alias("n_tokens"), n_sw.alias("n_stopwords"),
                 sw_ratio.alias("stopword_ratio"),
