@@ -824,6 +824,46 @@ def q_preprocess_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("touched"))
 
 
+def q_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text table detection (extract_tables_from_text,
+    app.py:830-851) over the transcripts (rows-only: the single-row
+    bridge quirk makes the fold recursively stateful — closes depend on
+    prior closes — so no window-SQL mirror; semantics pinned by
+    tests/test_typed_extract.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    from documentai_spark.core.typed_extract import extract_text_tables
+
+    out_type = StructType([
+        StructField("n_tables", IntegerType(), False),
+        StructField("n_table_rows", IntegerType(), False),
+        StructField("max_cols", IntegerType(), False),
+    ])
+
+    @pandas_udf(out_type)
+    def tables_udf(text):
+        nt, nr, mc = [], [], []
+        for t in text:
+            tabs = extract_text_tables(t or "")
+            nt.append(len(tabs))
+            nr.append(sum(len(tb) for tb in tabs))
+            mc.append(max((len(r) for tb in tabs for r in tb), default=0))
+        return pd.DataFrame({"n_tables": nt, "n_table_rows": nr,
+                             "max_cols": mc})
+
+    t = _transcripts(spark)
+    out = t.withColumn("_tt", tables_udf(F.col("text")))
+    return (out.select("conv_id", "turn_idx",
+                       F.col("_tt.n_tables").alias("n_tables"),
+                       F.col("_tt.n_table_rows").alias("n_table_rows"),
+                       F.col("_tt.max_cols").alias("max_cols"))
+               .filter(F.col("n_tables") > 0))
+
+
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL flagship pipeline over the committed transcripts table
     (rows-only; per-turn byte-equality is pinned by tests, but this makes
@@ -980,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
         "preprocess_route": q_preprocess_route,
+        "text_tables": q_text_tables,
         "transcript_pipeline": q_transcript_pipeline,
     }
 

@@ -136,6 +136,31 @@ def extract_lc_application(md_text: str,
     return out
 
 
+_TABLE_SPLIT = re.compile(r"\s{2,}|\t")
+
+
+def extract_text_tables(text: str) -> list[list[list[str]]]:
+    """Plain-text table detection (entity-extraction-service/
+    app.py:830-851 ``extract_tables_from_text``): a line whose stripped
+    form splits into >= 2 fields on runs of 2+ whitespace or tabs is a
+    table row; a non-row line closes the current table only when it
+    already has > 1 rows. Reference quirk preserved: a table holding
+    exactly ONE row is NOT reset by non-row lines, so single rows bridge
+    gaps and later rows join the same table (app.py:841-844's elif)."""
+    tables: list[list[list[str]]] = []
+    current: list[list[str]] = []
+    for line in (text or "").split("\n"):
+        fields = _TABLE_SPLIT.split(line.strip())
+        if len(fields) >= 2:
+            current.append(fields)
+        elif current and len(current) > 1:
+            tables.append(current)
+            current = []
+    if current and len(current) > 1:
+        tables.append(current)
+    return tables
+
+
 PI_FIELDS = ("invoice_number", "invoice_date", "seller", "buyer",
              "contract_po_reference", "incoterm_named_place",
              "shipment_period_or_delivery_date", "payment_terms",

@@ -17,7 +17,8 @@ def test_oracle_keys_subset_of_queries():
     # the rows-only set is intentional and documented
     rows_only = qs - os_
     assert rows_only == {"simhash_dups", "ivf_ann", "classify_vote",
-                         "transcript_pipeline", "entity_spans"}
+                         "transcript_pipeline", "entity_spans",
+                         "text_tables"}
 
 
 def test_entry_returns_rows(spark):

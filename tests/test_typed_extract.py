@@ -172,3 +172,34 @@ def test_lc_plus_rule_validation_roundtrip():
     rules = compile_rules(["f31d must be on or after f31c"])
     res = validate_entities(rules, ents)
     assert res["overall_valid"]
+
+
+def test_text_table_detection():
+    """extract_tables_from_text semantics (app.py:830-851), incl. the
+    single-row bridge quirk: a 1-row table is NOT reset by non-row lines."""
+    from documentai_spark.core.typed_extract import extract_text_tables
+
+    t = """header prose line
+col1  col2  col3
+a  b  c
+x\ty\tz
+plain text again
+lone  row
+more prose
+second  part
+tail"""
+    tables = extract_text_tables(t)
+    # table 1: three consecutive multi-field lines
+    assert tables[0] == [["col1", "col2", "col3"], ["a", "b", "c"],
+                         ["x", "y", "z"]]
+    # the quirk: 'lone  row' (1-row table) survives 'more prose' and
+    # 'second  part' joins it; 'tail' then closes the 2-row table
+    assert tables[1] == [["lone", "row"], ["second", "part"]]
+    assert len(tables) == 2
+
+    assert extract_text_tables("no tables here\njust prose") == []
+    assert extract_text_tables("") == []
+    # a trailing single-row table is discarded (len > 1 required)
+    assert extract_text_tables("prose\nonly  one") == []
+    # a trailing multi-row table IS emitted
+    assert extract_text_tables("a  b\nc  d") == [[["a", "b"], ["c", "d"]]]
