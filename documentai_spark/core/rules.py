@@ -274,6 +274,35 @@ def validate_rule(rule: dict[str, Any], value: Any,
     return False
 
 
+# field-NAME-driven format validation (entity-extraction-service/
+# app.py:852-887 validate_field): the field's name selects the check,
+# failures carry graded confidences. Patterns verbatim.
+_FIELD_CHECKS: tuple[tuple[str, re.Pattern, str, float], ...] = (
+    ("date", re.compile(r"^\d{1,2}[-/]\d{1,2}[-/]\d{2,4}$"),
+     "Invalid date format", 0.3),
+    ("number", re.compile(r"^[A-Z0-9-]+$", re.IGNORECASE),
+     "Invalid number format", 0.5),
+    ("amount", re.compile(r"^[$₹€£]?\s*[\d,]+\.?\d*$"),
+     "Invalid amount format", 0.4),
+    ("email", re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}$"),
+     "Invalid email format", 0.2),
+)
+
+
+def validate_field(field_name: str, value: Any) -> dict[str, Any]:
+    """The first name-substring match (date before number before amount
+    before email — the reference's elif chain) picks the format check."""
+    out = {"is_valid": True, "message": "Valid", "confidence": 1.0}
+    lname = field_name.lower()
+    for key, pat, msg, conf in _FIELD_CHECKS:
+        if key in lname:
+            if not pat.match(str(value)):
+                out = {"is_valid": False, "message": msg,
+                       "confidence": conf}
+            break
+    return out
+
+
 def validate_entities(rules: list[dict[str, Any]],
                       entities: dict[str, str]) -> dict[str, Any]:
     """validate_json analog (validation_engine.py:457-502)."""

@@ -212,3 +212,33 @@ def test_exact_match_reference_semantics():
     ucp = parse_english_rule("40E must equal UCP LATEST VERSION")
     assert validate_rule(ucp, "UCP", {})           # 40E equivalence
     assert validate_rule(ucp, "UCP LATEST VERSION", {})
+
+
+def test_validate_field_name_driven():
+    """Field-NAME-driven format checks with graded failure confidences
+    (validate_field, app.py:852-887); the elif chain means 'date' wins
+    over 'number' when both substrings appear."""
+    from documentai_spark.core.rules import validate_field
+
+    ok = validate_field("po_number", "PO-123")
+    assert ok == {"is_valid": True, "message": "Valid", "confidence": 1.0}
+    bad = validate_field("po_number", "PO 123!")
+    assert not bad["is_valid"] and bad["confidence"] == 0.5
+
+    assert validate_field("invoice_date", "4/5/2024")["is_valid"]
+    d = validate_field("invoice_date", "2024.05.04")
+    assert not d["is_valid"] and d["confidence"] == 0.3
+    # 'date' beats 'number' in the elif chain
+    n = validate_field("date_number", "not-a-date!")
+    assert n["confidence"] == 0.3
+
+    assert validate_field("total_amount", "$ 1,234.56")["is_valid"]
+    a = validate_field("total_amount", "12a4")
+    assert not a["is_valid"] and a["confidence"] == 0.4
+
+    assert validate_field("contact_email", "a.b@x.co")["is_valid"]
+    e = validate_field("contact_email", "nope")
+    assert not e["is_valid"] and e["confidence"] == 0.2
+
+    # unmatched field names validate trivially
+    assert validate_field("freeform_notes", "anything !@#")["is_valid"]
