@@ -30,17 +30,19 @@ import re
 # the DuckDB oracle uses the equivalent consuming form
 # '([A-Z0-9/ ]+)\s*DATED' (identical group under greedy backtracking)
 _PO_NUMBER = re.compile(r"PO NUMBER\s*[:\-]?\s*([A-Z0-9\/ ]+)(?=\s*DATED)",
-                        re.I)
-_PO_DATE = re.compile(r"DATED\s*([0-9]{2}\.[0-9]{2}\.[0-9]{4})")
-_SELLER = re.compile(r"SELLER.*?\n(.*?)(?:\nBUYER)", re.I | re.S)
-_BUYER = re.compile(r"BUYER\s*\n([\s\S]+?)(UNITED ARAB EMIRATES)", re.I)
+                        re.I | re.A)
+_PO_DATE = re.compile(r"DATED\s*([0-9]{2}\.[0-9]{2}\.[0-9]{4})", re.A)
+_SELLER = re.compile(r"SELLER.*?\n(.*?)(?:\nBUYER)", re.I | re.S | re.A)
+_BUYER = re.compile(r"BUYER\s*\n([\s\S]+?)(UNITED ARAB EMIRATES)",
+                    re.I | re.A)
 _GOODS_DESC = re.compile(
     r"DESCRIPTION OF GOODS\s*\n(.+?)(?:\nPARTIAL SHIPMENT|\nTRANSHIPMENT"
-    r"|\n{2,}|$)", re.S | re.I)
-_QUANTITY = re.compile(r"([0-9,]+(?:\.\d+)?\s*(?:MT|KG|TON|PCS))", re.I)
-_TOTAL_VALUE = re.compile(r"(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{2})")
+    r"|\n{2,}|$)", re.S | re.I | re.A)
+_QUANTITY = re.compile(r"([0-9,]+(?:\.\d+)?\s*(?:MT|KG|TON|PCS))",
+                       re.I | re.A)
+_TOTAL_VALUE = re.compile(r"(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{2})", re.A)
 _DELIVERY = re.compile(r"(CFR|CIF|FOB|DAP|EXW)[ \w,()/-]+(INCOTERMS ?\d{4})?",
-                       re.I)
+                       re.I | re.A)
 
 PO_FIELDS = ("po_number", "po_date", "seller_name", "buyer_name",
              "goods_description", "quantity", "unit_price", "currency",
@@ -86,17 +88,19 @@ def extract_purchase_order(text: str) -> dict[str, str]:
 
 
 # performa_invoice.py:10-41,67-70
-_PI_NO = re.compile(r"PI No\s*([A-Za-z0-9\-]+)")
-_PI_DATE = re.compile(r"Date\s*([0-9]{2}-[A-Za-z]{3}-[0-9]{4})")
+_PI_NO = re.compile(r"PI No\s*([A-Za-z0-9\-]+)", re.A)
+_PI_DATE = re.compile(r"Date\s*([0-9]{2}-[A-Za-z]{3}-[0-9]{4})", re.A)
 _PI_SELLER = re.compile(r"(Global Exports Ltd\.,[^\n]+)")
 _PI_BUYER = re.compile(r"(ABC Importers LLC,[^\n]+)")
-_PI_INCOTERM = re.compile(r"Shipment Terms\s*\|\s*(.+?)\s*Delivery Window")
-_PI_WINDOW = re.compile(r"Delivery Window\s*By\s*([0-9A-Za-z\-]+)")
-_PI_PAYMENT = re.compile(r"Payment Terms:\s*([^\n]+)")
-_PI_ORIGIN = re.compile(r"Origin:\s*([A-Za-z]+)")
+_PI_INCOTERM = re.compile(r"Shipment Terms\s*\|\s*(.+?)\s*Delivery Window",
+                          re.A)
+_PI_WINDOW = re.compile(r"Delivery Window\s*By\s*([0-9A-Za-z\-]+)", re.A)
+_PI_PAYMENT = re.compile(r"Payment Terms:\s*([^\n]+)", re.A)
+_PI_ORIGIN = re.compile(r"Origin:\s*([A-Za-z]+)", re.A)
 _PI_TABLE_HEADER = re.compile(
-    r"Description HS Code Qty Unit Unit Price Amount\s*\n")
-_PI_TOTAL = re.compile(r"Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})")
+    r"Description HS Code Qty Unit Unit Price Amount\s*\n", re.A)
+_PI_TOTAL = re.compile(r"Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})",
+                       re.A)
 
 # LC application SWIFT field codes, verbatim (lc_application.py:8-13 —
 # note these are the F-prefixed table codes, distinct from the bare tag
@@ -136,6 +140,9 @@ def extract_lc_application(md_text: str,
     return out
 
 
+# deliberately NOT re.ASCII: mirrors the reference's Unicode re.split
+# (app.py:830-851) and str.split whitespace (incl. \x1c-\x1f); the
+# text_tables gate row is rows-only so no RE2 mirror constrains it
 _TABLE_SPLIT = re.compile(r"\s{2,}|\t")
 
 

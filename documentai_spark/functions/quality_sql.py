@@ -43,6 +43,12 @@ def _d(x: float) -> str:
     return f"CAST({x!r} AS DOUBLE)"
 
 
+def _q(s: str) -> str:
+    """SQL-escape a string for embedding in a single-quoted literal —
+    future advice wording with an apostrophe must not break the oracle."""
+    return s.replace("'", "''")
+
+
 def _ensemble(prefix: str, w: tuple, w_primary: float, w_all: float) -> str:
     """SQL columns replaying core.quality._ensemble3_2 for columns
     {prefix}_p1..{prefix}_f2 -> one expression {prefix}_score."""
@@ -117,11 +123,11 @@ def extract_quality_oracle_sql(
         label = m.replace("_", " ").capitalize()
         texts = RECOMMENDATION_TEXT[m]
         branches = " ".join(
-            f"WHEN {cat} = '{c}' THEN '{label}: {texts[c]}'"
+            f"WHEN {cat} = '{c}' THEN '{_q(f'{label}: {texts[c]}')}'"
             for c in ("good", "medium", "low"))
         rec_entries.append(f"CASE {branches} END")
     recs = (f"CASE WHEN q_blank >= {_d(BLANK_LOW)} "
-            f"THEN '{BLANK_RECOMMENDATION}' "
+            f"THEN '{_q(BLANK_RECOMMENDATION)}' "
             f"ELSE COALESCE(array_to_string(list_filter(["
             + ", ".join(rec_entries)
             + "], x -> x IS NOT NULL), ' | '), '') END")

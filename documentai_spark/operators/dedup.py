@@ -133,7 +133,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     join); at cluster scale it would be materialized to a table instead.
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    cand = cand.persist()
+    # eager localCheckpoint instead of persist(): the candidate set is
+    # consumed three times, but a CacheManager persist would outlive the
+    # call (no safe point to unpersist a lazily-consumed result) and leak
+    # blocks for the session. Checkpointed blocks are released by the
+    # ContextCleaner when the returned DataFrame is GC'd.
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                     .union(cand.select(F.col("id_b").alias(id_col)))
                     .distinct())
@@ -168,7 +173,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
         _as_double, _hyperplanes, dot_col, lsh_bucket_col, norm_col,
     )
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        from documentai_spark.operators.similarity import embedding_dim
+        dim = embedding_dim(df, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     v = v.withColumn("_b", lsh_bucket_col(F.col("_v"), planes))

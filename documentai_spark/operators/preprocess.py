@@ -34,7 +34,9 @@ from pyspark.sql.types import (
 from documentai_spark.core.quality import legibility_score
 
 _CONTROL_RE = re.compile(r"[\x00-\x08\x0B-\x1F\x7F]")
-_HYPHEN_BREAK_RE = re.compile(r"(\w)-\n(\w)")
+# ASCII-pinned to match the RE2 mirror in the preprocess_route oracle
+# (RE2 \w is ASCII-only; Python default \w is Unicode)
+_HYPHEN_BREAK_RE = re.compile(r"(\w)-\n(\w)", re.A)
 _MULTI_WS_RE = re.compile(r"[ \t]{2,}")
 
 PREPROCESS_RESULT_TYPE = StructType([

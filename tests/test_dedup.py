@@ -90,7 +90,7 @@ def test_embedding_near_dups_lsh(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = {(r.id_a, r.id_b): r.cosine
              for r in embedding_near_dups(df, threshold=0.999,
-                                          m_bits=6).collect()}
+                                          m_bits=6, dim=16).collect()}
     assert (0, 100) in pairs and pairs[(0, 100)] > 0.999
     assert (5, 101) in pairs
     assert all(a in (0, 5) or b in (100, 101) or a == b - 100
