@@ -145,8 +145,9 @@ def entry(spark: SparkSession) -> DataFrame:
     df = with_quality(df, raw_col="text")
     df = with_verdict(df)
     return df.select("doc_id", "kind", "extracted_text", "q_blank",
-                     "q_legibility", "q_completeness", "q_noise",
-                     "q_contrast", "q_brightness", "confidence",
+                     "q_legibility", "q_completeness", "q_skew", "q_noise",
+                     "q_contrast", "q_brightness", "q_edge_crop",
+                     "q_shadow_glare", "q_resolution", "confidence",
                      "verdict").orderBy("doc_id")
 
 
@@ -656,8 +657,10 @@ def q_entity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity span offsets via the exact -> consecutive-multi-word ->
-    containment cascade (rows-only; core/spans.py spec is pinned by
-    tests/test_spans.py). One row per located entity."""
+    containment cascade (core/spans.py spec, pinned by tests/test_spans.py
+    AND hash-checked against a full DuckDB list-lambda replay of the
+    cascade -- promoted from rows-only in r3). One row per located
+    entity."""
     from documentai_spark.operators.extraction import with_entities
     out = with_entities(_transcripts(spark), extracted_col="text")
     ex = out.select("conv_id", "turn_idx",
@@ -955,8 +958,9 @@ def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("extracted_text").alias("n_extracted_chars"),
                       F.size("spans").alias("n_spans"),
                       "q_blank", "q_legibility", "q_completeness",
-                      "q_noise", "q_contrast", "q_brightness", "confidence",
-                      "verdict",
+                      "q_skew", "q_noise", "q_contrast", "q_brightness",
+                      "q_edge_crop", "q_shadow_glare", "q_resolution",
+                      "confidence", "verdict",
                       F.array_join("recommendations", " | ")
                        .alias("recommendations")))
 
@@ -971,8 +975,9 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_quality(with_extraction(docs), raw_col="text")
     df = with_verdict(df)
     return df.select("doc_id", "kind", "q_blank", "q_legibility",
-                     "q_completeness", "q_noise", "q_contrast",
-                     "q_brightness", "confidence", "verdict",
+                     "q_completeness", "q_skew", "q_noise", "q_contrast",
+                     "q_brightness", "q_edge_crop", "q_shadow_glare",
+                     "q_resolution", "confidence", "verdict",
                      F.array_join("recommendations", " | ")
                       .alias("recommendations"))
 
@@ -1604,6 +1609,136 @@ def oracle_sql() -> dict[str, str]:
             table=f"read_parquet('{TRANSCRIPTS_TEST}/*.parquet')",
             id_col="conv_id, turn_idx", only_plain=True,
             span_counts=True),
+        # the exact -> consecutive-multi-word -> containment cascade
+        # (entity-extraction-service/app.py:682-755; core/spans.py is the
+        # Python spec) replayed in list lambdas: token boxes rebuilt with
+        # char offsets by interleaving token/whitespace runs (window
+        # cumsum), then one ordered scan where stage 1 (exact) and stage 2
+        # (consecutive words, immediate-match-or-break) share the first
+        # hit like the reference's if/elif loop, stage 3 (containment)
+        # only on miss; envelope = (first box begin, last box end) -- the
+        # 1-D combine_bounding_boxes
+        "entity_spans": rf"""
+            WITH src AS (
+              SELECT conv_id, turn_idx, text AS t
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ), ents0 AS (
+              SELECT conv_id, turn_idx,
+                regexp_extract(t,
+                  'PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)', 1, 'i') AS po_number,
+                regexp_extract(t,
+                  'PI\s+No[.:\s]+([A-Z0-9/\-]+)', 1, 'i') AS pi_number,
+                regexp_extract(t,
+                  '\b(\d{{2}}[./-]\d{{2}}[./-]\d{{4}})\b', 1)
+                    AS date_numeric,
+                regexp_extract(t,
+                  '\b(\d{{1,2}}-[A-Za-z]{{3}}-\d{{4}})\b', 1)
+                    AS date_alpha,
+                regexp_extract(t,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 0)
+                    AS currency_amount,
+                regexp_extract(t,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 1)
+                    AS currency,
+                regexp_extract(t,
+                  '\b([A-Z]{{3}})\s+([\d,]+(?:\.\d+)?)\b', 2) AS amount,
+                regexp_extract(t, '\b(CFR|CIF|FOB|DAP|EXW)\b', 1)
+                    AS incoterm,
+                regexp_extract(t, '\b[\w.+-]+@[\w-]+\.[\w.]+\b', 0)
+                    AS email,
+                regexp_extract(t, '\+?\d[\d\s\-]{{7,14}}\d', 0) AS phone,
+                CASE WHEN regexp_extract(t,
+                        '(?:^|\n):?(\d{{2}}[A-Z]?)\s*:', 1)
+                        IN ({_SWIFT_CODES_SQL})
+                     THEN regexp_extract(t,
+                        '(?:^|\n):?(\d{{2}}[A-Z]?)\s*:', 1)
+                     ELSE '' END AS swift_tag
+              FROM src
+            ), fv0 AS (
+              SELECT conv_id, turn_idx, unnest([
+                struct_pack(field := 'amount', value := amount),
+                struct_pack(field := 'currency', value := currency),
+                struct_pack(field := 'currency_amount',
+                            value := currency_amount),
+                struct_pack(field := 'date_alpha', value := date_alpha),
+                struct_pack(field := 'date_numeric', value := date_numeric),
+                struct_pack(field := 'email', value := email),
+                struct_pack(field := 'incoterm', value := incoterm),
+                struct_pack(field := 'phone', value := phone),
+                struct_pack(field := 'pi_number', value := pi_number),
+                struct_pack(field := 'po_number', value := po_number),
+                struct_pack(field := 'swift_tag', value := swift_tag)
+              ]) AS fv
+              FROM ents0
+            ), fv AS (
+              SELECT conv_id, turn_idx, fv.field AS field, fv.value AS value
+              FROM fv0 WHERE fv.value <> ''
+            ), segs AS (
+              SELECT conv_id, turn_idx, u.s AS s, u.is_tok,
+                     2 * u.i - CASE WHEN u.is_tok THEN
+                                 CASE WHEN lead THEN 0 ELSE 1 END
+                               ELSE CASE WHEN lead THEN 1 ELSE 0 END END
+                       AS seq
+              FROM (
+                SELECT conv_id, turn_idx,
+                       regexp_matches(t, '^[ \t\n\x0b\f\r\x1c-\x1f]') AS lead,
+                       unnest(list_transform(
+                           regexp_extract_all(t, '[^ \t\n\x0b\f\r\x1c-\x1f]+'),
+                           (x, i) -> struct_pack(s := x, i := i,
+                                                 is_tok := TRUE))
+                         || list_transform(
+                           regexp_extract_all(t, '[ \t\n\x0b\f\r\x1c-\x1f]+'),
+                           (x, i) -> struct_pack(s := x, i := i,
+                                                 is_tok := FALSE))) AS u
+                FROM src
+              )
+            ), pos AS (
+              SELECT conv_id, turn_idx, s, is_tok, seq,
+                     CAST(COALESCE(SUM(length(s)) OVER (
+                         PARTITION BY conv_id, turn_idx ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS INT) AS b
+              FROM segs
+            ), boxes AS (
+              SELECT conv_id, turn_idx,
+                     list(struct_pack(tok := lower(s), b := b,
+                                      e := b + CAST(length(s) AS INT))
+                          ORDER BY seq) AS B
+              FROM pos WHERE is_tok GROUP BY conv_id, turn_idx
+            ), hits AS (
+              SELECT f.conv_id, f.turn_idx, f.field, b.B AS B,
+                lower(trim(f.value, {_WSC})) AS clean,
+                regexp_extract_all(lower(trim(f.value, {_WSC})),
+                                   '[^ \t\n\x0b\f\r\x1c-\x1f]+') AS words,
+                len(regexp_extract_all(lower(trim(f.value, {_WSC})),
+                                       '[^ \t\n\x0b\f\r\x1c-\x1f]+')) AS m
+              FROM fv f JOIN boxes b USING (conv_id, turn_idx)
+            ), scanned AS (
+              SELECT conv_id, turn_idx, field, B, clean, m,
+                list_filter(range(1, len(B) + 1), i ->
+                    B[i].tok = clean
+                    OR (m > 1 AND B[i].tok = words[1]
+                        AND i + m - 1 <= len(B)
+                        AND len(list_filter(range(2, m + 1),
+                                k -> B[i + k - 1].tok = words[k]))
+                            = m - 1))[1] AS h12,
+                list_filter(range(1, len(B) + 1), i ->
+                    contains(B[i].tok, clean)
+                    OR contains(clean, B[i].tok))[1] AS h3
+              FROM hits
+              WHERE m > 0 AND len(B) > 0
+            )
+            SELECT conv_id, turn_idx, field,
+              CASE WHEN h12 IS NOT NULL THEN B[h12].b
+                   WHEN h3 IS NOT NULL THEN B[h3].b END AS begin,
+              CASE WHEN h12 IS NOT NULL THEN
+                     CASE WHEN B[h12].tok = clean THEN B[h12].e
+                          ELSE B[h12 + m - 1].e END
+                   WHEN h3 IS NOT NULL THEN B[h3].e END AS "end"
+            FROM scanned
+            WHERE h12 IS NOT NULL OR h3 IS NOT NULL
+            ORDER BY conv_id, turn_idx, field
+        """,
         # the static category table + regex value pulls, replayed as a
         # UNION ALL per (category, label, field regex) with empty values
         # dropped (api-gateway/app.py:85-105 semantics)

@@ -28,9 +28,13 @@ from documentai_spark.core.quality import (
     BLANK_LOW, BLANK_RECOMMENDATION, BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY,
     BRIGHTNESS_W, BRIGHTNESS_W_ALL, BRIGHTNESS_W_PRIMARY,
     CONSISTENCY_THRESHOLD, CONTRAST_W, CONTRAST_W_ALL, CONTRAST_W_PRIMARY,
-    CRITICAL_CAP, CRITICAL_LOW, LEGIBILITY_W, LEGIBILITY_W_ALL,
+    CRITICAL_CAP, CRITICAL_LOW, EDGE_CROP_W, EDGE_CROP_W_ALL,
+    EDGE_CROP_W_PRIMARY, LEGIBILITY_W, LEGIBILITY_W_ALL,
     LEGIBILITY_W_PRIMARY, METRIC_THRESHOLDS, NOISE_W, NOISE_W_ALL,
-    NOISE_W_PRIMARY, RECOMMENDATION_TEXT, VERDICT_AZURE, VERDICT_DIRECT,
+    NOISE_W_PRIMARY, RECOMMENDATION_TEXT, RESOLUTION_W, RESOLUTION_W_ALL,
+    RESOLUTION_W_PRIMARY, RESOLUTION_WIDTHS, REVERSE_METRICS,
+    SHADOW_GLARE_W, SHADOW_GLARE_W_ALL, SHADOW_GLARE_W_PRIMARY, SKEW_W,
+    SKEW_W_ALL, SKEW_W_PRIMARY, VERDICT_AZURE, VERDICT_DIRECT,
     VERDICT_PREPROCESS, _METRIC_ORDER,
 )
 
@@ -39,8 +43,15 @@ _WS = r" \t\n\x0b\f\r\x1c-\x1f"
 
 
 def _d(x: float) -> str:
-    """A double literal that parses to the bit-identical value."""
-    return f"CAST({x!r} AS DOUBLE)"
+    """A double literal that parses to the bit-identical value.
+
+    Via a STRING cast: DuckDB parses a bare numeric literal as DECIMAL
+    first, and the int128->double conversion is lossy past 2^53 — e.g.
+    the bare literal 0.9999999999999999 becomes exactly 1.0 (found the
+    hard way: the r3 severity-metric weight totals hit it; the r2 totals
+    happened to land on even mantissas). The string path uses strtod,
+    which rounds correctly."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def _q(s: str) -> str:
@@ -70,7 +81,8 @@ def _ensemble(prefix: str, w: tuple, w_primary: float, w_all: float) -> str:
 
 
 def _category(metric: str, value_expr: str) -> str:
-    v = f"(1.0 - {value_expr})" if metric == "noise" else value_expr
+    v = (f"(1.0 - {value_expr})" if metric in REVERSE_METRICS
+         else value_expr)
     exc, good, med = METRIC_THRESHOLDS[metric]
     return (f"(CASE WHEN {v} >= {_d(exc)} THEN 'excellent'"
             f" WHEN {v} >= {_d(good)} THEN 'good'"
@@ -115,8 +127,9 @@ def extract_quality_oracle_sql(
     sc_pass = (", n_extracted_chars, n_spans" if span_counts else "")
 
     mcol = {"legibility": "q_legibility", "completeness": "q_completeness",
-            "noise": "q_noise", "contrast": "q_contrast",
-            "brightness": "q_brightness"}
+            "skew": "q_skew", "noise": "q_noise", "contrast": "q_contrast",
+            "brightness": "q_brightness", "edge_crop": "q_edge_crop",
+            "shadow_glare": "q_shadow_glare", "resolution": "q_resolution"}
     rec_entries = []
     for m in _METRIC_ORDER:
         cat = _category(m, mcol[m])
@@ -164,15 +177,39 @@ WITH src0 AS (
     CAST(len(list_distinct(regexp_extract_all(t, '(?s).'))) AS DOUBLE)
         AS distinct_full,
     [CAST(length(x) AS DOUBLE) for x in string_split(t, chr(10))] AS ll,
+    CAST(length(t) - length(ltrim(t, {ws_chars})) AS DOUBLE) AS lead_ws,
+    CAST(length(t) - length(rtrim(t, {ws_chars})) AS DOUBLE) AS trail_ws,
+    COALESCE(list_sum([CAST(length(x) AS DOUBLE)
+        for x in regexp_extract_all(t, '[^{_WS}]{{40,}}')]), 0.0)
+        AS shadow_chars,
+    COALESCE(list_sum([CAST(length(x) AS DOUBLE)
+        for x in regexp_extract_all(t, ' {{8,}}')]), 0.0) AS glare_chars,
+    [CAST(length(x) - length(ltrim(x, ' ')) AS DOUBLE)
+        for x in string_split(t, chr(10))] AS ind,
     ({present}) AS present{sc_counts}
   FROM src
 ), lstats AS (
-  SELECT *, CAST(len(ll) AS DOUBLE) AS lk,
-         list_sum(ll) / CAST(len(ll) AS DOUBLE) AS lmean
+  SELECT *, CAST(len(ll) AS DOUBLE) AS lk, len(ll) AS lki,
+         list_sum(ll) / CAST(len(ll) AS DOUBLE) AS lmean,
+         list_sum(ind) / CAST(len(ll) AS DOUBLE) AS indm,
+         CAST(len(list_filter(ll, x -> x >= 30.0)) AS DOUBLE) AS strong
   FROM counts
 ), lstats2 AS (
   SELECT *,
     list_sum([(x - lmean) * (x - lmean) for x in ll]) / lk AS lvar,
+    list_sum([(x - indm) * (x - indm) for x in ind]) / lk AS indvar,
+    CAST(len(list_filter(ind, x -> abs(x - indm) > 2.0)) AS DOUBLE)
+        AS indoff,
+    CASE WHEN lki >= 2 THEN abs(
+        (list_sum(ind[(lki // 2) + 1 : lki])
+            / (lk - CAST(lki // 2 AS DOUBLE)))
+        - (list_sum(ind[1 : lki // 2]) / CAST(lki // 2 AS DOUBLE)))
+      ELSE 0.0 END AS inddrift,
+    CASE WHEN lki >= 2 THEN
+        COALESCE(list_sum(list_transform(ind[2 : lki],
+                                         (x, i) -> abs(x - ind[i]))), 0.0)
+        / (lk - 1.0)
+      ELSE 0.0 END AS indlag,
     n - ws AS nonws
   FROM lstats
 ), prim AS (
@@ -220,7 +257,44 @@ WITH src0 AS (
                              ELSE 0.0 END) - {_d(0.4)}) / {_d(0.4)})
         AS br_f1,
     1.0 - (CASE WHEN alnum > 0 THEN (alnum - letter) / alnum
-           ELSE 0.0 END) AS br_f2
+           ELSE 0.0 END) AS br_f2,
+    -- skew (indentation-drift ensemble; reverse)
+    least(1.0, inddrift / 8.0) AS sk_p1,
+    least(1.0, sqrt(indvar) / 4.0) AS sk_p2,
+    CASE WHEN lk > 0 THEN indoff / lk ELSE 0.0 END AS sk_p3,
+    least(1.0, indlag / 4.0) AS sk_f1,
+    least(1.0, indm / 8.0) AS sk_f2,
+    -- edge_crop (margin-asymmetry ensemble; reverse)
+    CASE WHEN (CASE WHEN n > 0 THEN strip_len / n ELSE 0.0 END) < 0.7
+              OR (CASE WHEN n > 0 THEN lead_ws / n ELSE 0.0 END) > 0.05
+              OR (CASE WHEN n > 0 THEN trail_ws / n ELSE 0.0 END) > 0.05
+         THEN 1.0 - (CASE WHEN n > 0 THEN strip_len / n ELSE 0.0 END)
+         ELSE 0.0 END AS ec_p1,
+    CASE WHEN (CASE WHEN n > 0 THEN lead_ws / n ELSE 0.0 END) > 0.05
+              OR (CASE WHEN n > 0 THEN trail_ws / n ELSE 0.0 END) > 0.05
+         THEN 1.0 ELSE 0.0 END AS ec_p2,
+    CASE WHEN strong >= 2.0 THEN 0.0 ELSE 1.0 END AS ec_p3,
+    least(1.0, abs(lmean / 80.0 - {_d(8.5 / 11.0)}) / 0.5) AS ec_f1,
+    CASE WHEN (CASE WHEN n > 0 THEN nonws / n ELSE 0.0 END) < 0.7
+         THEN 1.0 ELSE 0.0 END AS ec_f2,
+    -- shadow_glare (dense/sparse-run ensemble; reverse)
+    least(1.0, (CASE WHEN n > 0 THEN shadow_chars / n ELSE 0.0 END)
+               / {_d(0.08)}) AS sg_p1,
+    least(1.0, sqrt(lvar) / 40.0) AS sg_p2,
+    least(1.0, (CASE WHEN n > 0 THEN glare_chars / n ELSE 0.0 END)
+               / {_d(0.06)}) AS sg_p3,
+    1.0 - least(1.0, distinct_full / 64.0) AS sg_f1,
+    greatest(CASE WHEN n > 0 THEN shadow_chars / n ELSE 0.0 END,
+             CASE WHEN n > 0 THEN glare_chars / n ELSE 0.0 END) AS sg_f2,
+    -- resolution (line-width-adequacy ensemble)
+    least(1.0, lmean / 66.0) AS re_p1,
+    least(1.0, {_d(0.6)} + (CASE WHEN n > 0 THEN alnum / n
+                            ELSE 0.0 END)) AS re_p2,
+    CASE WHEN least({", ".join(f"abs(lmean - {_d(w)})"
+                               for w in RESOLUTION_WIDTHS)}) < 8.0
+         THEN {_d(0.9)} ELSE {_d(0.7)} END AS re_p3,
+    {_d(0.6)} AS re_f1,
+    {_d(0.5)} AS re_f2
   FROM lstats2
 ), scored AS (
   SELECT {id_col}, kind{sc_pass},
@@ -239,20 +313,40 @@ WITH src0 AS (
                          CONTRAST_W_ALL)} END AS q_contrast,
     CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
          ELSE {_ensemble('br', BRIGHTNESS_W, BRIGHTNESS_W_PRIMARY,
-                         BRIGHTNESS_W_ALL)} END AS q_brightness
+                         BRIGHTNESS_W_ALL)} END AS q_brightness,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('sk', SKEW_W, SKEW_W_PRIMARY, SKEW_W_ALL)}
+         END AS q_skew,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 1.0
+         ELSE {_ensemble('ec', EDGE_CROP_W, EDGE_CROP_W_PRIMARY,
+                         EDGE_CROP_W_ALL)} END AS q_edge_crop,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 1.0
+         ELSE {_ensemble('sg', SHADOW_GLARE_W, SHADOW_GLARE_W_PRIMARY,
+                         SHADOW_GLARE_W_ALL)} END AS q_shadow_glare,
+    CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
+         ELSE {_ensemble('re', RESOLUTION_W, RESOLUTION_W_PRIMARY,
+                         RESOLUTION_W_ALL)} END AS q_resolution
   FROM prim
 ), conf AS (
+  -- blank hard block zeroes confidence alongside 're-scan'
+  -- (quality_config.py:109-121); critical set = legibility/skew/noise
+  -- (the sharpness->completeness analog is deliberately non-critical,
+  -- see core/quality.confidence_score)
   SELECT *,
-    CASE WHEN q_legibility < {_d(CRITICAL_LOW)}
+    CASE WHEN q_blank >= {_d(BLANK_LOW)} THEN 0.0
+         WHEN q_legibility < {_d(CRITICAL_LOW)}
+              OR (1.0 - q_skew) < {_d(CRITICAL_LOW)}
               OR (1.0 - q_noise) < {_d(CRITICAL_LOW)}
          THEN {_d(CRITICAL_CAP)}
          ELSE (q_legibility * 3.0 + q_completeness * 3.0
-               + (1.0 - q_noise) * 2.0 + q_contrast * 1.0
-               + q_brightness * 1.0) / 10.0 END AS confidence
+               + (1.0 - q_skew) * 2.0 + (1.0 - q_noise) * 2.0
+               + q_contrast * 1.0 + q_brightness * 1.0) / 12.0
+         END AS confidence
   FROM scored
 )
 SELECT {id_col}, kind{sc_pass}, q_blank, q_legibility, q_completeness,
-       q_noise, q_contrast, q_brightness, confidence,
+       q_skew, q_noise, q_contrast, q_brightness, q_edge_crop,
+       q_shadow_glare, q_resolution, confidence,
        CASE WHEN q_blank >= {_d(BLANK_LOW)} THEN 're-scan'
             WHEN confidence >= {_d(VERDICT_DIRECT)} THEN 'direct analysis'
             WHEN confidence >= {_d(VERDICT_PREPROCESS)}

@@ -22,28 +22,40 @@ from pyspark.sql import functions as F
 
 from documentai_spark.core.quality import (
     BLANK_LOW, BLANK_RECOMMENDATION, CONFIDENCE_W_TOTAL, CRITICAL_CAP,
-    CRITICAL_LOW, METRIC_THRESHOLDS, RECOMMENDATION_TEXT, VERDICT_AZURE,
-    VERDICT_DIRECT, VERDICT_PREPROCESS, _METRIC_ORDER,
+    CRITICAL_LOW, METRIC_THRESHOLDS, RECOMMENDATION_TEXT, REVERSE_METRICS,
+    VERDICT_AZURE, VERDICT_DIRECT, VERDICT_PREPROCESS, _METRIC_ORDER,
 )
 
 _METRIC_COL = {"legibility": "q_legibility", "completeness":
-               "q_completeness", "noise": "q_noise", "contrast":
-               "q_contrast", "brightness": "q_brightness"}
+               "q_completeness", "skew": "q_skew", "noise": "q_noise",
+               "contrast": "q_contrast", "brightness": "q_brightness",
+               "edge_crop": "q_edge_crop",
+               "shadow_glare": "q_shadow_glare",
+               "resolution": "q_resolution"}
 
 
 def confidence_col(q_legibility: Column, q_completeness: Column,
-                   q_noise: Column, q_contrast: Column,
-                   q_brightness: Column) -> Column:
+                   q_skew: Column, q_noise: Column, q_contrast: Column,
+                   q_brightness: Column,
+                   q_blank: Column | None = None) -> Column:
     """Weighted mean with the critical flat-return
-    (quality_config.py:39-74 analog; weights legibility 3, completeness 3,
-    noise 2 reversed, contrast 1, brightness 1)."""
+    (quality_config.py:39-74 analog; the reference's full 12-point scheme:
+    legibility 3, completeness 3, skew 2 reversed, noise 2 reversed,
+    contrast 1, brightness 1). When ``q_blank`` is given, the blank hard
+    block zeroes confidence alongside the 're-scan' verdict —
+    verdict_for_page returns (re-scan, 0.0) (quality_config.py:109-121)."""
     conf = (q_legibility * F.lit(3.0) + q_completeness * F.lit(3.0)
+            + (F.lit(1.0) - q_skew) * F.lit(2.0)
             + (F.lit(1.0) - q_noise) * F.lit(2.0)
             + q_contrast * F.lit(1.0) + q_brightness * F.lit(1.0)) \
         / F.lit(CONFIDENCE_W_TOTAL)
     critical_low = (q_legibility < F.lit(CRITICAL_LOW)) \
+        | ((F.lit(1.0) - q_skew) < F.lit(CRITICAL_LOW)) \
         | ((F.lit(1.0) - q_noise) < F.lit(CRITICAL_LOW))
-    return F.when(critical_low, F.lit(CRITICAL_CAP)).otherwise(conf)
+    out = F.when(critical_low, F.lit(CRITICAL_CAP)).otherwise(conf)
+    if q_blank is not None:
+        out = F.when(q_blank >= F.lit(BLANK_LOW), F.lit(0.0)).otherwise(out)
+    return out
 
 
 def verdict_col(q_blank: Column, confidence: Column) -> Column:
@@ -69,7 +81,7 @@ def _category_col(metric: str, value: Column) -> Column:
     """excellent/good/medium/low when-chain per the threshold table; the
     reverse metric (noise) is categorized on 1-value
     (core/quality.metric_category; quality_config.py:17-27)."""
-    v = (F.lit(1.0) - value) if metric == "noise" else value
+    v = (F.lit(1.0) - value) if metric in REVERSE_METRICS else value
     exc, good, med = METRIC_THRESHOLDS[metric]
     return (F.when(v >= F.lit(exc), "excellent")
              .when(v >= F.lit(good), "good")
@@ -101,10 +113,11 @@ def recommendations_col(q_blank: Column, **metric_cols: Column) -> Column:
 
 def with_verdict(df: DataFrame) -> DataFrame:
     """Add confidence / verdict / needs_preprocessing / recommendations
-    columns (pure SQL over the six q_* metrics)."""
+    columns (pure SQL over the ten q_* metrics)."""
     df = df.withColumn("confidence", confidence_col(
-        F.col("q_legibility"), F.col("q_completeness"), F.col("q_noise"),
-        F.col("q_contrast"), F.col("q_brightness")))
+        F.col("q_legibility"), F.col("q_completeness"), F.col("q_skew"),
+        F.col("q_noise"), F.col("q_contrast"), F.col("q_brightness"),
+        q_blank=F.col("q_blank")))
     df = df.withColumn("verdict", verdict_col(F.col("q_blank"),
                                               F.col("confidence")))
     df = df.withColumn("needs_preprocessing",

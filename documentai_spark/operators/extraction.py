@@ -54,9 +54,13 @@ QUALITY_RESULT_TYPE = StructType([
     StructField("q_blank", DoubleType(), False),
     StructField("q_legibility", DoubleType(), False),
     StructField("q_completeness", DoubleType(), False),
+    StructField("q_skew", DoubleType(), False),
     StructField("q_noise", DoubleType(), False),
     StructField("q_contrast", DoubleType(), False),
     StructField("q_brightness", DoubleType(), False),
+    StructField("q_edge_crop", DoubleType(), False),
+    StructField("q_shadow_glare", DoubleType(), False),
+    StructField("q_resolution", DoubleType(), False),
 ])
 
 ENTITY_SPAN_TYPE = StructType([
@@ -93,7 +97,7 @@ def extract_udf(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(QUALITY_RESULT_TYPE)
 def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
-    """(raw text, extracted text) -> six quality metrics (the text
+    """(raw text, extracted text) -> ten quality metrics (the text
     analogs of the reference's 10-metric image ensemble; SURVEY App. A).
 
     Fully vectorized (operators/quality_vec mirrors core/quality
@@ -104,16 +108,21 @@ def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
     """
     from documentai_spark.operators.quality_vec import (
         _Counts, blank_scores, brightness_scores, completeness_scores,
-        contrast_scores, legibility_scores, noise_scores,
+        contrast_scores, edge_crop_scores, legibility_scores, noise_scores,
+        resolution_scores, shadow_glare_scores, skew_scores,
     )
     c = _Counts(extracted.fillna("").tolist())
     return pd.DataFrame({
         "q_blank": blank_scores(raw),
         "q_legibility": legibility_scores(extracted, counts=c),
         "q_completeness": completeness_scores(extracted, counts=c),
+        "q_skew": skew_scores(extracted, counts=c),
         "q_noise": noise_scores(extracted, counts=c),
         "q_contrast": contrast_scores(extracted, counts=c),
         "q_brightness": brightness_scores(extracted, counts=c),
+        "q_edge_crop": edge_crop_scores(extracted, counts=c),
+        "q_shadow_glare": shadow_glare_scores(extracted, counts=c),
+        "q_resolution": resolution_scores(extracted, counts=c),
     })
 
 
@@ -158,11 +167,13 @@ def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
         texts.append(extracted)
         spans_col.append(spans)  # NamedTuples serialize as structs (2.3x
         # cheaper than dicts through the Arrow converter, measured)
-    qb, ql, qc, qn, qct, qbr = fused_quality(text, texts)
+    qb, ql, qc, qsk, qn, qct, qbr, qec, qsg, qre = fused_quality(text, texts)
     return pd.DataFrame({
         "kind": kinds, "extracted_text": texts, "spans": spans_col,
         "q_blank": qb, "q_legibility": ql, "q_completeness": qc,
-        "q_noise": qn, "q_contrast": qct, "q_brightness": qbr,
+        "q_skew": qsk, "q_noise": qn, "q_contrast": qct,
+        "q_brightness": qbr, "q_edge_crop": qec, "q_shadow_glare": qsg,
+        "q_resolution": qre,
     })
 
 

@@ -38,8 +38,9 @@ from documentai_spark.operators.skew import salted_repartition
 
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "kind", "extracted_text",
-    "spans", "q_blank", "q_legibility", "q_completeness", "q_noise",
-    "q_contrast", "q_brightness", "confidence", "verdict",
+    "spans", "q_blank", "q_legibility", "q_completeness", "q_skew",
+    "q_noise", "q_contrast", "q_brightness", "q_edge_crop",
+    "q_shadow_glare", "q_resolution", "confidence", "verdict",
     "needs_preprocessing", "recommendations",
 ]
 

@@ -44,12 +44,15 @@ def test_verdict_thresholds():
 def test_confidence_critical_flat_return():
     # legibility (blur analog) below CRITICAL_LOW returns the flat 0.55
     # (quality_config.py:57-62 returns it outright, not min())
-    assert confidence_score(0.1, 1.0, 0.0, 1.0, 1.0) == 0.55
+    assert confidence_score(0.1, 1.0, 0.0, 0.0, 1.0, 1.0) == 0.55
     # noise is reverse-critical: 1-noise < 0.4 -> flat 0.55 even when the
     # weighted mean would be LOWER or higher
-    assert confidence_score(0.9, 0.9, 0.7, 0.9, 0.9) == 0.55
-    # healthy metrics -> plain weighted mean
-    assert confidence_score(0.9, 0.9, 0.1, 0.9, 0.9) > 0.8
+    assert confidence_score(0.9, 0.9, 0.0, 0.7, 0.9, 0.9) == 0.55
+    # skew is reverse-critical too (quality_config.py:43-46)
+    assert confidence_score(0.9, 0.9, 0.7, 0.1, 0.9, 0.9) == 0.55
+    # healthy metrics -> plain weighted mean over the 12-point scheme
+    assert confidence_score(0.9, 0.9, 0.0, 0.1, 0.9, 0.9) > 0.8
+    assert confidence_score(1.0, 1.0, 0.0, 0.0, 1.0, 1.0) == 1.0
     # blank is excluded from confidence entirely (signature has no blank)
 
 
@@ -77,15 +80,22 @@ def test_recommendations():
         BLANK_RECOMMENDATION, recommendations_for,
     )
     # blank hard blocker -> single re-scan line
-    assert recommendations_for(0.95, 1.0, 1.0, 0.0, 1.0, 1.0) == \
-        [BLANK_RECOMMENDATION]
+    assert recommendations_for(0.95, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0,
+                               0.0, 0.0, 1.0) == [BLANK_RECOMMENDATION]
     # all excellent -> no advice
-    assert recommendations_for(0.0, 1.0, 1.0, 0.0, 1.0, 1.0) == []
+    assert recommendations_for(0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0,
+                               0.0, 0.0, 1.0) == []
     # low legibility + medium contrast -> two lines, pinned order/format
-    recs = recommendations_for(0.0, 0.2, 1.0, 0.0, 0.5, 1.0)
+    recs = recommendations_for(0.0, 0.2, 1.0, 0.0, 0.0, 0.5, 1.0,
+                               0.0, 0.0, 1.0)
     assert len(recs) == 2
     assert recs[0].startswith("Legibility: ")
     assert recs[1].startswith("Contrast: ")
+    # reported-only metrics advise after the weighted six (pinned order)
+    recs = recommendations_for(0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0,
+                               0.9, 0.9, 0.5)
+    assert [x.split(":")[0] for x in recs] == \
+        ["Edge crop", "Shadow glare", "Resolution"]
 
 
 def test_entities():
@@ -133,3 +143,32 @@ def test_rule_grammar_misc():
     assert parse_english_rule("nonsense sentence") is None
     r = parse_english_rule("desc must contain widget")
     assert r["type"] == "contains"
+
+
+def test_round3_metric_extremes():
+    from documentai_spark.core.quality import (
+        edge_crop_score, resolution_score, shadow_glare_score, skew_score,
+    )
+    assert skew_score("") == 0.0
+    flat = "\n".join(["a normal line of text here"] * 6)
+    drifty = "\n".join(" " * (i * 3) + "drifting line" for i in range(8))
+    assert skew_score(drifty) > skew_score(flat)
+    # invalid-image convention: empty -> max severity (reference returns
+    # value 1.0 for invalid input, edge_crop_score.py:155)
+    assert edge_crop_score("") == 1.0
+    assert shadow_glare_score("") == 1.0
+    clean = "\n".join(["a tidy line of prose that is wide enough ok"] * 5)
+    cropped = " " * 40 + "tiny" + " " * 40
+    assert edge_crop_score(cropped) > edge_crop_score(clean)
+    glarey = "x" * 80 + " " * 30 + "y" * 60
+    assert shadow_glare_score(glarey) > shadow_glare_score(clean)
+    assert resolution_score("") == 0.0
+    wide = "\n".join(["w" * 66] * 5)
+    narrow = "\n".join(["w"] * 5)
+    assert resolution_score(wide) > resolution_score(narrow)
+
+
+def test_blank_zeroes_confidence():
+    # verdict_for_page returns (re-scan, 0.0) on the blank hard block
+    s = score_turn("   ", "", 0.0)
+    assert s.verdict == "re-scan" and s.confidence == 0.0

@@ -49,14 +49,19 @@ def test_per_turn_equality(spark, transcripts_path):
         assert r.q_blank == q.q_blank
         assert r.q_legibility == q.q_legibility
         assert r.q_completeness == q.q_completeness
+        assert r.q_skew == q.q_skew
         assert r.q_noise == q.q_noise
         assert r.q_contrast == q.q_contrast
         assert r.q_brightness == q.q_brightness
+        assert r.q_edge_crop == q.q_edge_crop
+        assert r.q_shadow_glare == q.q_shadow_glare
+        assert r.q_resolution == q.q_resolution
         assert r.confidence == q.confidence
         assert r.verdict == q.verdict
         assert list(r.recommendations) == recommendations_for(
-            q.q_blank, q.q_legibility, q.q_completeness, q.q_noise,
-            q.q_contrast, q.q_brightness)
+            q.q_blank, q.q_legibility, q.q_completeness, q.q_skew,
+            q.q_noise, q.q_contrast, q.q_brightness, q.q_edge_crop,
+            q.q_shadow_glare, q.q_resolution)
 
 
 def test_determinism_across_parallelism(spark, transcripts_path):

@@ -13,12 +13,14 @@ from documentai_spark.core.entities import (
 )
 from documentai_spark.core.extract import extract_turn
 from documentai_spark.core.quality import (
-    blank_score, brightness_score, contrast_score, legibility_score,
-    noise_score, score_turn,
+    blank_score, brightness_score, contrast_score, edge_crop_score,
+    legibility_score, noise_score, resolution_score, score_turn,
+    shadow_glare_score, skew_score,
 )
 from documentai_spark.operators.quality_vec import (
-    blank_scores, brightness_scores, contrast_scores, legibility_scores,
-    noise_scores,
+    blank_scores, brightness_scores, contrast_scores, edge_crop_scores,
+    legibility_scores, noise_scores, resolution_scores,
+    shadow_glare_scores, skew_scores,
 )
 
 # texts that stress the parsers: html-ish tags, layout whitespace, control
@@ -60,6 +62,10 @@ def test_quality_bounds_and_verdict(text):
     assert 0.0 <= s.q_noise <= 1.0
     assert 0.0 <= s.q_contrast <= 1.0
     assert 0.0 <= s.q_brightness <= 1.0
+    assert 0.0 <= s.q_skew <= 1.0
+    assert 0.0 <= s.q_edge_crop <= 1.0
+    assert 0.0 <= s.q_shadow_glare <= 1.0
+    assert 0.0 <= s.q_resolution <= 1.0
     assert 0.0 <= s.confidence <= 1.0
     assert s.verdict in {"direct analysis", "pre-processing",
                          "azure document analysis", "reupload", "re-scan"}
@@ -74,12 +80,20 @@ def test_vectorized_equals_scalar_on_arbitrary(texts):
     vn = noise_scores(s)
     vc = contrast_scores(s)
     vbr = brightness_scores(s)
+    vsk = skew_scores(s)
+    vec_ = edge_crop_scores(s)
+    vsg = shadow_glare_scores(s)
+    vre = resolution_scores(s)
     for i, t in enumerate(texts):
         assert vb[i] == blank_score(t)
         assert vl[i] == legibility_score(t)
         assert vn[i] == noise_score(t)
         assert vc[i] == contrast_score(t)
         assert vbr[i] == brightness_score(t)
+        assert vsk[i] == skew_score(t)
+        assert vec_[i] == edge_crop_score(t)
+        assert vsg[i] == shadow_glare_score(t)
+        assert vre[i] == resolution_score(t)
 
 
 @settings(max_examples=200, deadline=None)

@@ -10,8 +10,10 @@ import duckdb
 
 from documentai_spark.core.entities import completeness_from_text
 from documentai_spark.core.quality import (
-    blank_score, brightness_score, confidence_score, contrast_score,
-    legibility_score, noise_score, recommendations_for, verdict_for,
+    BLANK_LOW, blank_score, brightness_score, confidence_score,
+    contrast_score, edge_crop_score, legibility_score, noise_score,
+    recommendations_for, resolution_score, shadow_glare_score, skew_score,
+    verdict_for,
 )
 from documentai_spark.functions.quality_sql import extract_quality_oracle_sql
 
@@ -29,10 +31,17 @@ ADVERSARIAL = [
 def _expected(t: str):
     qb, ql = blank_score(t), legibility_score(t)
     qc = completeness_from_text(t)
+    qsk = skew_score(t)
     qn, qco, qbr = noise_score(t), contrast_score(t), brightness_score(t)
-    conf = confidence_score(ql, qc, qn, qco, qbr)
-    return (qb, ql, qc, qn, qco, qbr, conf, verdict_for(qb, conf),
-            " | ".join(recommendations_for(qb, ql, qc, qn, qco, qbr)))
+    qec, qsg, qre = (edge_crop_score(t), shadow_glare_score(t),
+                     resolution_score(t))
+    conf = confidence_score(ql, qc, qsk, qn, qco, qbr)
+    v = verdict_for(qb, conf)
+    if qb >= BLANK_LOW:
+        conf = 0.0
+    return (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf, v,
+            " | ".join(recommendations_for(qb, ql, qc, qsk, qn, qco, qbr,
+                                           qec, qsg, qre)))
 
 
 def _run_oracle(rows):
@@ -46,10 +55,13 @@ def test_sql_oracle_bit_identical_adversarial():
     rows = [(i, t) for i, t in enumerate(ADVERSARIAL)]
     df = _run_oracle(rows)
     for (i, t), (_, r) in zip(rows, df.iterrows()):
-        qb, ql, qc, qn, qco, qbr, conf, v, recs = _expected(t)
-        got = (r.q_blank, r.q_legibility, r.q_completeness, r.q_noise,
-               r.q_contrast, r.q_brightness, r.confidence)
-        assert got == (qb, ql, qc, qn, qco, qbr, conf), (i, repr(t[:40]))
+        (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf, v,
+         recs) = _expected(t)
+        got = (r.q_blank, r.q_legibility, r.q_completeness, r.q_skew,
+               r.q_noise, r.q_contrast, r.q_brightness, r.q_edge_crop,
+               r.q_shadow_glare, r.q_resolution, r.confidence)
+        assert got == (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre,
+                       conf), (i, repr(t[:40]))
         assert r.verdict == v and r.recommendations == recs, (i, repr(t))
 
 
@@ -60,8 +72,10 @@ def test_sql_oracle_bit_identical_fixture_sample():
         "ORDER BY doc_id").fetchall()
     df = _run_oracle(rows)
     for (i, t), (_, r) in zip(rows, df.iterrows()):
-        qb, ql, qc, qn, qco, qbr, conf, v, recs = _expected(t)
-        assert (r.q_blank, r.q_legibility, r.q_completeness, r.q_noise,
-                r.q_contrast, r.q_brightness, r.confidence) \
-            == (qb, ql, qc, qn, qco, qbr, conf), i
+        (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf, v,
+         recs) = _expected(t)
+        assert (r.q_blank, r.q_legibility, r.q_completeness, r.q_skew,
+                r.q_noise, r.q_contrast, r.q_brightness, r.q_edge_crop,
+                r.q_shadow_glare, r.q_resolution, r.confidence) \
+            == (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf), i
         assert r.verdict == v and r.recommendations == recs, i

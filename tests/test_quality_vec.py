@@ -10,12 +10,14 @@ import pandas as pd
 from documentai_spark.core.entities import completeness_from_text
 from documentai_spark.core.extract import extract_turn
 from documentai_spark.core.quality import (
-    blank_score, brightness_score, contrast_score, legibility_score,
-    noise_score,
+    blank_score, brightness_score, contrast_score, edge_crop_score,
+    legibility_score, noise_score, resolution_score, shadow_glare_score,
+    skew_score,
 )
 from documentai_spark.operators.quality_vec import (
     blank_scores, brightness_scores, completeness_scores, contrast_scores,
-    legibility_scores, noise_scores,
+    edge_crop_scores, legibility_scores, noise_scores, resolution_scores,
+    shadow_glare_scores, skew_scores,
 )
 from documentai_spark.sources.transcripts import gen_rows
 
@@ -78,6 +80,24 @@ def test_brightness_bit_identical():
         assert vec[i] == brightness_score(t), (i, repr(t[:60]))
 
 
+def test_round3_metrics_bit_identical():
+    texts = _texts() + [
+        "    indented\n        more\n            most\nflat",
+        " " * 40 + "cropped" + " " * 40,
+        "x" * 80 + " " * 30 + "tail",
+        "\n".join(["w" * 66] * 4),
+        "  \n \n  mixed \n" + " " * 12 + "deep indent line here",
+    ]
+    s = pd.Series(texts)
+    pairs = ((skew_scores, skew_score), (edge_crop_scores, edge_crop_score),
+             (shadow_glare_scores, shadow_glare_score),
+             (resolution_scores, resolution_score))
+    for fv, f in pairs:
+        vec = fv(s)
+        for i, t in enumerate(texts):
+            assert vec[i] == f(t), (fv.__name__, i, repr(t[:60]))
+
+
 def test_none_handling():
     vec = blank_scores(pd.Series([None, "x"], dtype=object))
     assert vec[0] == 1.0
@@ -95,16 +115,24 @@ def test_fused_quality_equals_individual():
         raws.append(r["text"])
         exts.append(extract_turn(r["text"])[1])
     raw_s = pd.Series(raws, dtype=object)
-    qb, ql, qc, qn, qct, qbr = fused_quality(raw_s, exts)
+    (qb, ql, qc, qsk, qn, qct, qbr, qec, qsg, qre) = \
+        fused_quality(raw_s, exts)
     ext_s = pd.Series(exts, dtype=object)
     assert (qb == blank_scores(raw_s)).all()
     assert (ql == legibility_scores(ext_s)).all()
     assert (qc == completeness_scores(ext_s)).all()
+    assert (qsk == skew_scores(ext_s)).all()
     assert (qn == noise_scores(ext_s)).all()
     assert (qct == contrast_scores(ext_s)).all()
     assert (qbr == brightness_scores(ext_s)).all()
+    assert (qec == edge_crop_scores(ext_s)).all()
+    assert (qsg == shadow_glare_scores(ext_s)).all()
+    assert (qre == resolution_scores(ext_s)).all()
     # and against the scalar oracle directly
     for i, (r, e) in enumerate(zip(raws, exts)):
         assert qb[i] == blank_score(r) and ql[i] == legibility_score(e)
         assert qn[i] == noise_score(e) and qct[i] == contrast_score(e)
         assert qbr[i] == brightness_score(e)
+        assert qsk[i] == skew_score(e) and qec[i] == edge_crop_score(e)
+        assert qsg[i] == shadow_glare_score(e)
+        assert qre[i] == resolution_score(e)
