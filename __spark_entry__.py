@@ -120,6 +120,198 @@ def _preprocess_route_oracle_sql() -> str:
     """
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """simhash_dups mirror: the md5-fold bit source is DuckDB-computable
+    (('0x' || substr(md5(tok), 1/9, 8))::BIGINT — the r3 re-base away from
+    xxhash64 that promoted this row from rows-only). The oracle skips the
+    16-bit-chunk banding (a pigeonhole-exact candidate generator, not an
+    approximation) and scores ALL pairs directly — sound at gate scale,
+    identical final set by construction."""
+    sums = ",\n                ".join(
+        f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}" for j in range(64))
+    bits = ", ".join(f"CASE WHEN s{j} > 0 THEN 1 ELSE 0 END"
+                     for j in range(64))
+    return rf"""
+        WITH d AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text),
+              '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(toks) AS tok FROM d
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+          FROM ex
+        ), sums AS (
+          SELECT doc_id,
+                {sums}
+          FROM h GROUP BY doc_id
+        ), bits AS (
+          SELECT doc_id, [{bits}] AS bv FROM sums
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(range(1, 65),
+                    j -> a.bv[j] <> b.bv[j])) AS INT) AS hamming
+        FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(1, 65),
+                  j -> a.bv[j] <> b.bv[j])) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _classify_vote_oracle_sql() -> str:
+    """classify_vote mirror: 3 rule techniques + the frozen integer-weight
+    ML scorer (data/ml_frozen — same weights parquet the Spark side
+    broadcasts) + the insertion-order 4-way vote. Integer score sums are
+    exact under any aggregation order, so technique_4 replays bit-for-bit
+    (the reason the model is compiled to ints; see operators/ml_classify).
+    """
+    import json as _json
+    with open(os.path.join(ML_FROZEN, "meta.json")) as f:
+        meta = _json.load(f)
+    labels = meta["labels"]          # sorted asc == w_0..w_3 order
+    inter = meta["intercepts"]
+    assert labels == ["invoice", "letter_of_credit", "purchase_order",
+                      "shipping"]
+    ws_cls = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
+    wpq = os.path.join(ML_FROZEN, "weights.parquet", "*.parquet")
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+            length(trim(text)) < 5 AS too_short,
+            regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS nt,
+            trim(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'))
+                AS snt,
+            lower(text) AS lt
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, too_short,
+            CASE WHEN contains(nt,'invoice') THEN 28.0 ELSE 0 END
+            + CASE WHEN contains(nt,'payment') THEN 28.0 ELSE 0 END
+            + CASE WHEN contains(nt,'amount') THEN 24.0 ELSE 0 END AS a0,
+            CASE WHEN contains(nt,'purchase') THEN 32.0 ELSE 0 END
+            + CASE WHEN contains(nt,'supplier') THEN 32.0 ELSE 0 END
+            + CASE WHEN contains(nt,'order') THEN 20.0 ELSE 0 END AS a1,
+            CASE WHEN contains(nt,'beneficiary') THEN 44.0 ELSE 0 END
+            + CASE WHEN contains(nt,'credit') THEN 24.0 ELSE 0 END
+            + CASE WHEN contains(nt,'swift') THEN 20.0 ELSE 0 END AS a2,
+            CASE WHEN contains(nt,'freight') THEN 28.0 ELSE 0 END
+            + CASE WHEN contains(nt,'vessel') THEN 24.0 ELSE 0 END
+            + CASE WHEN contains(nt,'port') THEN 16.0 ELSE 0 END AS a3,
+            CAST(len(regexp_extract_all(lt,
+              'amount|invoice|payment')) AS DOUBLE) AS b0,
+            CAST(len(regexp_extract_all(lt,
+              'order|purchase|supplier')) AS DOUBLE) AS b1,
+            CAST(len(regexp_extract_all(lt,
+              'beneficiary|credit|swift')) AS DOUBLE) AS b2,
+            CAST(len(regexp_extract_all(lt,
+              'freight|port|vessel')) AS DOUBLE) AS b3,
+            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+              if x IN ('invoice','amount','payment')]) AS DOUBLE) AS c0,
+            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+              if x IN ('purchase','order','supplier')]) AS DOUBLE) AS c1,
+            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+              if x IN ('credit','beneficiary','swift')]) AS DOUBLE) AS c2,
+            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+              if x IN ('vessel','port','freight')]) AS DOUBLE) AS c3
+          FROM base
+        ), toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '{ws_cls}'),
+                        x -> x <> '') AS tk
+          FROM base
+        ), terms AS (
+          SELECT doc_id, unnest(
+            tk
+            || CASE WHEN len(tk) >= 2 THEN
+                 [array_to_string(tk[i:i+1], ' ')
+                  for i in range(1, len(tk))]
+               ELSE []::VARCHAR[] END
+            || CASE WHEN len(tk) >= 3 THEN
+                 [array_to_string(tk[i:i+2], ' ')
+                  for i in range(1, len(tk) - 1)]
+               ELSE []::VARCHAR[] END
+            || CASE WHEN len(tk) >= 4 THEN
+                 [array_to_string(tk[i:i+3], ' ')
+                  for i in range(1, len(tk) - 2)]
+               ELSE []::VARCHAR[] END) AS term
+          FROM toks
+        ), mlsum AS (
+          SELECT t.doc_id,
+                 CAST(SUM(w.w_0) AS BIGINT) AS s0,
+                 CAST(SUM(w.w_1) AS BIGINT) AS s1,
+                 CAST(SUM(w.w_2) AS BIGINT) AS s2,
+                 CAST(SUM(w.w_3) AS BIGINT) AS s3
+          FROM terms t JOIN read_parquet('{wpq}') w USING (term)
+          GROUP BY t.doc_id
+        ), t4s AS (
+          SELECT b.doc_id,
+                 COALESCE(m.s0, 0) + {inter[0]} AS s0,
+                 COALESCE(m.s1, 0) + {inter[1]} AS s1,
+                 COALESCE(m.s2, 0) + {inter[2]} AS s2,
+                 COALESCE(m.s3, 0) + {inter[3]} AS s3
+          FROM base b LEFT JOIN mlsum m USING (doc_id)
+        ), tech AS (
+          SELECT s.doc_id, s.too_short,
+            CASE WHEN s.too_short THEN 'unclassified'
+                 WHEN a0 >= a1 AND a0 >= a2 AND a0 >= a3 AND a0 > 0
+                   THEN 'invoice'
+                 WHEN a1 >= a2 AND a1 >= a3 AND a1 > 0
+                   THEN 'purchase_order'
+                 WHEN a2 >= a3 AND a2 > 0 THEN 'letter_of_credit'
+                 WHEN a3 > 0 THEN 'shipping'
+                 ELSE 'unclassified' END AS t1,
+            CASE WHEN s.too_short THEN 'unclassified'
+                 WHEN b0 >= b1 AND b0 >= b2 AND b0 >= b3 AND b0 > 0
+                   THEN 'invoice'
+                 WHEN b1 >= b2 AND b1 >= b3 AND b1 > 0
+                   THEN 'purchase_order'
+                 WHEN b2 >= b3 AND b2 > 0 THEN 'letter_of_credit'
+                 WHEN b3 > 0 THEN 'shipping'
+                 ELSE 'unclassified' END AS t2,
+            CASE WHEN s.too_short THEN 'unclassified'
+                 WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 AND c0 > 0
+                   THEN 'invoice'
+                 WHEN c1 >= c2 AND c1 >= c3 AND c1 > 0
+                   THEN 'purchase_order'
+                 WHEN c2 >= c3 AND c2 > 0 THEN 'letter_of_credit'
+                 WHEN c3 > 0 THEN 'shipping'
+                 ELSE 'unclassified' END AS t3,
+            CASE WHEN t.s0 >= t.s1 AND t.s0 >= t.s2 AND t.s0 >= t.s3
+                   THEN '{labels[0]}'
+                 WHEN t.s1 >= t.s2 AND t.s1 >= t.s3 THEN '{labels[1]}'
+                 WHEN t.s2 >= t.s3 THEN '{labels[2]}'
+                 ELSE '{labels[3]}' END AS t4
+          FROM scored s JOIN t4s t USING (doc_id)
+        ), vote AS (
+          SELECT doc_id, too_short, t1, t2, t3, t4,
+            CAST(t1 = t1 AS INT) + CAST(t2 = t1 AS INT)
+              + CAST(t3 = t1 AS INT) + CAST(t4 = t1 AS INT) AS n1,
+            CAST(t1 = t2 AS INT) + CAST(t2 = t2 AS INT)
+              + CAST(t3 = t2 AS INT) + CAST(t4 = t2 AS INT) AS n2,
+            CAST(t1 = t3 AS INT) + CAST(t2 = t3 AS INT)
+              + CAST(t3 = t3 AS INT) + CAST(t4 = t3 AS INT) AS n3,
+            CAST(t1 = t4 AS INT) + CAST(t2 = t4 AS INT)
+              + CAST(t3 = t4 AS INT) + CAST(t4 = t4 AS INT) AS n4
+          FROM tech
+        )
+        SELECT doc_id, t1 AS technique_1, t2 AS technique_2,
+               t3 AS technique_3, t4 AS technique_4,
+               CASE WHEN too_short THEN 'unclassified'
+                    WHEN n1 = greatest(n1, n2, n3, n4) THEN t1
+                    WHEN n2 = greatest(n1, n2, n3, n4) THEN t2
+                    WHEN n3 = greatest(n1, n2, n3, n4) THEN t3
+                    ELSE t4 END AS category,
+               CASE WHEN too_short THEN 0.0
+                    ELSE CAST(greatest(n1, n2, n3, n4) AS DOUBLE) / 4.0
+                    END AS vote_confidence
+        FROM vote ORDER BY doc_id
+    """
+
+
 def _quality_oracle_sql(**kw) -> str:
     from documentai_spark.functions.quality_sql import (
         extract_quality_oracle_sql,
@@ -525,6 +717,8 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content-kind dispatch rule is oracle-checked cross-engine)
 # --------------------------------------------------------------------------
 
+ML_FROZEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "ml_frozen")
 TRANSCRIPTS_TEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "data", "transcripts_test")
 
@@ -617,7 +811,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; tests/test_dedup.py)."""
+    """SimHash near-dup pairs, oracle-checked: the md5-fold bit source
+    is replayed in DuckDB and the banded candidate set equals the direct
+    all-pairs hamming<=3 set by pigeonhole (promoted from rows-only in
+    r3; tests/test_dedup.py pins the operator semantics)."""
     from documentai_spark.operators.dedup import simhash_near_dups
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
@@ -750,15 +947,18 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full 4-technique classification: 3 rule techniques + the MLlib
+    """Full 4-technique classification: 3 rule techniques + the frozen
     TF-IDF/LogReg classifier as the 4th vote with k/4 confidence
-    (documentClassifier.py:898-948). Rows-only — the ensemble involves a
-    fitted model; the technique-1 component has its own SQL oracle in
-    classify_keywords and the vote semantics are pinned by
-    tests/test_ml_classify.py."""
+    (documentClassifier.py:898-948). The model is the committed
+    data/ml_frozen artifact (trained offline by tools/freeze_ml_model.py
+    — the reference applies an offline-trained pickle the same way,
+    documentClassifier.py:162-205), compiled to integer weights so the
+    DuckDB oracle replays technique_4 and the whole vote EXACTLY
+    (promoted from rows-only in r3). Training itself is pinned by
+    tests/test_ml_classify.py (accuracy >= 0.9 on held-out data)."""
     from documentai_spark.operators.classify import ClassifierConfig
     from documentai_spark.operators.ml_classify import (
-        classify_with_ml_vote, synthesize_labeled_docs, train_classifier,
+        FrozenTextClassifier, classify_with_ml_vote,
     )
     cfg = ClassifierConfig.compile({
         "invoice": {"keywords": ["invoice", "amount", "payment"]},
@@ -766,14 +966,7 @@ def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "letter_of_credit": {"keywords": ["credit", "beneficiary", "swift"]},
         "shipping": {"keywords": ["vessel", "port", "freight"]},
     })
-    # small separable trainer: coalesce(1)+cache (every Pipeline stage fit
-    # re-evaluates the input plan otherwise — measured 25s -> ~4s), hashed
-    # features 2^11, 12 LBFGS iterations — same accuracy on the synthetic
-    # vocab at a fraction of the fit cost
-    labeled = synthesize_labeled_docs(spark, n_per_class=60).coalesce(1)
-    labeled = labeled.cache()
-    model = train_classifier(labeled, num_features=1 << 11, max_iter=12)
-    labeled.unpersist()
+    model = FrozenTextClassifier.load(spark, ML_FROZEN)
     docs = _t(spark, sf_dir, "documents") \
         .withColumnRenamed("text", "extracted_text")
     out = classify_with_ml_vote(docs, cfg, model)
@@ -1980,9 +2173,11 @@ def oracle_sql() -> dict[str, str]:
         # enhancement kernel's changed-flag via the same regex chain
         # (control strip -> de-hyphenate -> collapse runs, in order)
         "preprocess_route": _preprocess_route_oracle_sql(),
-        # simhash_dups / ivf_ann (KMeans fit not SQL-expressible) /
-        # classify_vote / entity_spans:
-        # intentionally no oracle (pandas-UDF ensembles, xxhash64-based
-        # signatures, or the Python span cascade with no DuckDB
-        # equivalent; pinned by tests/)
+        # 3 rule techniques + frozen integer-weight ML scorer + 4-way vote
+        "classify_vote": _classify_vote_oracle_sql(),
+        # md5-fold SimHash bit-majority + all-pairs hamming
+        "simhash_dups": _simhash_oracle_sql(),
+        # ivf_ann (KMeans fit not SQL-expressible) / text_tables
+        # (recursively stateful fold) / transcript_pipeline (full-DAG
+        # probe): intentionally no oracle; pinned by tests/
     }

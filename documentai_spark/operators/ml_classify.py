@@ -1,108 +1,262 @@
 """ML classification vote: the reference's 4th technique, Spark-native.
 
 The reference trains scikit-learn TF-IDF (1-4gram, 15k features,
-sublinear) + LogisticRegression(balanced) offline and broadcasts the
-pickle into the per-page vote (document_classification_updated/
+sublinear) + LogisticRegression(balanced) OFFLINE and ships the pickle
+into the per-page vote (document_classification_updated/
 train_model_auto.py:28-51; documentClassifier.py:162-205 predict;
 model/model_info.json records CV accuracy 0.9212 on 18 classes).
 
-Spark-first rebuild: the SAME model family via pyspark.ml — Tokenizer ->
-NGram-augmented HashingTF -> IDF -> LogisticRegression — trained
-distributed, applied as a fitted PipelineModel (no pickle, no python in
-the scoring hot path: MLlib transforms are JVM columnar).
+Spark-first rebuild, same train-offline / apply-at-scale split:
+
+- **Training** (``train_frozen_classifier``) mirrors the reference's
+  featurizer term-for-term: explicit vocabulary of 1-4grams capped at
+  ``vocab_size`` (CountVectorizer-equivalent, ordered by corpus count
+  with a deterministic term tie-break), sklearn's smooth-idf
+  ``ln((1+n)/(1+df)) + 1`` and sublinear tf ``1 + ln(tf)`` — built
+  entirely with DataFrame ops (explode -> broadcast-joinable vocab ->
+  map_from_entries -> dense array -> vector; no Python UDF), then MLlib
+  LogisticRegression (multinomial, no standardization — sklearn
+  parity). Driver actions (count/collect of the ≤15k-term vocab) are
+  trainer-path only, never in scoring.
+
+- **Scoring** (``predict_with_topk``) applies the model the way the
+  reference applies its pickle — as a frozen artifact. The fitted
+  (coef x idf) matrix is compiled to INTEGER weights
+  (round(w * 1e6)): per-document class scores become pure integer sums
+  over an explode + broadcast-join + groupBy plan, which (a) is the
+  100 TB shape (no vectors, no vocabulary scan per row, map-side
+  combine), and (b) is EXACT under any aggregation order, so the DuckDB
+  gate oracle replays it bit-for-bit (the classify_vote promotion —
+  float sums would be shuffle-order-dependent). The compiled scorer is
+  linear in raw term counts; sublinear tf lives in training only (a
+  count-dependent ln() cannot be pre-compiled per term, and a live ln()
+  would reintroduce cross-engine 1-ulp risk).
 
 Top-3 predictions (documentClassifier.py:199-203 argsort()[-3:]) come
-from the probability vector via vector_to_array + sorted slice (W3).
+from the integer score vector via a sorted struct slice (W3);
+ml_confidence is the softmax over the de-scaled scores.
 """
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.feature import (
-    IDF, HashingTF, NGram, StringIndexer, Tokenizer,
-)
-from pyspark.ml.functions import vector_to_array
-from pyspark.sql import DataFrame
+import json
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# pinned tokenization, identical in the DuckDB mirror: lowercase, split
+# on the ASCII whitespace class (spelled out — RE2's \s lacks \x0b and
+# \x1c-\x1f, Java's \s lacks \x1c-\x1f)
+_WS_SPLIT = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
+SCALE = 1_000_000
 
-def build_training_pipeline(num_features: int = 1 << 14,
-                            reg_param: float = 0.01,
-                            max_iter: int = 50) -> Pipeline:
-    """TF-IDF (unigram+bigram hashed) + logistic regression.
 
-    HashingTF replaces the reference's 15k-feature CountVectorizer — at
-    corpus scale a hash-trick featurizer needs no vocabulary broadcast
-    and no driver-side fit pass."""
-    tok = Tokenizer(inputCol="text", outputCol="_words")
-    bigrams = NGram(n=2, inputCol="_words", outputCol="_bigrams")
-    tf1 = HashingTF(inputCol="_words", outputCol="_tf1",
-                    numFeatures=num_features)
-    tf2 = HashingTF(inputCol="_bigrams", outputCol="_tf2",
-                    numFeatures=num_features)
-    from pyspark.ml.feature import VectorAssembler
-    assemble = VectorAssembler(inputCols=["_tf1", "_tf2"],
-                               outputCol="_tf")
-    idf = IDF(inputCol="_tf", outputCol="features")
-    indexer = StringIndexer(inputCol="label_str", outputCol="label",
-                            stringOrderType="alphabetAsc")
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _WS_SPLIT),
+                    lambda x: x != F.lit(""))
+
+
+def terms_col(text: Column, max_ngram: int = 4) -> Column:
+    """All 1..max_ngram space-joined grams of the pinned tokenization
+    (TfidfVectorizer(ngram_range=(1,4)) analog, train_model_auto.py:27-31).
+    """
+    toks = tokens_col(text)
+    parts = [toks]
+    for n in range(2, max_ngram + 1):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )).otherwise(F.array().cast("array<string>"))
+        parts.append(grams)
+    return F.concat(*parts)
+
+
+def build_vocab(labeled: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", vocab_size: int = 15000,
+                max_ngram: int = 4) -> DataFrame:
+    """(term, idx, idf) vocabulary: top vocab_size terms by corpus count
+    (CountVectorizer max_features semantics) with a deterministic term
+    tie-break; smooth idf = ln((1+n_docs)/(1+df)) + 1 (sklearn default).
+    """
+    from pyspark.sql import Window
+    n_docs = labeled.count()
+    terms = labeled.select(F.col(id_col),
+                           F.explode(terms_col(F.col(text_col),
+                                               max_ngram)).alias("term"))
+    vocab = (terms.groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("cnt"),
+                       F.countDistinct(id_col).alias("df"))
+                  .orderBy(F.desc("cnt"), F.asc("term"))
+                  .limit(vocab_size))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (vocab.withColumn("idx", F.row_number().over(w) - 1)
+                 .withColumn("idf", F.log((F.lit(float(n_docs + 1)))
+                                          / (F.col("df") + F.lit(1.0)))
+                             + F.lit(1.0))
+                 .select("term", "idx", "idf"))
+
+
+@dataclass
+class FrozenTextClassifier:
+    """Compiled linear text classifier: the offline-trained artifact
+    applied at scale (the reference's model.pkl analog). ``weights`` has
+    one row per vocab term with an integer weight column per class
+    (``w_0`` .. ``w_{k-1}``, label order = ``labels``); score_c(doc) =
+    intercepts[c] + sum over term occurrences of w_c(term)."""
+    labels: list[str]
+    intercepts: list[int]
+    weights: DataFrame
+    max_ngram: int = 4
+
+    def save(self, path: str) -> None:
+        self.weights.coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "weights.parquet"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"labels": self.labels,
+                       "intercepts": self.intercepts,
+                       "max_ngram": self.max_ngram,
+                       "scale": SCALE}, f, indent=1)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "FrozenTextClassifier":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(labels=list(meta["labels"]),
+                   intercepts=[int(x) for x in meta["intercepts"]],
+                   weights=spark.read.parquet(
+                       os.path.join(path, "weights.parquet")),
+                   max_ngram=int(meta["max_ngram"]))
+
+
+def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
+                            label_col: str = "label_str",
+                            id_col: str = "doc_id",
+                            vocab_size: int = 15000, max_ngram: int = 4,
+                            reg_param: float = 1e-4,
+                            max_iter: int = 60) -> FrozenTextClassifier:
+    """Fit the reference-parity TF-IDF + LR model, then compile it to a
+    FrozenTextClassifier (integer (coef x idf) weights)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    spark = labeled.sparkSession
+    vocab = build_vocab(labeled, text_col, id_col, vocab_size, max_ngram)
+    vocab_rows = vocab.collect()          # <= vocab_size; trainer-only
+    n_feat = len(vocab_rows)
+    labels = sorted(r[0] for r in
+                    labeled.select(label_col).distinct().collect())
+    lbl_idx = None
+    for i, lb in enumerate(labels):       # sklearn classes_ = sorted
+        branch = F.when(F.col(label_col) == lb, F.lit(float(i)))
+        lbl_idx = branch if lbl_idx is None else lbl_idx.when(
+            F.col(label_col) == lb, F.lit(float(i)))
+    tf = (labeled.select(id_col, label_col,
+                         F.explode(terms_col(F.col(text_col),
+                                             max_ngram)).alias("term"))
+                 .groupBy(id_col, label_col, "term")
+                 .agg(F.count(F.lit(1)).alias("tf"))
+                 .join(F.broadcast(vocab), "term"))
+    # sublinear tf * smooth idf (train_model_auto.py:28-31)
+    val = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.col("idf")
+    feats = (tf.withColumn("val", val)
+               .groupBy(id_col, label_col)
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("idx", "val"))).alias("m"))
+               .withColumn("features", array_to_vector(F.transform(
+                   F.sequence(F.lit(0), F.lit(n_feat - 1)),
+                   lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)))))
+               .withColumn("label", lbl_idx)
+               .select("features", "label"))
+    # single-partition cache: LBFGS re-evaluates the input per iteration
+    feats = feats.coalesce(1).cache()
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
-                            family="multinomial")
-    return Pipeline(stages=[tok, bigrams, tf1, tf2, assemble, idf,
-                            indexer, lr])
+                            family="multinomial", standardization=False)
+    model = lr.fit(feats)
+    feats.unpersist()
+    coef = model.coefficientMatrix.toArray()      # k x n_feat
+    inter = model.interceptVector.toArray()
+    wrows = []
+    for r in vocab_rows:
+        term, idx, idf = r["term"], r["idx"], r["idf"]
+        wrows.append((term, *[int(round(float(coef[c][idx]) * idf * SCALE))
+                              for c in range(len(labels))]))
+    wdf = spark.createDataFrame(
+        wrows, ["term"] + [f"w_{c}" for c in range(len(labels))])
+    return FrozenTextClassifier(
+        labels=labels,
+        intercepts=[int(round(float(x) * SCALE)) for x in inter],
+        weights=wdf, max_ngram=max_ngram)
 
 
-def train_classifier(labeled: DataFrame, **pipeline_kw) -> PipelineModel:
-    """labeled: (text string, label_str string) -> fitted PipelineModel.
-
-    Training sets that fit in one partition should be coalesced by the
-    caller: LBFGS pays a full task-scheduling round per iteration, so 32
-    shuffle partitions on a few hundred rows is pure overhead (measured
-    ~2x end-to-end on the gate's synthetic trainer)."""
-    return build_training_pipeline(**pipeline_kw).fit(labeled)
-
-
-def predict_with_topk(model: PipelineModel, df: DataFrame,
+def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                       text_col: str = "text", k: int = 3) -> DataFrame:
     """Adds ml_category + ml_confidence + ml_topk (W3 top-k classes).
 
-    Labels are recovered from the StringIndexer stage; probability vector
-    -> array -> sorted (desc, label asc) slice — all JVM columnar."""
-    indexer = next(s for s in model.stages
-                   if s.__class__.__name__ == "StringIndexerModel")
-    labels = list(indexer.labels)
-    scored = model.transform(df.withColumnRenamed(text_col, "text")
-                             if text_col != "text" else df)
-    probs = vector_to_array(F.col("probability"))
-    label_arr = F.array(*[F.lit(lb) for lb in labels])
-    ranked = F.reverse(F.array_sort(F.zip_with(
-        probs, label_arr,
-        lambda p, lb: F.struct(p.alias("p"), lb.alias("category")))))
-    out = (scored
-           .withColumn("_ranked", ranked)
-           .withColumn("ml_category",
-                       F.element_at("_ranked", 1)["category"])
-           .withColumn("ml_confidence", F.element_at("_ranked", 1)["p"])
-           .withColumn("ml_topk", F.slice("_ranked", 1, k)))
-    drop = ["_words", "_bigrams", "_tf1", "_tf2", "_tf", "features",
-            "rawPrediction", "probability", "prediction", "_ranked"]
-    return out.drop(*[c for c in drop if c in out.columns])
+    Explode terms -> broadcast-join the compiled weights -> integer
+    groupBy sums: the whole scorer is JVM columnar, shuffles only the
+    (row, term-hit) pairs, and is exact under any aggregation order.
+    Scores into a fresh internal handle column — the input is never
+    renamed, so a caller-side 'text' column cannot collide (ADVICE r2).
+    """
+    kcls = len(model.labels)
+    handled = df.withColumn("_mlid", F.monotonically_increasing_id())
+    hits = (handled.select("_mlid",
+                           F.explode(terms_col(F.col(text_col),
+                                               model.max_ngram))
+                            .alias("term"))
+                   .join(F.broadcast(model.weights), "term"))
+    sums = hits.groupBy("_mlid").agg(
+        *[F.sum(f"w_{c}").alias(f"_s{c}") for c in range(kcls)])
+    out = handled.join(sums, "_mlid", "left")
+    score_cols = []
+    for c in range(kcls):
+        s = (F.coalesce(F.col(f"_s{c}"), F.lit(0))
+             + F.lit(model.intercepts[c])).cast("long")
+        score_cols.append(s.alias(f"_s{c}"))
+    out = out.select(*[cc for cc in out.columns
+                       if not cc.startswith("_s")], *score_cols)
+    # ranked structs: sort asc by (-score, label) == desc score, asc label
+    ranked = F.array_sort(F.array(*[
+        F.struct((-F.col(f"_s{c}")).alias("neg"),
+                 F.lit(model.labels[c]).alias("category"),
+                 F.col(f"_s{c}").alias("s"))
+        for c in range(kcls)]))
+    # softmax over de-scaled scores for the reference's probability shape
+    exps = [F.exp(F.col(f"_s{c}").cast("double") / F.lit(float(SCALE)))
+            for c in range(kcls)]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    top_expr = F.element_at(ranked, 1)
+    out = (out.withColumn("_ranked", ranked)
+              .withColumn("ml_category", top_expr["category"])
+              .withColumn("ml_confidence",
+                          F.exp(top_expr["s"].cast("double")
+                                / F.lit(float(SCALE))) / denom)
+              .withColumn("ml_topk", F.transform(
+                  F.slice("_ranked", 1, k),
+                  lambda x: F.struct(
+                      (x["s"].cast("double") / F.lit(float(SCALE)))
+                      .alias("p"),
+                      x["category"].alias("category")))))
+    drop = ["_mlid", "_ranked"] + [f"_s{c}" for c in range(kcls)]
+    return out.drop(*drop)
 
 
-def classify_with_ml_vote(df: DataFrame, cfg, model: PipelineModel,
+def classify_with_ml_vote(df: DataFrame, cfg, model: FrozenTextClassifier,
                           text_col: str = "extracted_text",
                           default: str = "unclassified") -> DataFrame:
-    """The full 4-technique ensemble: 3 rule techniques + this ML model
-    as the 4th vote with k/4 confidence (documentClassifier.py:898-948 —
-    'Add ML classifier as 4th technique' + 4/4 final classification).
-
-    MLlib scoring is JVM columnar and the rule techniques are generated
-    expressions, so the whole 4-way vote stays out of Python."""
+    """The full 4-technique ensemble: 3 rule techniques + the frozen ML
+    model as the 4th vote with k/4 confidence (documentClassifier.py:
+    898-948 — 'Add ML classifier as 4th technique' + 4/4 final
+    classification). Everything stays JVM columnar."""
     from documentai_spark.operators.classify import classify_with_vote
     scored = predict_with_topk(model, df, text_col=text_col)
-    if text_col != "text" and "text" in scored.columns:
-        scored = scored.withColumnRenamed("text", text_col)
     return classify_with_vote(scored, cfg, text_col=text_col,
                               default=default,
                               ml_category_col="ml_category")
@@ -135,3 +289,8 @@ def synthesize_labeled_docs(spark, n_per_class: int = 120,
             rows.append((i, " ".join(toks), label))
             i += 1
     return spark.createDataFrame(rows, ["doc_id", "text", "label_str"])
+
+
+def train_classifier(labeled: DataFrame, **kw) -> FrozenTextClassifier:
+    """Back-compat wrapper: fit + compile (see train_frozen_classifier)."""
+    return train_frozen_classifier(labeled, **kw)
