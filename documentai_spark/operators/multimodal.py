@@ -3,28 +3,37 @@
 The reference rasterizes PDF pages to grayscale pixmaps and runs
 image-quality kernels on them (quality_analysis_updated/
 universal_analyzer.py:37-39 raster scan; metrics/*.py pixel kernels).
-This sandbox has no imaging libraries, so — per the build brief — the
-DECODE step is stubbed (deterministic fake, clearly marked), while all the
-Spark-side plumbing is real and tested:
+
+The IMAGE path is REAL since r3: payloads in PNG / BMP / PGM / PPM decode
+with the pure-stdlib codecs in ``core.imagecodec`` (zlib inflate +
+scanline unfilter for PNG), features come from actual pixels
+(4x4 block-mean thumbnail), and ``extract_media_quality`` runs the
+reference's pixel kernels (white-ratio blank, mean-brightness,
+std-contrast, dark/bright-area shadow/glare) on the decoded raster.
+Audio/video decoding remains a declared deterministic fake (no
+ffmpeg/soundfile in this sandbox); their plumbing — schema, batching,
+dispatch — is identical to the image path and swaps in a real decoder
+unchanged.
+
+Spark-side design (100 TB):
 
 - schema: ``media`` = binary payload + struct metadata
   (media_type/width/height/duration_ms/codec);
 - partition-friendly batch iteration via ``mapInPandas`` (streamed Arrow
-  batches: payloads never concatenate into one driver-side blob — at
-  100 TB each batch holds a bounded number of binary cells);
-- per-modality dispatch (image -> feature vector, audio -> frame
+  batches: payloads never concatenate into one driver-side blob — each
+  batch holds a bounded number of binary cells);
+- per-modality dispatch (image -> pixel features, audio -> frame
   energies, video -> sampled frame features);
 - downstream ops are ordinary columns (the feature vector feeds the
-  similarity operators unchanged).
-
-Swap ``_fake_decode_*`` with real decoders (cv2/PIL/ffmpeg) on a cluster
-with the libs installed; signatures and schemas stay fixed.
+  similarity operators unchanged; the binary never travels past the
+  decode stage).
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -32,6 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
+)
+
+from documentai_spark.core.imagecodec import (
+    block_features, decode_image, pixel_quality,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -52,24 +65,30 @@ FEATURE_SCHEMA = StructType([
     StructField("decode_ok", StringType(), False),
 ])
 
+QUALITY_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("px_blank", DoubleType(), False),
+    StructField("px_brightness", DoubleType(), False),
+    StructField("px_contrast", DoubleType(), False),
+    StructField("px_shadow", DoubleType(), False),
+    StructField("px_glare", DoubleType(), False),
+])
+
 N_FEATURES = 16
 
 
-def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder (no imaging libs in sandbox).
-
-    Real implementation: cv2.imdecode -> grayscale -> resize -> the
-    reference's metric kernels. The fake derives a reproducible
-    pseudo-pixel block from the payload hash so plumbing tests have
-    stable values.
-    """
-    h = hashlib.sha256(payload).digest() * 2
-    return np.frombuffer(h[:N_FEATURES * 4], dtype=np.uint8) \
-             .reshape(N_FEATURES, 4).astype(np.float64)
+def _decode_image(payload: bytes) -> np.ndarray:
+    """REAL decoder: PNG (zlib + unfilter) / BMP / PGM / PPM via the
+    pure-stdlib codecs; raises NotImplementedError on other formats
+    (JPEG etc. need libs this sandbox lacks)."""
+    return decode_image(payload)
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — frame-energy analog; real impl: ffmpeg/soundfile frames."""
+    """STUB — frame-energy analog; real impl: ffmpeg/soundfile frames.
+    Deterministic (payload-hash-derived) so plumbing tests are stable."""
     h = hashlib.sha256(b"audio" + payload).digest() * 2
     return np.frombuffer(h[:N_FEATURES * 4], dtype=np.uint8) \
              .reshape(N_FEATURES, 4).astype(np.float64)
@@ -82,10 +101,6 @@ def _fake_decode_video(payload: bytes) -> np.ndarray:
              .reshape(N_FEATURES, 4).astype(np.float64)
 
 
-_DECODERS = {"image": _fake_decode_image, "audio": _fake_decode_audio,
-             "video": _fake_decode_video}
-
-
 def extract_media_features(df: DataFrame) -> DataFrame:
     """media rows -> per-item feature vectors via mapInPandas.
 
@@ -94,25 +109,41 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     accumulating per-column, which bounds worker memory when payloads are
     MBs each. Output rows are narrow (features only) — the binary never
     travels further down the plan.
+
+    decode_ok: 'ok' | 'unsupported' (unknown media_type / null payload) |
+    'decoder_unavailable' (format needing absent libs) | 'corrupt'.
     """
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             oks = []
             for mt, payload in zip(pdf["media_type"], pdf["payload"]):
-                decoder = _DECODERS.get(mt)
-                if decoder is None or payload is None:
+                if payload is None:
                     feats.append([0.0] * N_FEATURES)
                     oks.append("unsupported")
                     continue
                 try:
-                    block = decoder(bytes(payload))
-                    # per-row feature: mean over the block's columns
-                    feats.append((block.mean(axis=1) / 255.0).tolist())
-                    oks.append("ok")
+                    if mt == "image":
+                        gray = _decode_image(bytes(payload))
+                        feats.append(block_features(gray, grid=4))
+                        oks.append("ok")
+                    elif mt == "audio":
+                        block = _fake_decode_audio(bytes(payload))
+                        feats.append((block.mean(axis=1) / 255.0).tolist())
+                        oks.append("ok")
+                    elif mt == "video":
+                        block = _fake_decode_video(bytes(payload))
+                        feats.append((block.mean(axis=1) / 255.0).tolist())
+                        oks.append("ok")
+                    else:
+                        feats.append([0.0] * N_FEATURES)
+                        oks.append("unsupported")
                 except NotImplementedError:
                     feats.append([0.0] * N_FEATURES)
                     oks.append("decoder_unavailable")
+                except (ValueError, struct_error):
+                    feats.append([0.0] * N_FEATURES)
+                    oks.append("corrupt")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -125,17 +156,59 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+def extract_media_quality(df: DataFrame) -> DataFrame:
+    """Image rows -> the reference's pixel quality kernels on the REAL
+    decoded raster (core.imagecodec.pixel_quality). Non-image / broken
+    rows are dropped (the reference's rasterizer skips undecodable
+    pages)."""
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mt, payload in zip(pdf["media_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                if mt != "image" or payload is None:
+                    continue
+                try:
+                    gray = _decode_image(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                q = pixel_quality(gray)
+                rows.append((mid, gray.shape[1], gray.shape[0],
+                             q["px_blank"], q["px_brightness"],
+                             q["px_contrast"], q["px_shadow"],
+                             q["px_glare"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              QUALITY_SCHEMA.fields])
+
+    return df.mapInPandas(process, schema=QUALITY_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (hash-driven payload bytes)."""
+    """Deterministic synthetic media table. Image rows carry REAL encoded
+    payloads (PNG / BMP / PGM round-robin over hash-derived pixel blocks);
+    audio/video rows carry opaque hash bytes for the fake decoders."""
+    from documentai_spark.core.imagecodec import (
+        encode_bmp, encode_pgm, encode_png,
+    )
+    encoders = (encode_png, encode_bmp, encode_pgm)
+    codec_names = ("png", "bmp", "pgm")
     rows = []
     types = ("image", "audio", "video")
     for i in range(n):
         h = hashlib.md5(f"{seed}|media|{i}".encode()).digest()
         mt = types[i % 3]
-        payload = (h * ((i % 7) + 1))[: 16 + (i % 50) * 8]
-        rows.append((i, mt, bytearray(payload),
-                     64 + i % 512 if mt != "audio" else None,
-                     64 + (i * 3) % 512 if mt != "audio" else None,
-                     1000 * (1 + i % 30) if mt != "image" else None,
-                     {"image": "png", "audio": "opus", "video": "av1"}[mt]))
+        if mt == "image":
+            w = 16 + (i * 5) % 48
+            ht = 12 + (i * 3) % 36
+            buf = (h * ((w * ht) // len(h) + 1))[:w * ht]
+            gray = np.frombuffer(buf, dtype=np.uint8).reshape(ht, w)
+            enc = encoders[(i // 3) % 3]
+            payload = enc(gray)
+            rows.append((i, mt, bytearray(payload), w, ht, None,
+                         codec_names[(i // 3) % 3]))
+        else:
+            payload = (h * ((i % 7) + 1))[: 16 + (i % 50) * 8]
+            rows.append((i, mt, bytearray(payload), None, None,
+                         1000 * (1 + i % 30),
+                         {"audio": "opus", "video": "av1"}[mt]))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
