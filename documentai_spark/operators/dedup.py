@@ -51,8 +51,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return (fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp"))
 
 
+def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh",
+                  id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    """(id, distinct w-token shingles) via an Arrow-batched shingler.
+
+    Why a pandas UDF and not the ``transform``/``slice`` column form
+    (kept below as ``shingle_col`` for short-text uses): higher-order
+    functions are interpreted, and the optimizer's projection/Generate
+    collapse re-inlines the tokenization subtree into the lambda and the
+    generator — measured on the r3 skew-stress corpus as PER-ELEMENT
+    re-evaluation of the full 150 KB normalize+split (minutes per
+    20k-token mega doc, O(len^2)). Staging the token array in a child
+    projection does not survive the optimizer either. The Arrow boundary
+    is a real barrier: normalization stays JVM-side (exactly
+    ``normalized_text``, which the DuckDB oracle mirrors), Python only
+    splits the pre-normalized string and joins w-token windows — ~ms per
+    mega doc, linear, and batch-streamed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def shingles(norm):  # no hints: module-level `annotations` future +
+        out = []         # local pandas import break hint resolution
+        for s in norm:
+            toks = (s or "").split(" ")
+            if len(toks) >= w:
+                sh = [" ".join(toks[i:i + w])
+                      for i in range(len(toks) - w + 1)]
+            else:
+                sh = [s or ""]
+            # first-occurrence distinct == array_distinct semantics
+            out.append(list(dict.fromkeys(sh)))
+        return pd.Series(out)
+
+    normed = df.select(F.col(id_col),
+                       normalized_text(F.col(text_col)).alias("_norm"))
+    return normed.select(id_col, shingles(F.col("_norm")).alias(out_col))
+
+
 def shingle_col(text: Column, w: int = 3) -> Column:
-    """Distinct w-token shingles of the normalized text (JVM-side)."""
+    """Single-column shingle form — ONLY for short-text rows (tests,
+    oracle mirrors): the embedded tokenization re-evaluates per element
+    inside the interpreted lambda, which is quadratic in document length.
+    Pipelines use ``with_shingles``."""
     toks = F.split(normalized_text(text), " ")
     n = F.size(toks)
     return F.array_distinct(
@@ -76,8 +117,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     the shingle expression per hash after projection collapse: measured
     ~30x slower.)
     """
-    ex = df.select(F.col(id_col),
-                   F.explode(shingle_col(F.col(text_col))).alias("_sh"))
+    ex = with_shingles(df, text_col, "_shs", id_col) \
+        .select(F.col(id_col), F.explode("_shs").alias("_sh"))
     # NOTE: an affine k-permutation trick (h_i = a_i*xxhash64(s) + b_i)
     # would save k-1 hash calls per shingle, but Spark 4 runs ANSI mode by
     # default and long overflow THROWS — salted xxhash64 per permutation
@@ -142,8 +183,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                     .union(cand.select(F.col("id_b").alias(id_col)))
                     .distinct())
-    sh = (df.select(F.col(id_col), shingle_col(F.col(text_col)).alias("_sh"))
-            .join(cand_ids, id_col, "left_semi"))
+    sh = (with_shingles(df, text_col, "_sh", id_col)
+          .join(cand_ids, id_col, "left_semi"))
     j = (cand
          .join(sh.select(F.col(id_col).alias("id_a"),
                          F.col("_sh").alias("_sha")), "id_a")
@@ -246,10 +287,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     after projection collapse — measured ~10x slower; kept for single-row
     uses.)
     """
-    ex = df.select(
+    # split staged into its own projection: Generate re-evaluates an
+    # inline generator expression pathologically on huge strings (same
+    # mechanism as the shingle case, see with_shingles) — exploding a
+    # projected attribute is linear
+    toksed = df.select(
         F.col(id_col),
-        F.explode(F.split(normalized_text(F.col(text_col)), " "))
-         .alias("_tok"))
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"))
+    ex = toksed.select(id_col, F.explode("_toks").alias("_tok"))
     ex = ex.select(id_col, _md5_fold(F.col("_tok")).alias("_h"))
     bit_cols = [
         (F.when(_fold_bit(F.col("_h"), j) == 1, 1)
