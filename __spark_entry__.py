@@ -120,6 +120,60 @@ def _preprocess_route_oracle_sql() -> str:
     """
 
 
+def _ivf_ann_oracle_sql(k: int = 5, n_probe: int = 2,
+                        n_anchors: int = 10) -> str:
+    """ivf_ann mirror: literal frozen centroids -> squared-euclid sums in
+    the Spark fold's association order, (distance, cell) tie-broken
+    assignment + probe ranking, exact cosine re-rank (same machinery the
+    lsh_ann oracle proved bit-identical)."""
+    centers = _ivf_centroids()
+    dim = len(centers[0])
+
+    def dist_lit(c: list, arr: str) -> str:
+        return " + ".join(
+            f"(CAST('{x!r}' AS DOUBLE) - {arr}[{i + 1}])"
+            f" * (CAST('{x!r}' AS DOUBLE) - {arr}[{i + 1}])"
+            for i, x in enumerate(c))
+
+    dlist = lambda arr: ", ".join(  # noqa: E731
+        dist_lit(c, arr) for c in centers)
+    dot_vv = " + ".join(f"av[{i + 1}] * v[{i + 1}]" for i in range(dim))
+    norm = lambda a: ("sqrt(" + " + ".join(  # noqa: E731
+        f"{a}[{i + 1}] * {a}[{i + 1}]" for i in range(dim)) + ")")
+    return f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ), ranked AS (
+          SELECT vec_id, v, u.cell, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY u.d, u.cell) AS rn
+          FROM (
+            SELECT vec_id, v,
+                   unnest(list_transform([{dlist('v')}],
+                          (x, i) -> struct_pack(d := x, cell := i - 1)))
+                     AS u
+            FROM v
+          )
+        ), assigned AS (
+          SELECT vec_id, v, cell FROM ranked WHERE rn = 1
+        ), anchors AS (
+          SELECT vec_id AS anchor_id, v AS av, cell FROM ranked
+          WHERE vec_id < {n_anchors} AND rn <= {n_probe}
+        ), cand AS (
+          SELECT a.anchor_id, b.vec_id,
+                 ({dot_vv}) / ({norm('av')} * {norm('v')}) AS cos
+          FROM anchors a JOIN assigned b ON a.cell = b.cell
+          WHERE b.vec_id <> a.anchor_id
+        )
+        SELECT anchor_id, rank, neighbor_id FROM (
+          SELECT anchor_id, vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM cand
+        ) WHERE rank <= {k} ORDER BY anchor_id, rank
+    """
+
+
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """simhash_dups mirror: the md5-fold bit source is DuckDB-computable
     (('0x' || substr(md5(tok), 1/9, 8))::BIGINT — the r3 re-base away from
@@ -719,6 +773,14 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ML_FROZEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "ml_frozen")
+IVF_CENTROIDS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "ivf_centroids.json")
+
+
+def _ivf_centroids() -> list:
+    import json as _json
+    with open(IVF_CENTROIDS) as f:
+        return _json.load(f)["centroids"]
 TRANSCRIPTS_TEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "data", "transcripts_test")
 
@@ -1087,15 +1149,21 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("anchor_id", "rank")
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: distributed KMeans coarse quantizer,
-    n_probe-cell search, exact cosine re-rank (rows-only: KMeans cell
-    assignment has no DuckDB mirror; recall vs brute force is pinned by
-    tests/test_similarity.py)."""
+    """IVF (inverted-file) ANN with the FROZEN coarse quantizer
+    (data/ivf_centroids.json, trained offline by
+    tools/freeze_ivf_centroids.py — the real IVF deployment shape:
+    codebook fixed, assignments computed at scale). Cell assignment,
+    probe selection, and the exact cosine re-rank are pure column
+    expressions over literal centroids, so the DuckDB oracle replays the
+    whole query bit-for-bit (promoted from rows-only in r3). The
+    train-and-search KMeans mode keeps its recall pin in
+    tests/test_similarity.py."""
     from documentai_spark.operators.similarity import ivf_ann_topk
     emb = _t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
-    out = ivf_ann_topk(emb, anchors, k=5, n_cells=8, n_probe=2)
+    out = ivf_ann_topk(emb, anchors, k=5, n_probe=2,
+                       centroids=_ivf_centroids())
     return out.select("anchor_id", "rank", "neighbor_id") \
               .orderBy("anchor_id", "rank")
 
@@ -2177,7 +2245,8 @@ def oracle_sql() -> dict[str, str]:
         "classify_vote": _classify_vote_oracle_sql(),
         # md5-fold SimHash bit-majority + all-pairs hamming
         "simhash_dups": _simhash_oracle_sql(),
-        # ivf_ann (KMeans fit not SQL-expressible) / text_tables
-        # (recursively stateful fold) / transcript_pipeline (full-DAG
-        # probe): intentionally no oracle; pinned by tests/
+        # frozen-codebook IVF: literal centroids, exact fold replay
+        "ivf_ann": _ivf_ann_oracle_sql(),
+        # text_tables (recursively stateful fold) / transcript_pipeline
+        # (full-DAG probe): intentionally no oracle; pinned by tests/
     }

@@ -117,45 +117,71 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
-def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 anchor_id_col: str = "anchor_id", n_cells: int = 16,
-                 n_probe: int = 2, seed: int = 7) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the corpus once, search
-    only the ``n_probe`` nearest cells per anchor.
-
-    The coarse quantizer is pyspark.ml KMeans (distributed fit, seeded ->
-    deterministic); at corpus scale the cell assignment is materialized
-    once (bucketed table) and each query touches n_probe/n_cells of the
-    data. Exact cosine re-rank within the probed cells.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = vectors.select(F.col(id_col),
-                       _as_double(F.col(vec_col)).alias("_v"))
-    feat = v.withColumn("_feat", array_to_vector("_v"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat",
-                predictionCol="_cell").fit(feat)
-    assigned = km.transform(feat).select(id_col, "_v", "_cell")
-
-    centers = [c.tolist() for c in km.clusterCenters()]
-    a = anchors.select(F.col(anchor_id_col),
-                       _as_double(F.col(vec_col)).alias("_a"))
-    # distance of each anchor to every centroid -> n_probe nearest cells
-    dists = F.array(*[
+def _center_dists(vec: Column, centers: list[list[float]]) -> Column:
+    """Squared-euclid distance to every literal centroid (array column).
+    Fold order pinned left-to-right — the DuckDB oracle replays the sums
+    with the identical association, so assignment bits match."""
+    return F.array(*[
         F.aggregate(F.zip_with(F.array(*[F.lit(float(x)) for x in c]),
-                               F.col("_a"), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias(f"_d{i}")
-        for i, c in enumerate(centers)])
-    ranked_cells = F.slice(
+                               vec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        for c in centers])
+
+
+def nearest_cells(vec: Column, centers: list[list[float]],
+                  n: int) -> Column:
+    """The n nearest centroid indices (distance asc, cell index asc —
+    deterministic tie-break shared with the SQL mirror)."""
+    dists = _center_dists(vec, centers)
+    return F.slice(
         F.transform(
             F.array_sort(F.zip_with(
                 dists, F.array(*[F.lit(i) for i in range(len(centers))]),
                 lambda d, i: F.struct(d.alias("d"), i.alias("cell")))),
             lambda s: s["cell"]),
-        1, n_probe)
-    a = a.withColumn("_cell", F.explode(ranked_cells))
+        1, n)
+
+
+def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 anchor_id_col: str = "anchor_id", n_cells: int = 16,
+                 n_probe: int = 2, seed: int = 7,
+                 centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus by coarse quantizer
+    cell, search only the ``n_probe`` nearest cells per anchor.
+
+    Two quantizer modes — the real IVF deployment split:
+
+    - ``centroids=None``: fit pyspark.ml KMeans here (distributed,
+      seeded). Train-and-search in one call; cell assignment comes from
+      the fitted model's transform.
+    - ``centroids=[...]``: apply a FROZEN quantizer (trained offline,
+      e.g. tools/freeze_ivf_centroids.py) as pure column expressions —
+      argmin of literal-centroid distances with a deterministic
+      tie-break. This is the at-scale shape (assignments materialized
+      once against a fixed codebook) and is what the DuckDB gate oracle
+      replays exactly (the r3 ivf_ann promotion from rows-only).
+
+    Exact cosine re-rank within the probed cells either way.
+    """
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        feat = v.withColumn("_feat", array_to_vector("_v"))
+        km = KMeans(k=n_cells, seed=seed, featuresCol="_feat",
+                    predictionCol="_cell").fit(feat)
+        assigned = km.transform(feat).select(id_col, "_v", "_cell")
+        centers = [c.tolist() for c in km.clusterCenters()]
+    else:
+        centers = centroids
+        assigned = v.withColumn(
+            "_cell", F.element_at(nearest_cells(F.col("_v"), centers, 1), 1))
+    a = anchors.select(F.col(anchor_id_col),
+                       _as_double(F.col(vec_col)).alias("_a"))
+    a = a.withColumn("_cell",
+                     F.explode(nearest_cells(F.col("_a"), centers, n_probe)))
 
     cos = (dot_col(F.col("_a"), F.col("_v"))
            / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))

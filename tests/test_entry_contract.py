@@ -16,10 +16,10 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs, f"oracle keys without queries: {os_ - qs}"
     # the rows-only set is intentional and documented
     rows_only = qs - os_
-    # r3 promoted simhash_dups / classify_vote / entity_spans to hard
-    # oracles; the remainder are structurally non-SQL (KMeans fit,
-    # recursively stateful fold, full-DAG probe)
-    assert rows_only == {"ivf_ann", "transcript_pipeline", "text_tables"}
+    # r3 promoted simhash_dups / classify_vote / entity_spans / ivf_ann
+    # to hard oracles; the remainder are structurally non-SQL (recursively
+    # stateful fold, full-DAG probe)
+    assert rows_only == {"transcript_pipeline", "text_tables"}
 
 
 def test_entry_returns_rows(spark):
