@@ -1084,9 +1084,9 @@ def q_preprocess_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text table detection (extract_tables_from_text,
-    app.py:830-851) over the transcripts (rows-only: the single-row
-    bridge quirk makes the fold recursively stateful — closes depend on
-    prior closes — so no window-SQL mirror; semantics pinned by
+    app.py:830-851) over the transcripts. Oracle-checked since r3: the
+    single-row-bridge stateful fold is replayed as a recursive-CTE
+    per-line state machine in DuckDB (semantics also pinned by
     tests/test_typed_extract.py)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -2247,6 +2247,72 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         # frozen-codebook IVF: literal centroids, exact fold replay
         "ivf_ann": _ivf_ann_oracle_sql(),
-        # text_tables (recursively stateful fold) / transcript_pipeline
-        # (full-DAG probe): intentionally no oracle; pinned by tests/
+        # the recursively-stateful table-detection fold (single-row
+        # bridge quirk) replayed as a per-line recursive CTE state
+        # machine: state = (rows-in-current, cur max cols, closed
+        # totals); every turn advances in lockstep by line index and its
+        # final state is read at its last line + the end-of-text close
+        "text_tables": rf"""
+            WITH src AS (
+              SELECT conv_id, turn_idx, text AS t
+              FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+            ), lines AS (
+              SELECT conv_id, turn_idx, u.i AS i,
+                len(string_split_regex(
+                  trim(u.x, {_WSC}),
+                  '[ \t\n\x0b\f\r\x1c-\x1f]{{2,}}|\t')) AS nf
+              FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(list_transform(string_split(t, chr(10)),
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM src
+              )
+            ), nl AS (
+              SELECT conv_id, turn_idx, max(i) AS L FROM lines
+              GROUP BY conv_id, turn_idx
+            ), st AS (
+              WITH RECURSIVE s AS (
+                SELECT l.conv_id, l.turn_idx, l.i,
+                  CASE WHEN l.nf >= 2 THEN 1 ELSE 0 END AS c,
+                  CASE WHEN l.nf >= 2 THEN l.nf ELSE 0 END AS cur_max,
+                  0 AS n_tables, 0 AS n_rows, 0 AS tot_max
+                FROM lines l WHERE l.i = 1
+                UNION ALL
+                SELECT l.conv_id, l.turn_idx, l.i,
+                  CASE WHEN l.nf >= 2 THEN s.c + 1
+                       WHEN s.c > 1 THEN 0 ELSE s.c END AS c,
+                  CASE WHEN l.nf >= 2 THEN greatest(s.cur_max, l.nf)
+                       WHEN s.c > 1 THEN 0 ELSE s.cur_max END AS cur_max,
+                  CASE WHEN l.nf < 2 AND s.c > 1 THEN s.n_tables + 1
+                       ELSE s.n_tables END AS n_tables,
+                  CASE WHEN l.nf < 2 AND s.c > 1 THEN s.n_rows + s.c
+                       ELSE s.n_rows END AS n_rows,
+                  CASE WHEN l.nf < 2 AND s.c > 1
+                       THEN greatest(s.tot_max, s.cur_max)
+                       ELSE s.tot_max END AS tot_max
+                FROM s JOIN lines l
+                  ON l.conv_id = s.conv_id AND l.turn_idx = s.turn_idx
+                 AND l.i = s.i + 1
+              )
+              SELECT * FROM s
+            ), fin AS (
+              SELECT s.conv_id, s.turn_idx,
+                CASE WHEN s.c > 1 THEN s.n_tables + 1
+                     ELSE s.n_tables END AS n_tables,
+                CASE WHEN s.c > 1 THEN s.n_rows + s.c
+                     ELSE s.n_rows END AS n_table_rows,
+                CASE WHEN s.c > 1 THEN greatest(s.tot_max, s.cur_max)
+                     ELSE s.tot_max END AS max_cols
+              FROM st s JOIN nl ON s.conv_id = nl.conv_id
+                               AND s.turn_idx = nl.turn_idx
+                               AND s.i = nl.L
+            )
+            SELECT conv_id, turn_idx, CAST(n_tables AS INT) AS n_tables,
+                   CAST(n_table_rows AS INT) AS n_table_rows,
+                   CAST(max_cols AS INT) AS max_cols
+            FROM fin WHERE n_tables > 0
+            ORDER BY conv_id, turn_idx
+        """,
+        # transcript_pipeline (full-DAG probe): intentionally no oracle;
+        # pinned by tests/
     }

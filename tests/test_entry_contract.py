@@ -17,9 +17,9 @@ def test_oracle_keys_subset_of_queries():
     # the rows-only set is intentional and documented
     rows_only = qs - os_
     # r3 promoted simhash_dups / classify_vote / entity_spans / ivf_ann
-    # to hard oracles; the remainder are structurally non-SQL (recursively
-    # stateful fold, full-DAG probe)
-    assert rows_only == {"transcript_pipeline", "text_tables"}
+    # / text_tables (recursive-CTE state machine) to hard oracles; only
+    # the full-DAG probe remains rows-only by design
+    assert rows_only == {"transcript_pipeline"}
 
 
 def test_entry_returns_rows(spark):
