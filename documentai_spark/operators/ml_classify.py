@@ -62,7 +62,13 @@ def tokens_col(text: Column) -> Column:
 def terms_col(text: Column, max_ngram: int = 4) -> Column:
     """All 1..max_ngram space-joined grams of the pinned tokenization
     (TfidfVectorizer(ngram_range=(1,4)) analog, train_model_auto.py:27-31).
-    """
+
+    HAZARD: the ngram lambdas embed the tokenization subtree, which the
+    interpreted HOF path re-evaluates per element — fine for short texts,
+    quadratic on long ones. Pipelines go through ``explode_terms``, which
+    stages the token array as a multi-referenced attribute first
+    (measured 7.4x on the sf0.1 documents; same mechanism as
+    dedup.with_shingles)."""
     toks = tokens_col(text)
     parts = [toks]
     for n in range(2, max_ngram + 1):
@@ -76,6 +82,32 @@ def terms_col(text: Column, max_ngram: int = 4) -> Column:
     return F.concat(*parts)
 
 
+def _ngrams_from(toks: Column, max_ngram: int) -> Column:
+    """1..max_ngram grams over an already-projected token-array
+    attribute (lambda bodies reference only the attribute + lambda var)."""
+    parts = [toks]
+    for n in range(2, max_ngram + 1):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i, n=n: F.array_join(F.slice(toks, i, n), " "),
+            )).otherwise(F.array().cast("array<string>"))
+        parts.append(grams)
+    return F.concat(*parts)
+
+
+def explode_terms(df: DataFrame, text_col: str, keep: list[str],
+                  max_ngram: int = 4) -> DataFrame:
+    """(keep..., term) rows: tokenization staged in its own projection so
+    the ngram lambdas read a row attribute instead of re-evaluating the
+    split per element (see terms_col HAZARD)."""
+    toksed = df.select(*keep, tokens_col(F.col(text_col)).alias("_tk"))
+    return toksed.select(
+        *keep, F.explode(_ngrams_from(F.col("_tk"), max_ngram))
+                .alias("term"))
+
+
 def build_vocab(labeled: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", vocab_size: int = 15000,
                 max_ngram: int = 4) -> DataFrame:
@@ -85,9 +117,7 @@ def build_vocab(labeled: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
     n_docs = labeled.count()
-    terms = labeled.select(F.col(id_col),
-                           F.explode(terms_col(F.col(text_col),
-                                               max_ngram)).alias("term"))
+    terms = explode_terms(labeled, text_col, [id_col], max_ngram)
     vocab = (terms.groupBy("term")
                   .agg(F.count(F.lit(1)).alias("cnt"),
                        F.countDistinct(id_col).alias("df"))
@@ -155,9 +185,8 @@ def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
         branch = F.when(F.col(label_col) == lb, F.lit(float(i)))
         lbl_idx = branch if lbl_idx is None else lbl_idx.when(
             F.col(label_col) == lb, F.lit(float(i)))
-    tf = (labeled.select(id_col, label_col,
-                         F.explode(terms_col(F.col(text_col),
-                                             max_ngram)).alias("term"))
+    tf = (explode_terms(labeled, text_col, [id_col, label_col],
+                        max_ngram)
                  .groupBy(id_col, label_col, "term")
                  .agg(F.count(F.lit(1)).alias("tf"))
                  .join(F.broadcast(vocab), "term"))
@@ -205,11 +234,9 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     """
     kcls = len(model.labels)
     handled = df.withColumn("_mlid", F.monotonically_increasing_id())
-    hits = (handled.select("_mlid",
-                           F.explode(terms_col(F.col(text_col),
-                                               model.max_ngram))
-                            .alias("term"))
-                   .join(F.broadcast(model.weights), "term"))
+    hits = explode_terms(handled, text_col, ["_mlid"],
+                         model.max_ngram) \
+        .join(F.broadcast(model.weights), "term")
     sums = hits.groupBy("_mlid").agg(
         *[F.sum(f"w_{c}").alias(f"_s{c}") for c in range(kcls)])
     out = handled.join(sums, "_mlid", "left")
