@@ -223,7 +223,8 @@ def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
 
 
 def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
-                      text_col: str = "text", k: int = 3) -> DataFrame:
+                      text_col: str = "text", k: int = 3,
+                      id_col: str | None = None) -> DataFrame:
     """Adds ml_category + ml_confidence + ml_topk (W3 top-k classes).
 
     Explode terms -> broadcast-join the compiled weights -> integer
@@ -231,15 +232,30 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     (row, term-hit) pairs, and is exact under any aggregation order.
     Scores into a fresh internal handle column — the input is never
     renamed, so a caller-side 'text' column cannot collide (ADVICE r2).
+
+    ``id_col``: a UNIQUE row key the score join uses directly — the
+    at-scale path. Without one, the fallback synthesizes a handle via
+    ``monotonically_increasing_id`` and pins it with a lazy
+    ``localCheckpoint``: the handle is consumed by BOTH sides of the
+    self-join, and on a post-shuffle input the two evaluations could
+    otherwise see different row orders (reducer fetch interleaving is
+    nondeterministic) and mis-join scores. The checkpoint makes the
+    handled rows materialize exactly once.
     """
     kcls = len(model.labels)
-    handled = df.withColumn("_mlid", F.monotonically_increasing_id())
-    hits = explode_terms(handled, text_col, ["_mlid"],
+    if id_col is None:
+        handled = df.withColumn("_mlid", F.monotonically_increasing_id()) \
+                    .localCheckpoint(eager=False)
+        key = "_mlid"
+    else:
+        handled = df
+        key = id_col
+    hits = explode_terms(handled, text_col, [key],
                          model.max_ngram) \
         .join(F.broadcast(model.weights), "term")
-    sums = hits.groupBy("_mlid").agg(
+    sums = hits.groupBy(key).agg(
         *[F.sum(f"w_{c}").alias(f"_s{c}") for c in range(kcls)])
-    out = handled.join(sums, "_mlid", "left")
+    out = handled.join(sums, key, "left")
     score_cols = []
     for c in range(kcls):
         s = (F.coalesce(F.col(f"_s{c}"), F.lit(0))
@@ -271,19 +287,23 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                       (x["s"].cast("double") / F.lit(float(SCALE)))
                       .alias("p"),
                       x["category"].alias("category")))))
-    drop = ["_mlid", "_ranked"] + [f"_s{c}" for c in range(kcls)]
+    drop = ["_ranked"] + [f"_s{c}" for c in range(kcls)]
+    if id_col is None:
+        drop.append("_mlid")
     return out.drop(*drop)
 
 
 def classify_with_ml_vote(df: DataFrame, cfg, model: FrozenTextClassifier,
                           text_col: str = "extracted_text",
-                          default: str = "unclassified") -> DataFrame:
+                          default: str = "unclassified",
+                          id_col: str | None = None) -> DataFrame:
     """The full 4-technique ensemble: 3 rule techniques + the frozen ML
     model as the 4th vote with k/4 confidence (documentClassifier.py:
     898-948 — 'Add ML classifier as 4th technique' + 4/4 final
-    classification). Everything stays JVM columnar."""
+    classification). Everything stays JVM columnar. Pass the input's
+    unique ``id_col`` when there is one (see predict_with_topk)."""
     from documentai_spark.operators.classify import classify_with_vote
-    scored = predict_with_topk(model, df, text_col=text_col)
+    scored = predict_with_topk(model, df, text_col=text_col, id_col=id_col)
     return classify_with_vote(scored, cfg, text_col=text_col,
                               default=default,
                               ml_category_col="ml_category")

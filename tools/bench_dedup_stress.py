@@ -172,12 +172,15 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "STRESS_r03.md")
     header = ("# Dedup/ANN skew-stress evidence (r3)\n\n"
-              "Banded operators at ~10x bench scale with engineered "
-              "long-document skew; straggler ratio = slowest task / "
-              "median task of each heavy stage (tools/"
-              "bench_dedup_stress.py).\n\n")
-    with open(path, "w") as f:
-        f.write(header + out)
+              "Banded operators under engineered long-document skew; "
+              "straggler ratio = slowest task / median task of each "
+              "heavy stage (tools/bench_dedup_stress.py).\n\n")
+    if os.path.exists(path):
+        with open(path, "a") as f:
+            f.write("\n---\n\n" + out)
+    else:
+        with open(path, "w") as f:
+            f.write(header + out)
     print(f"wrote {path}")
     spark.stop()
 
