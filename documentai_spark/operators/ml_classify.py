@@ -261,8 +261,9 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
         s = (F.coalesce(F.col(f"_s{c}"), F.lit(0))
              + F.lit(model.intercepts[c])).cast("long")
         score_cols.append(s.alias(f"_s{c}"))
-    out = out.select(*[cc for cc in out.columns
-                       if not cc.startswith("_s")], *score_cols)
+    snames = {f"_s{c}" for c in range(kcls)}
+    out = out.select(*[cc for cc in out.columns if cc not in snames],
+                     *score_cols)
     # ranked structs: sort asc by (-score, label) == desc score, asc label
     ranked = F.array_sort(F.array(*[
         F.struct((-F.col(f"_s{c}")).alias("neg"),
