@@ -40,7 +40,6 @@ ml_confidence is the softmax over the de-scaled scores.
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass
 
@@ -59,32 +58,15 @@ def tokens_col(text: Column) -> Column:
                     lambda x: x != F.lit(""))
 
 
-def terms_col(text: Column, max_ngram: int = 4) -> Column:
-    """All 1..max_ngram space-joined grams of the pinned tokenization
-    (TfidfVectorizer(ngram_range=(1,4)) analog, train_model_auto.py:27-31).
-
-    HAZARD: the ngram lambdas embed the tokenization subtree, which the
-    interpreted HOF path re-evaluates per element — fine for short texts,
-    quadratic on long ones. Pipelines go through ``explode_terms``, which
-    stages the token array as a multi-referenced attribute first
-    (measured 7.4x on the sf0.1 documents; same mechanism as
-    dedup.with_shingles)."""
-    toks = tokens_col(text)
-    parts = [toks]
-    for n in range(2, max_ngram + 1):
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )).otherwise(F.array().cast("array<string>"))
-        parts.append(grams)
-    return F.concat(*parts)
-
-
 def _ngrams_from(toks: Column, max_ngram: int) -> Column:
-    """1..max_ngram grams over an already-projected token-array
-    attribute (lambda bodies reference only the attribute + lambda var)."""
+    """1..max_ngram space-joined grams over an already-projected
+    token-array attribute (TfidfVectorizer(ngram_range=(1,4)) analog,
+    train_model_auto.py:27-31). MUST take an attribute, never an
+    expression tree: interpreted HOF lambdas re-evaluate embedded
+    subtrees per element — an inline tokenization here measured 7.4x
+    slower on the sf0.1 documents and quadratic on mega docs (same
+    mechanism as dedup.with_shingles); lambda bodies below reference
+    only the attribute and the lambda variable."""
     parts = [toks]
     for n in range(2, max_ngram + 1):
         grams = F.when(
@@ -101,7 +83,7 @@ def explode_terms(df: DataFrame, text_col: str, keep: list[str],
                   max_ngram: int = 4) -> DataFrame:
     """(keep..., term) rows: tokenization staged in its own projection so
     the ngram lambdas read a row attribute instead of re-evaluating the
-    split per element (see terms_col HAZARD)."""
+    split per element (see _ngrams_from)."""
     toksed = df.select(*keep, tokens_col(F.col(text_col)).alias("_tk"))
     return toksed.select(
         *keep, F.explode(_ngrams_from(F.col("_tk"), max_ngram))
