@@ -25,6 +25,18 @@ ADVERSARIAL = [
     "Even Line One\nEven Line Two\nEven Line Tri",
     "x\n" + "a" * 300 + "\n\nyz\n" + "b" * 250,
     "vertical\x0btab and\x1cseps\x1d\x1e\x1f here",
+    # r3 metric stressors: indentation drift (skew), margins (edge_crop),
+    # dense/sparse runs (shadow_glare), line widths (resolution)
+    "\n".join(" " * (i * 3) + "drifting line of text" for i in range(9)),
+    "\n".join(" " * (9 - i) + "reverse drift" for i in range(10)),
+    "    uniform indent\n    uniform indent\n    uniform indent",
+    " " * 30 + "tiny island" + " " * 30,
+    "   \nleading blank margins\nand body text here\n   ",
+    "w" * 80 + " " * 12 + "y" * 45 + "\nnormal line follows here",
+    "\n".join(["x" * 66] * 4), "\n".join(["x" * 132] * 3),
+    "\n".join(["x"] * 12),
+    "a b\n" + " " * 8 + "c d" + " " * 9 + "\n\te f",
+    "one-liner exactly at the boundary " + "z" * 40,
 ]
 
 

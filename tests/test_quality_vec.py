@@ -27,6 +27,11 @@ ADVERSARIAL = [
     "w" * 25 + " short", "PO NUMBER PO-1 DATED 01.01.2024 USD 5,000.00 FOB",
     "token " * 50000,  # mega turn
     "no\nnewlines\nhandled\n\nblocks",
+    # r3 metric stressors (skew/edge_crop/shadow_glare/resolution inputs)
+    "\n".join(" " * (i * 3) + "drifting line of text" for i in range(9)),
+    " " * 30 + "tiny island" + " " * 30,
+    "w" * 80 + " " * 12 + "y" * 45 + "\nnormal line follows here",
+    ("   indented mega\n" + " " * 7 + "line\n") * 20000,  # mega + indents
 ]
 
 
