@@ -57,8 +57,22 @@ def main() -> None:
     spark = build_session("bench", master=f"local[{cpus}]",
                           shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + python workers off the clock
+    # warm the JVM + python workers off the clock. The range-sum only
+    # touches the JVM; an actual pandas UDF over one task per core forces
+    # every python worker to start AND import numpy/pandas + the
+    # quality_vec LUT tables (measured: the first Python-heavy query
+    # otherwise pays multi-second worker spin-up on its own clock).
     _force(spark.range(1000000).selectExpr("sum(id) as s"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v):
+        from documentai_spark.operators import quality_vec  # noqa: F401
+        return v * 1.0
+
+    _force(spark.range(cpus * 4).repartition(cpus * 4)
+                .select(_warm(F.col("id").cast("double"))))
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
