@@ -31,7 +31,6 @@ from pyspark.sql.types import (
     BooleanType, StringType, StructField, StructType,
 )
 
-from documentai_spark.core.quality import legibility_score
 
 _CONTROL_RE = re.compile(r"[\x00-\x08\x0B-\x1F\x7F]")
 # ASCII-pinned to match the RE2 mirror in the preprocess_route oracle
@@ -54,21 +53,50 @@ def normalize_text(t: str) -> tuple[str, bool]:
     return out, out != t
 
 
-@pandas_udf(PREPROCESS_RESULT_TYPE)
-def preprocess_udf(text: pd.Series) -> pd.DataFrame:
-    texts, changed, reverted = [], [], []
+def _preprocess_batch(text: pd.Series,
+                      before_leg=None) -> pd.DataFrame:
+    """Enhancement + revert for one Arrow batch, with the legibility
+    comparison VECTORIZED (operators.quality_vec is bit-identical to the
+    scalar core, so the revert decision is unchanged). ``before_leg``:
+    the already-computed q_legibility column when the caller has it (the
+    pipeline always does — it equals legibility_score(text) bit-for-bit),
+    which saves re-scoring the 'before' side entirely."""
+    import numpy as np
+
+    from documentai_spark.operators.quality_vec import legibility_scores
+
+    origs, outs, chs = [], [], []
     for t in text:
         t = t or ""
         out, ch = normalize_text(t)
-        rev = False
-        if ch and legibility_score(out) < legibility_score(t):
-            # revert predicate: enhancement made it worse
-            out, ch, rev = t, False, True
-        texts.append(out)
-        changed.append(ch)
-        reverted.append(rev)
-    return pd.DataFrame({"text": texts, "changed": changed,
-                         "reverted": reverted})
+        origs.append(t)
+        outs.append(out)
+        chs.append(ch)
+    ch_arr = np.asarray(chs)
+    if ch_arr.any():
+        after = legibility_scores(pd.Series(outs, dtype=object))
+        if before_leg is not None:
+            before = before_leg.to_numpy(dtype=float)
+        else:
+            before = legibility_scores(pd.Series(origs, dtype=object))
+        rev = ch_arr & (after < before)
+    else:
+        rev = np.zeros(len(origs), dtype=bool)
+    final = [o if r else n for o, n, r in zip(origs, outs, rev)]
+    return pd.DataFrame({"text": final,
+                         "changed": list(ch_arr & ~rev),
+                         "reverted": list(rev)})
+
+
+@pandas_udf(PREPROCESS_RESULT_TYPE)
+def preprocess_udf(text: pd.Series) -> pd.DataFrame:
+    return _preprocess_batch(text)
+
+
+@pandas_udf(PREPROCESS_RESULT_TYPE)
+def preprocess_with_leg_udf(text: pd.Series,
+                            before_leg: pd.Series) -> pd.DataFrame:
+    return _preprocess_batch(text, before_leg)
 
 
 def selective_preprocess(df: DataFrame,
@@ -81,7 +109,13 @@ def selective_preprocess(df: DataFrame,
     """
     need = df.filter(F.col(predicate_col))
     keep = df.filter(~F.col(predicate_col))
-    processed = (need.withColumn("_p", preprocess_udf(F.col(text_col)))
+    if "q_legibility" in df.columns:
+        # reuse the quality stage's legibility for the revert 'before'
+        # side (bit-equal to re-scoring; halves the UDF's scoring work)
+        p = preprocess_with_leg_udf(F.col(text_col), F.col("q_legibility"))
+    else:
+        p = preprocess_udf(F.col(text_col))
+    processed = (need.withColumn("_p", p)
                  .withColumn("preprocessed_text", F.col("_p.text"))
                  .withColumn("was_preprocessed", F.col("_p.changed"))
                  .withColumn("was_reverted", F.col("_p.reverted"))
