@@ -18,7 +18,8 @@ every reference metric's shared_preprocessing). Encoders exist so tests
 and the synthetic media table can round-trip real bytes without any
 third-party dependency.
 
-Audio/video decoding remains a declared deterministic fake in
+Audio decoding is real too (RIFF/WAVE PCM, ``core.audiocodec``); only
+video decoding remains a declared deterministic fake in
 operators/multimodal (no ffmpeg in the sandbox).
 """
 

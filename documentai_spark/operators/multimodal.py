@@ -10,10 +10,12 @@ scanline unfilter for PNG), features come from actual pixels
 (4x4 block-mean thumbnail), and ``extract_media_quality`` runs the
 reference's pixel kernels (white-ratio blank, mean-brightness,
 std-contrast, dark/bright-area shadow/glare) on the decoded raster.
-Audio/video decoding remains a declared deterministic fake (no
-ffmpeg/soundfile in this sandbox); their plumbing — schema, batching,
-dispatch — is identical to the image path and swaps in a real decoder
-unchanged.
+The AUDIO path is REAL since r4: RIFF/WAVE PCM decode via pure
+``struct`` (``core.audiocodec``), features are per-frame RMS energies
+over the actual samples. Only VIDEO decoding remains a declared
+deterministic fake (no ffmpeg in this sandbox); its plumbing — schema,
+batching, dispatch — is identical to the real paths and swaps in a real
+decoder unchanged.
 
 Spark-side design (100 TB):
 
@@ -32,6 +34,7 @@ Spark-side design (100 TB):
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 from struct import error as struct_error
 
@@ -86,12 +89,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return decode_image(payload)
 
 
-def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — frame-energy analog; real impl: ffmpeg/soundfile frames.
-    Deterministic (payload-hash-derived) so plumbing tests are stable."""
-    h = hashlib.sha256(b"audio" + payload).digest() * 2
-    return np.frombuffer(h[:N_FEATURES * 4], dtype=np.uint8) \
-             .reshape(N_FEATURES, 4).astype(np.float64)
+def _decode_audio(payload: bytes) -> list[float]:
+    """REAL decoder: RIFF/WAVE PCM via core.audiocodec; returns
+    N_FEATURES per-frame RMS energies (each in [0, 1]). Raises
+    NotImplementedError for non-PCM encodings (opus/mp3/float need libs
+    this sandbox lacks), ValueError/struct.error on corrupt bytes."""
+    from documentai_spark.core.audiocodec import decode_wav, frame_energies
+    _rate, samples = decode_wav(payload)
+    return frame_energies(samples, n_frames=N_FEATURES)
 
 
 def _fake_decode_video(payload: bytes) -> np.ndarray:
@@ -128,8 +133,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         feats.append(block_features(gray, grid=4))
                         oks.append("ok")
                     elif mt == "audio":
-                        block = _fake_decode_audio(bytes(payload))
-                        feats.append((block.mean(axis=1) / 255.0).tolist())
+                        feats.append(_decode_audio(bytes(payload)))
                         oks.append("ok")
                     elif mt == "video":
                         block = _fake_decode_video(bytes(payload))
@@ -141,7 +145,9 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 except NotImplementedError:
                     feats.append([0.0] * N_FEATURES)
                     oks.append("decoder_unavailable")
-                except (ValueError, struct_error):
+                except (ValueError, struct_error, zlib.error):
+                    # zlib.error: corrupt/truncated PNG IDAT stream;
+                    # struct.error: truncated headers — all 'corrupt'
                     feats.append([0.0] * N_FEATURES)
                     oks.append("corrupt")
             yield pd.DataFrame({
@@ -170,7 +176,8 @@ def extract_media_quality(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     gray = _decode_image(bytes(payload))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct_error,
+                        zlib.error):
                     continue
                 q = pixel_quality(gray)
                 rows.append((mid, gray.shape[1], gray.shape[0],
@@ -186,7 +193,10 @@ def extract_media_quality(df: DataFrame) -> DataFrame:
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table. Image rows carry REAL encoded
     payloads (PNG / BMP / PGM round-robin over hash-derived pixel blocks);
-    audio/video rows carry opaque hash bytes for the fake decoders."""
+    audio rows carry REAL RIFF/WAVE PCM16 payloads (hash-derived sample
+    buffers); only video rows carry opaque hash bytes for the fake
+    decoder."""
+    from documentai_spark.core.audiocodec import encode_wav
     from documentai_spark.core.imagecodec import (
         encode_bmp, encode_pgm, encode_png,
     )
@@ -206,9 +216,16 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = enc(gray)
             rows.append((i, mt, bytearray(payload), w, ht, None,
                          codec_names[(i // 3) % 3]))
+        elif mt == "audio":
+            rate = 8000
+            n_samples = 256 + (i % 50) * 64
+            buf = (h * (n_samples * 2 // len(h) + 1))[:n_samples * 2]
+            samples = np.frombuffer(buf, dtype="<i2")
+            payload = encode_wav(samples, rate=rate, bits=16)
+            rows.append((i, mt, bytearray(payload), None, None,
+                         int(n_samples * 1000 / rate), "pcm_s16le"))
         else:
             payload = (h * ((i % 7) + 1))[: 16 + (i % 50) * 8]
             rows.append((i, mt, bytearray(payload), None, None,
-                         1000 * (1 + i % 30),
-                         {"audio": "opus", "video": "av1"}[mt]))
+                         1000 * (1 + i % 30), "av1"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

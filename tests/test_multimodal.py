@@ -1,7 +1,8 @@
 """Multimodal tests: REAL image decode (pure-stdlib PNG/BMP/PGM codecs)
-through the mapInPandas path — features and pixel-quality metrics come
-from actual pixels — plus schema/batching/determinism plumbing. Audio/
-video decode remains a documented deterministic stub."""
+and REAL audio decode (RIFF/WAVE PCM via core.audiocodec) through the
+mapInPandas path — features come from actual pixels / samples — plus
+schema/batching/determinism plumbing. Only video decode remains a
+documented deterministic stub."""
 
 from __future__ import annotations
 
@@ -117,12 +118,111 @@ def test_media_pixel_quality_kernels(spark):
 
 
 def test_corrupt_and_unsupported_payloads(spark):
-    from documentai_spark.operators.multimodal import MEDIA_SCHEMA
+    import struct
+
+    from documentai_spark.core.audiocodec import encode_wav
+    from documentai_spark.core.imagecodec import PNG_MAGIC
+    from documentai_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_media_quality,
+    )
+
+    # PNG with a valid IHDR but garbage IDAT: decode raises zlib.error,
+    # which must land in the 'corrupt' lane, not crash the job (ADVICE r3)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad_idat = b"\x00not-deflate-data\xff\xff"
+    bad_png = (PNG_MAGIC +
+               struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0" +
+               struct.pack(">I", len(bad_idat)) + b"IDAT" + bad_idat +
+               b"\0\0\0\0" +
+               struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0")
+
     df = spark.createDataFrame(
         [(0, "image", bytearray(b"\xff\xd8\xff JPEG-ish"), 1, 1, None,
           "jpeg"),
-         (1, "image", bytearray(b"BM garbage"), 1, 1, None, "bmp")],
+         (1, "image", bytearray(b"BM garbage"), 1, 1, None, "bmp"),
+         (2, "image", bytearray(bad_png), 4, 4, None, "png"),
+         (3, "audio", bytearray(b"RIFFxxxxWAVEfmt "), None, None, 5,
+          "pcm_s16le"),
+         (4, "audio", bytearray(b"OggSopus-like"), None, None, 5, "opus")],
         MEDIA_SCHEMA)
     rows = {r.media_id: r for r in extract_media_features(df).collect()}
     assert rows[0].decode_ok == "decoder_unavailable"   # unknown magic
     assert rows[1].decode_ok == "corrupt"               # truncated BMP
+    assert rows[2].decode_ok == "corrupt"               # zlib.error IDAT
+    assert rows[3].decode_ok == "corrupt"               # truncated WAV
+    assert rows[4].decode_ok == "decoder_unavailable"   # non-RIFF (opus)
+
+    # extract_media_quality must likewise drop (not crash on) the bad
+    # PNG/BMP rows — zlib.error and struct.error lanes
+    q = extract_media_quality(df).collect()
+    assert q == []
+
+    # non-PCM WAV (IEEE float fmt tag 3): decoder_unavailable lane
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    nonpcm = (b"RIFF" + struct.pack("<I", 28) + b"WAVE" +
+              b"fmt " + struct.pack("<I", 16) + float_fmt +
+              b"data" + struct.pack("<I", 0))
+    df2 = spark.createDataFrame(
+        [(0, "audio", bytearray(nonpcm), None, None, 0, "pcm_f32le")],
+        MEDIA_SCHEMA)
+    assert extract_media_features(df2).collect()[0].decode_ok == \
+        "decoder_unavailable"
+
+
+def test_audio_features_are_real_samples(spark):
+    """Real WAV bytes through mapInPandas must yield the exact per-frame
+    RMS energies of the encoded samples — the decode is real, not a
+    payload-hash fake."""
+    import numpy as np
+
+    from documentai_spark.core.audiocodec import (
+        decode_wav, encode_wav, frame_energies,
+    )
+    from documentai_spark.operators.multimodal import MEDIA_SCHEMA
+
+    # a loud first half and a silent second half: energies must reflect it
+    samples = np.concatenate([
+        np.full(512, 16384, dtype=np.int16),
+        np.zeros(512, dtype=np.int16),
+    ])
+    payload = encode_wav(samples, rate=8000, bits=16)
+    rate, decoded = decode_wav(payload)
+    assert rate == 8000 and len(decoded) == 1024
+    expected = frame_energies(decoded, n_frames=N_FEATURES)
+
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(payload), None, None, 128, "pcm_s16le")],
+        MEDIA_SCHEMA)
+    row = extract_media_features(df).collect()[0]
+    assert row.decode_ok == "ok"
+    assert row.features == expected
+    # first-half frames loud (0.5 RMS), second-half silent
+    assert all(abs(f - 0.5) < 1e-9 for f in row.features[:8])
+    assert all(f == 0.0 for f in row.features[8:])
+
+
+def test_audio_codec_stereo_and_8bit():
+    """Stereo averages to mono; 8-bit unsigned PCM de-biases at 128."""
+    import struct as _struct
+
+    import numpy as np
+
+    from documentai_spark.core.audiocodec import decode_wav, encode_wav
+
+    # hand-build a stereo PCM16 file: L=+8192, R=-8192 -> mono 0
+    raw = np.array([8192, -8192] * 64, dtype="<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = (b"RIFF" + _struct.pack("<I", 36 + len(raw)) + b"WAVE" +
+           b"fmt " + _struct.pack("<I", 16) + fmt +
+           b"data" + _struct.pack("<I", len(raw)) + raw)
+    rate, mono = decode_wav(wav)
+    assert rate == 8000 and len(mono) == 64
+    assert np.all(mono == 0.0)
+
+    # 8-bit round-trip: 128 is silence, 255 ~ +1, 0 = -1
+    pay = encode_wav(np.array([128, 255, 0, 128], dtype=np.uint8),
+                     rate=4000, bits=8)
+    rate8, s8 = decode_wav(pay)
+    assert rate8 == 4000
+    assert s8[0] == 0.0 and s8[3] == 0.0
+    assert abs(s8[1] - 127 / 128) < 1e-12 and s8[2] == -1.0
