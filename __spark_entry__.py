@@ -783,6 +783,8 @@ def _ivf_centroids() -> list:
         return _json.load(f)["centroids"]
 TRANSCRIPTS_TEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "data", "transcripts_test")
+PIPELINE_EXPECTED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "data", "pipeline_expected.parquet")
 
 # the detect_kind regexes (core/textkind.py), shared verbatim with the SQL
 # oracle — Java regex and DuckDB RE2 agree on this subset (no lookarounds)
@@ -1125,15 +1127,36 @@ def q_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL flagship pipeline over the committed transcripts table
-    (rows-only; per-turn byte-equality is pinned by tests, but this makes
-    the driver's gate execute the production DAG on the true input shape
-    every round)."""
+    """The REAL flagship pipeline over the committed transcripts table,
+    hash-checked since r4 against a committed frozen expected-output
+    table (data/pipeline_expected.parquet, regenerated only by
+    tools/freeze_pipeline_expected.py — the data/ml_frozen pattern).
+
+    The HTML/layout extraction legs have no SQL form, so the oracle is a
+    plain SELECT over the frozen parquet: the pure-Python core computed
+    it offline, and the gate verifies the LIVE distributed DAG (exchange
+    placement, Arrow batching, SQL verdict legs) reproduces it
+    bit-for-bit — extraction text, canonical span string, all ten q_*
+    doubles, confidence, verdict, routing, recommendations.
+
+    Canonical string forms match the freeze tool: span fields join with
+    \\x1e, records/lines with \\x1f. The transform lambda touches only
+    its element variable (no embedded subtrees), so the documented
+    HOF re-evaluation hazard does not apply."""
     from documentai_spark.plans.pipeline import extraction_pipeline
     df = extraction_pipeline(_transcripts(spark))
-    return df.select("conv_id", "turn_idx", "kind",
-                     F.length("extracted_text").alias("n_extracted_chars"),
-                     F.size("spans").alias("n_spans"), "verdict")
+    span_str = F.concat_ws("\x1f", F.transform(
+        "spans",
+        lambda s: F.concat_ws("\x1e", s["begin"].cast("string"),
+                              s["end"].cast("string"), s["kind"],
+                              s["text"])))
+    return df.select(
+        "conv_id", "turn_idx", "kind", "extracted_text",
+        span_str.alias("spans_cat"),
+        "q_blank", "q_legibility", "q_completeness", "q_skew", "q_noise",
+        "q_contrast", "q_brightness", "q_edge_crop", "q_shadow_glare",
+        "q_resolution", "confidence", "verdict", "needs_preprocessing",
+        F.concat_ws("\x1f", "recommendations").alias("recommendations_cat"))
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,6 +2338,19 @@ def oracle_sql() -> dict[str, str]:
             FROM fin WHERE n_tables > 0
             ORDER BY conv_id, turn_idx
         """,
-        # transcript_pipeline (full-DAG probe): intentionally no oracle;
-        # pinned by tests/
+        # transcript_pipeline: the full production DAG vs the COMMITTED
+        # frozen expected-output table (data/pipeline_expected.parquet,
+        # computed offline by tools/freeze_pipeline_expected.py from the
+        # pure-Python core — the data/ml_frozen pattern). The HTML/layout
+        # legs have no SQL form; freezing the core's output lets the gate
+        # hash-check the live pipeline end-to-end anyway.
+        "transcript_pipeline": f"""
+            SELECT conv_id, turn_idx, kind, extracted_text, spans_cat,
+                   q_blank, q_legibility, q_completeness, q_skew, q_noise,
+                   q_contrast, q_brightness, q_edge_crop, q_shadow_glare,
+                   q_resolution, confidence, verdict, needs_preprocessing,
+                   recommendations_cat
+            FROM read_parquet('{PIPELINE_EXPECTED}')
+            ORDER BY conv_id, turn_idx
+        """,
     }

@@ -14,12 +14,25 @@ def test_oracle_keys_subset_of_queries():
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
     assert os_ <= qs, f"oracle keys without queries: {os_ - qs}"
-    # the rows-only set is intentional and documented
-    rows_only = qs - os_
-    # r3 promoted simhash_dups / classify_vote / entity_spans / ivf_ann
-    # / text_tables (recursive-CTE state machine) to hard oracles; only
-    # the full-DAG probe remains rows-only by design
-    assert rows_only == {"transcript_pipeline"}
+    # r4: transcript_pipeline gained a frozen expected-output oracle
+    # (data/pipeline_expected.parquet) — NO rows-only queries remain
+    assert qs - os_ == set()
+
+
+def test_frozen_pipeline_expected_is_fresh():
+    """The committed expected-output table must equal a live regeneration
+    from the pure-Python core — a stale artifact after a core/ semantic
+    change fails here, not at the driver gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.freeze_pipeline_expected import OUT, SCHEMA, expected_rows
+
+    committed = pq.read_table(OUT)
+    regen = pa.Table.from_pylist(expected_rows(), schema=SCHEMA)
+    assert committed.equals(regen), \
+        "data/pipeline_expected.parquet is stale — rerun " \
+        "tools/freeze_pipeline_expected.py"
 
 
 def test_entry_returns_rows(spark):
