@@ -141,8 +141,14 @@ def extract_lc_application(md_text: str,
 
 
 # deliberately NOT re.ASCII: mirrors the reference's Unicode re.split
-# (app.py:830-851) and str.split whitespace (incl. \x1c-\x1f); the
-# text_tables gate row is rows-only so no RE2 mirror constrains it
+# (app.py:830-851) and str.split whitespace (incl. \x1c-\x1f). NOTE the
+# constraint this carries since the r3 text_tables oracle promotion: the
+# DuckDB mirror uses the ASCII class [ \t\n\x0b\f\r\x1c-\x1f]{2,}, so the
+# two engines agree only on ASCII text — a Unicode space (\xa0, \x85)
+# in a future fixture would split here but not in the oracle. The
+# committed transcripts fixture is ASCII-only (asserted by
+# tests/test_typed_extract.py), so the hash-match holds; keep Unicode \s
+# for reference parity on real-world (non-gated) inputs.
 _TABLE_SPLIT = re.compile(r"\s{2,}|\t")
 
 

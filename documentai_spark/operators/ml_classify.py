@@ -225,6 +225,16 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     handled rows materialize exactly once.
     """
     kcls = len(model.labels)
+    reserved = {f"_s{c}" for c in range(kcls)} | {"_ranked", "_denom"}
+    if id_col is None:
+        reserved.add("_mlid")
+    clash = reserved & set(df.columns)
+    if clash:
+        # exact-name collisions would be silently clobbered by the score
+        # select below (ADVICE r3) — refuse loudly instead
+        raise ValueError(
+            f"input columns collide with predict_with_topk internals: "
+            f"{sorted(clash)}")
     if id_col is None:
         handled = df.withColumn("_mlid", F.monotonically_increasing_id()) \
                     .localCheckpoint(eager=False)
@@ -259,18 +269,25 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     for e in exps[1:]:
         denom = denom + e
     top_expr = F.element_at(ranked, 1)
-    out = (out.withColumn("_ranked", ranked)
+    # _denom staged as its own column: the topk lambda then reads an
+    # attribute (arrays here are k<=n_classes long, so even an inlined
+    # subtree would be cheap — but attributes keep the plan clean)
+    out = (out.withColumn("_denom", denom)
+              .withColumn("_ranked", ranked)
               .withColumn("ml_category", top_expr["category"])
               .withColumn("ml_confidence",
                           F.exp(top_expr["s"].cast("double")
-                                / F.lit(float(SCALE))) / denom)
+                                / F.lit(float(SCALE))) / F.col("_denom"))
               .withColumn("ml_topk", F.transform(
                   F.slice("_ranked", 1, k),
+                  # softmax probability, the reference's predict_proba
+                  # top-3 shape (documentClassifier.py:199-203) — was the
+                  # raw de-scaled linear score until r4 (ADVICE r3)
                   lambda x: F.struct(
-                      (x["s"].cast("double") / F.lit(float(SCALE)))
-                      .alias("p"),
+                      (F.exp(x["s"].cast("double") / F.lit(float(SCALE)))
+                       / F.col("_denom")).alias("p"),
                       x["category"].alias("category")))))
-    drop = ["_ranked"] + [f"_s{c}" for c in range(kcls)]
+    drop = ["_ranked", "_denom"] + [f"_s{c}" for c in range(kcls)]
     if id_col is None:
         drop.append("_mlid")
     return out.drop(*drop)
@@ -316,6 +333,63 @@ def synthesize_labeled_docs(spark, n_per_class: int = 120,
             for t in range(12 + h % 8):
                 src = words if (h >> t) % 3 else noise
                 toks.append(src[(h >> (t % 13)) % len(src)])
+            rows.append((i, " ".join(toks), label))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "text", "label_str"])
+
+
+_CLASSES_18 = {
+    # 18 trade-document classes, the reference model's shape
+    # (classification-service/model/model_info.json: 18 classes, 559
+    # samples, CV accuracy 0.9212). Distinctive terms per class PLUS a
+    # shared trade-vocabulary pool so classes genuinely overlap — the
+    # benchmark is not trivially separable.
+    "invoice": "invoice receivable billing vat".split(),
+    "purchase_order": "purchase requisition procurement buyer".split(),
+    "letter_of_credit": "credit documentary issuing confirming".split(),
+    "bill_of_lading": "lading onboard carrier consignee".split(),
+    "packing_list": "packing carton gross nett".split(),
+    "certificate_of_origin": "origin chamber preferential exporter".split(),
+    "insurance_certificate": "insurance policy premium coverage".split(),
+    "bank_guarantee": "guarantee surety obligor demand".split(),
+    "customs_declaration": "customs declaration hs tariff".split(),
+    "delivery_note": "delivery dispatch received driver".split(),
+    "credit_note": "adjustment refund overcharge reversal".split(),
+    "debit_note": "debit undercharge supplementary claim".split(),
+    "quotation": "quotation validity offer estimate".split(),
+    "proforma_invoice": "proforma advance prepayment pro".split(),
+    "inspection_certificate": "inspection surveyor conformity sample".split(),
+    "airway_bill": "airway flight awb iata".split(),
+    "remittance_advice": "remittance transfer swift settlement".split(),
+    "shipping_instruction": "instruction booking stuffing cutoff".split(),
+}
+
+_SHARED_TRADE = ("amount total date number goods shipment port vessel "
+                 "payment terms bank document party reference currency "
+                 "quantity unit description value country").split()
+
+
+def synthesize_labeled_docs_18(spark, n_per_class: int = 31,
+                               seed: int = 42) -> DataFrame:
+    """Deterministic 18-class / ~560-doc corpus matching the reference
+    model's benchmark shape (18 classes, 559 samples). Roughly half of
+    each document is the SHARED trade vocabulary (so classes overlap and
+    the task is non-trivial); the rest draws from the class's distinctive
+    terms. Used by the ML-fidelity test (holdout accuracy vs the
+    reference's 0.9212 CV accuracy)."""
+    import hashlib
+
+    rows = []
+    i = 0
+    for label, words in _CLASSES_18.items():
+        for j in range(n_per_class):
+            h = int.from_bytes(hashlib.md5(
+                f"{seed}|18|{label}|{j}".encode()).digest()[:8], "big")
+            toks = []
+            for t in range(14 + h % 10):
+                bit = (h >> (t % 29)) & 3
+                src = words if bit == 0 else _SHARED_TRADE
+                toks.append(src[(h >> ((t * 5) % 23)) % len(src)])
             rows.append((i, " ".join(toks), label))
             i += 1
     return spark.createDataFrame(rows, ["doc_id", "text", "label_str"])

@@ -40,6 +40,98 @@ def test_topk_shape_and_order(model_and_data):
     assert 0.0 <= row.ml_confidence <= 1.0
 
 
+def test_topk_p_is_softmax_probability(model_and_data):
+    """ml_topk 'p' must be a softmax probability (the reference's
+    predict_proba top-3 shape), internally consistent with ml_confidence
+    — not the raw de-scaled linear score (ADVICE r3)."""
+    model, test = model_and_data
+    k = len(model.labels)
+    row = predict_with_topk(model, test, k=k).first()
+    ps = [x.p for x in row.ml_topk]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert abs(sum(ps) - 1.0) < 1e-9          # full-k slice sums to 1
+    assert row.ml_topk[0].p == row.ml_confidence
+
+
+def test_reserved_column_collision_raises(model_and_data, spark):
+    """Caller columns named exactly like the scorer's internals must be
+    rejected, not silently clobbered (ADVICE r3)."""
+    model, test = model_and_data
+    with pytest.raises(ValueError, match="_s0"):
+        predict_with_topk(model, test.withColumn("_s0", F.lit(1)))
+    with pytest.raises(ValueError, match="_mlid"):
+        predict_with_topk(model, test.withColumn("_mlid", F.lit(1)))
+    # _mlid is only reserved on the no-id_col path
+    out = predict_with_topk(model, test.withColumn("_mlid", F.lit(1)),
+                            id_col="doc_id")
+    assert "ml_category" in out.columns
+
+
+def test_sublinear_vs_compiled_scorer_agreement(model_and_data):
+    """The compiled scorer is linear in raw term counts; training used
+    sublinear tf (1 + ln tf). Quantify the decision-function agreement on
+    documents with heavily REPEATED terms — the divergence case — from
+    the frozen weights alone (PARITY.md documents the tradeoff)."""
+    import math
+
+    model, test = model_and_data
+    w = {r["term"]: [r[f"w_{c}"] for c in range(len(model.labels))]
+         for r in model.weights.collect()}
+    docs = [r.text for r in test.collect()]
+
+    def argmax(scores):
+        return max(range(len(scores)), key=lambda c: (scores[c], -c))
+
+    agree = total = 0
+    for text in docs:
+        # repeat every token 3x: tf=3 for every term -> max divergence
+        toks = text.lower().split() * 3
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        lin = list(model.intercepts)
+        sub = list(model.intercepts)
+        hit = False
+        for t, n in counts.items():
+            if t not in w:
+                continue
+            hit = True
+            for c in range(len(model.labels)):
+                lin[c] += n * w[t][c]
+                sub[c] += (1.0 + math.log(n)) * w[t][c]
+        if not hit:
+            continue
+        total += 1
+        agree += argmax(lin) == argmax(sub)
+    assert total > 50
+    # repeated terms scale every hit's contribution by n/(1+ln n) — a
+    # near-monotone transform of the linear score, so decisions rarely
+    # flip; anything below this bound would mean the compiled scorer
+    # diverges materially from the trained model
+    assert agree / total >= 0.9, (agree, total)
+
+
+def test_18class_fidelity_benchmark(spark):
+    """The reference's model benchmark shape: 18 classes, ~560 samples
+    (model/model_info.json, CV accuracy 0.9212). The parity trainer on a
+    deterministic 18-class corpus with a shared-vocabulary overlap must
+    reach holdout accuracy >= 0.9 (README fidelity row)."""
+    from documentai_spark.operators.ml_classify import (
+        synthesize_labeled_docs_18,
+    )
+    data = synthesize_labeled_docs_18(spark, n_per_class=31)  # 558 docs
+    assert data.count() == 558
+    train = data.filter(F.col("doc_id") % 5 != 0)
+    test = data.filter(F.col("doc_id") % 5 == 0)
+    model = train_classifier(train)
+    assert len(model.labels) == 18
+    pred = predict_with_topk(model, test, id_col="doc_id")
+    acc = pred.select(
+        F.avg((F.col("ml_category") == F.col("label_str")).cast("double"))
+         .alias("acc")).collect()[0].acc
+    assert acc >= 0.9, acc
+
+
 def test_prediction_deterministic(model_and_data):
     model, test = model_and_data
     a = {r.doc_id: r.ml_category

@@ -203,3 +203,17 @@ tail"""
     assert extract_text_tables("prose\nonly  one") == []
     # a trailing multi-row table IS emitted
     assert extract_text_tables("a  b\nc  d") == [[["a", "b"], ["c", "d"]]]
+
+
+def test_transcripts_fixture_is_ascii():
+    """The text_tables DuckDB oracle splits on an ASCII whitespace class
+    while _TABLE_SPLIT uses Unicode \\s; the engines agree only because
+    the committed fixture is ASCII. Pin that assumption here — a future
+    fixture with \\xa0/\\x85 whitespace must fail loudly, not silently
+    diverge at the gate (ADVICE r3)."""
+    import pyarrow.parquet as pq
+
+    from tools.freeze_pipeline_expected import FIXTURE
+
+    texts = pq.read_table(FIXTURE, columns=["text"])["text"].to_pylist()
+    assert texts and all(t is None or t.isascii() for t in texts)
