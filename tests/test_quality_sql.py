@@ -91,3 +91,25 @@ def test_sql_oracle_bit_identical_fixture_sample():
                 r.q_shadow_glare, r.q_resolution, r.confidence) \
             == (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf), i
         assert r.verdict == v and r.recommendations == recs, i
+
+
+def test_apostrophe_in_advice_text_survives_sql(monkeypatch):
+    """Advice wording with an apostrophe must not break the generated
+    DuckDB oracle (the '' escaping in quality_sql._q — VERDICT r3 #7):
+    the SQL parses AND the emitted line round-trips exactly, matching
+    the Python side which reads the same constant."""
+    from documentai_spark.core.quality import RECOMMENDATION_TEXT
+
+    spiky = "Don't re-scan; use the operator's 'best' profile"
+    monkeypatch.setitem(RECOMMENDATION_TEXT["legibility"], "low", spiky)
+    monkeypatch.setitem(RECOMMENDATION_TEXT["legibility"], "medium", spiky)
+    monkeypatch.setitem(RECOMMENDATION_TEXT["legibility"], "good", spiky)
+
+    # mojibake-ish text scores low legibility -> the spiky line appears
+    rows = [(0, "?? ## ~~ mojibake ^^ || \\\\"), (1, "clean text here")]
+    df = _run_oracle(rows)
+    for (i, t), (_, r) in zip(rows, df.iterrows()):
+        *_, recs = _expected(t)
+        assert r.recommendations == recs, (i, r.recommendations)
+    assert any(f"Legibility: {spiky}" in r for r in df.recommendations), \
+        df.recommendations.tolist()
