@@ -22,7 +22,16 @@ Rebuilt from document_classification_updated/documentClassifier.py:
 
 All scoring is generated column expressions (keywords are compile-time
 constants folded into the plan — the Spark analog of the reference's
-precompiled keyword cache, X5/X12). No UDF, no shuffle until the vote.
+precompiled keyword cache, X5/X12); no shuffle until the vote. The ONE
+Python stage is text normalization (``_norm_batch``): a byte-LUT
+``bytes.translate`` pass in a single Arrow UDF, byte-identical to the
+``lower + regexp_replace`` column form it replaced. Why: this host's
+JVM ``regexp_replace`` with a character class degrades to ~6 MB/s
+aggregate on 32 cores when matches are dense (measured 99 s for a
+620 MB sf1-shape normalization — 200 us per match; collapsing runs with
+``+`` and salting both changed nothing), while the translate pass runs
+the same input in 2.8 s. Same doctrine as operators/quality_vec: LUT
+gather at memory bandwidth beats per-match machinery.
 """
 
 from __future__ import annotations
@@ -30,8 +39,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -82,6 +94,43 @@ def _norm_col(c: Column) -> Column:
     return F.regexp_replace(F.lower(c), "[^0-9a-z]", "")
 
 
+# byte-LUT deletion tables: after str.lower(), every UTF-8 byte outside
+# the keep-set is deleted. Multi-byte (non-ASCII) characters consist
+# solely of bytes >= 0x80, so deleting those bytes deletes the character
+# — exactly what the [^0-9a-z] / [^0-9a-z\s] regex classes do. The \s
+# keep-set is Java regex \s == [ \t\n\x0b\f\r], spelled in bytes.
+_KEEP_ALNUM = frozenset(range(48, 58)) | frozenset(range(97, 123))
+_KEEP_WS = frozenset((9, 10, 11, 12, 13, 32))
+_DEL_ALNUM = bytes(b for b in range(256) if b not in _KEEP_ALNUM)
+_DEL_SPACE = bytes(b for b in range(256)
+                   if b not in (_KEEP_ALNUM | _KEEP_WS))
+
+
+def _norm_batch(text: pd.Series) -> pd.DataFrame:
+    """Both normalized forms in one pass (shared with tests): ``na`` =
+    lower + strip non-alnum (technique 1's contains-scoring input),
+    ``ns`` = lower + strip all but alnum/whitespace + trim spaces
+    (technique 3's token source). Byte-identical to the column forms
+    ``regexp_replace(lower(t), '[^0-9a-z]', '')`` and
+    ``trim(regexp_replace(lower(t), '[^0-9a-z\\s]', ''))`` — pinned by
+    tests/test_classify.py::test_norm_batch_matches_column_forms."""
+    na, ns = [], []
+    for s in text:
+        b = (s or "").lower().encode("utf-8", "surrogatepass")
+        na.append(b.translate(None, _DEL_ALNUM).decode("ascii"))
+        ns.append(b.translate(None, _DEL_SPACE).decode("ascii").strip(" "))
+    return pd.DataFrame({"na": na, "ns": ns})
+
+
+_NORM_TYPE = StructType([StructField("na", StringType(), False),
+                         StructField("ns", StringType(), False)])
+
+
+@pandas_udf(_NORM_TYPE)
+def _norm_udf(text: pd.Series) -> pd.DataFrame:
+    return _norm_batch(text)
+
+
 def _argmax_struct(scores: list[tuple[str, Column]], default: str) -> Column:
     """Deterministic argmax over (category, score): greatest score wins,
     ties broken by category-name order; zero scores -> default."""
@@ -92,9 +141,13 @@ def _argmax_struct(scores: list[tuple[str, Column]], default: str) -> Column:
 
 
 def technique_substring(text: Column, cfg: ClassifierConfig,
-                        default: str = "unclassified") -> Column:
-    """len(kw)*4*weight substring scoring (documentClassifier.py:406-421)."""
-    nt = _norm_col(text)
+                        default: str = "unclassified",
+                        norm: Column | None = None) -> Column:
+    """len(kw)*4*weight substring scoring (documentClassifier.py:406-421).
+
+    ``norm``: the already alnum-normalized text when the caller staged it
+    (classify_with_vote always does, via the byte-LUT Arrow stage)."""
+    nt = _norm_col(text) if norm is None else norm
     scores = []
     for cat in cfg.categories:
         s = None
@@ -122,9 +175,14 @@ def technique_regex_count(text: Column, cfg: ClassifierConfig,
 
 
 def technique_token_overlap(text: Column, cfg: ClassifierConfig,
-                            default: str = "unclassified") -> Column:
-    """|keyword-set ∩ word-set| scoring (documentClassifier.py:520-557)."""
-    words = F.array_distinct(F.split(_space_norm(text), " "))
+                            default: str = "unclassified",
+                            norm: Column | None = None) -> Column:
+    """|keyword-set ∩ word-set| scoring (documentClassifier.py:520-557).
+
+    ``norm``: the already space-normalized text when the caller staged
+    it (see technique_substring)."""
+    words = F.array_distinct(F.split(
+        _space_norm(text) if norm is None else norm, " "))
     scores = []
     for cat in cfg.categories:
         kws = F.array(*[F.lit(k) for k in cat.keywords])
@@ -174,16 +232,26 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     # subtrees re-evaluate ~9x per row; measured 10.8s -> 2.5s at 5k
     # transcript turns for the 3-technique projection).
     t_eff = F.when(too_short, F.lit("")).otherwise(t)
-    t1c = technique_substring(t_eff, cfg, default)
+    # normalization staged through the byte-LUT Arrow stage (module
+    # docstring: JVM regexp_replace degrades ~35x on dense-match inputs
+    # on this host); gated input, so short rows normalize '' for free
+    if "_cnorm" in df.columns:
+        raise ValueError("input column _cnorm collides with "
+                         "classify_with_vote's internal name")
+    df = df.withColumn("_cnorm", _norm_udf(t_eff))
+    t1c = technique_substring(t_eff, cfg, default,
+                              norm=F.col("_cnorm.na"))
     t2c = technique_regex_count(t_eff, cfg, default)
-    t3c = technique_token_overlap(t_eff, cfg, default)
+    t3c = technique_token_overlap(t_eff, cfg, default,
+                                  norm=F.col("_cnorm.ns"))
     # The vote below references each technique column ~10x (counts, max,
     # winner chain). Safe: CollapseProject only inlines non-cheap
     # projection aliases referenced at most once (SPARK-36718), so each
     # technique tree materializes exactly once per row.
     df = (df.withColumn("technique_1", t1c)
             .withColumn("technique_2", t2c)
-            .withColumn("technique_3", t3c))
+            .withColumn("technique_3", t3c)
+            .drop("_cnorm"))
     names = ["technique_1", "technique_2", "technique_3"]
     if ml_category_col is not None:
         df = df.withColumn("technique_4", F.col(ml_category_col))

@@ -91,3 +91,35 @@ def test_classified_sink_partitions(spark, transcripts_path, tmp_path):
     assert one.count() > 0
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_norm_batch_matches_column_forms(spark):
+    """The byte-LUT normalization (one Arrow stage) must be byte-identical
+    to the lower+regexp_replace column forms it replaced — on adversarial
+    inputs including non-ASCII (multi-byte deletion), control chars, and
+    whitespace variants."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.classify import _norm_batch
+
+    cases = [
+        "Simple Mixed CASE text 123",
+        "punct!@#$%^&*()-=_+[]{};':\",./<>?",
+        "tabs\tand\nnewlines\x0b\x0c\r here",
+        "  leading and trailing   ",
+        "unicode Élève K café 中文",
+        "", "   ", "\x00\x01control\x1f\x7f",
+        "PO-123 USD 5,000.00 01.01.2024",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "t"])
+    jvm = {r.i: (r.na, r.ns) for r in df.select(
+        "i",
+        F.regexp_replace(F.lower("t"), "[^0-9a-z]", "").alias("na"),
+        F.trim(F.regexp_replace(F.lower("t"), r"[^0-9a-z\s]", ""))
+         .alias("ns")).collect()}
+    out = _norm_batch(pd.Series(cases))
+    for i, c in enumerate(cases):
+        assert (out["na"][i], out["ns"][i]) == jvm[i], repr(c)
