@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed per-partition run with resume")
+    ap.add_argument("--classified", nargs="?", const="default",
+                    default=None, metavar="CONFIG_JSON",
+                    help="classified-sink mode (S6): extraction + "
+                         "3-technique vote + consecutive grouping, output "
+                         "partitioned by category. Optional JSON config "
+                         "path ({category: {keywords: [...], ...}}); "
+                         "omit the value for a built-in demo config")
     ap.add_argument("--bench", action="store_true",
                     help="benchmark mode: warm the JVM + python workers "
                          "first, then time ONLY the pipeline write "
@@ -80,6 +87,34 @@ def main() -> None:
                           "shuffle_partitions": spark.conf.get(
                               "spark.sql.shuffle.partitions"),
                           "output": args.output}))
+        spark.stop()
+        return
+
+    if args.classified:
+        from documentai_spark.operators.classify import ClassifierConfig
+        from documentai_spark.plans.pipeline import run_classified
+        if args.classified == "default":
+            raw = {
+                "billing": {"keywords": ["invoice", "amount", "total"],
+                            "max_pages": 3},
+                "shipping": {"keywords": ["vessel", "port", "freight",
+                                          "shipment"]},
+                "credit": {"keywords": ["credit", "beneficiary"]},
+            }
+        else:
+            with open(args.classified) as f:
+                raw = json.load(f)
+        t0 = time.time()
+        run_classified(spark, args.input, args.output,
+                       ClassifierConfig.compile(raw))
+        out = spark.read.parquet(args.output)
+        rows = out.count()
+        cats = {r["category"]: r["count"] for r in
+                out.groupBy("category").count().collect()}
+        wall = time.time() - t0
+        print(json.dumps({"rows": rows, "sec": round(wall, 2),
+                          "turns_per_sec": round(rows / wall, 1),
+                          "categories": cats, "output": args.output}))
         spark.stop()
         return
 
