@@ -52,6 +52,11 @@ class Category:
     name: str
     keywords: tuple[str, ...]       # alnum-normalized (substring scoring)
     patterns: tuple[str, ...] = ()  # \s+-flexible word patterns (regex count)
+    # the same patterns with \s spelled as the explicit Java-\s byte class
+    # [ \t\n\x0b\f\r] — the Python-re mirror used by the Arrow feature
+    # pass (built from the raw keywords, never by string-replacing
+    # `patterns`, so escaped literals can't be corrupted)
+    patterns_py: tuple[str, ...] = ()
     weight: float = 1.0
     always_separate: bool = False
     max_pages: int = 0  # 0 = unlimited
@@ -73,11 +78,18 @@ class ClassifierConfig:
             originals = [k for k in spec["keywords"] if _norm(k)]
             kws = sorted({_norm(k) for k in originals},
                          key=lambda k: (-len(k), k))
-            pats = tuple(sorted(
-                r"\s+".join(re.escape(w) for w in k.lower().split())
-                for k in originals))
+            # both mirrors sorted by the SAME key (the Java form) so the
+            # alternation order — which decides leftmost-preference on
+            # overlapping keywords — is identical in both engines
+            pairs = sorted(
+                (r"\s+".join(re.escape(w) for w in k.lower().split()),
+                 "[ \t\n\x0b\f\r]+".join(re.escape(w)
+                                         for w in k.lower().split()))
+                for k in originals)
+            pats = tuple(p for p, _ in pairs)
+            pats_py = tuple(q for _, q in pairs)
             cats.append(Category(name=name, keywords=tuple(kws),
-                                 patterns=pats,
+                                 patterns=pats, patterns_py=pats_py,
                                  weight=float(spec.get("weight", 1.0)),
                                  always_separate=bool(
                                      spec.get("always_separate", False)),
@@ -131,6 +143,51 @@ def _norm_udf(text: pd.Series) -> pd.DataFrame:
     return _norm_batch(text)
 
 
+def _features_batch(text: pd.Series, pats: list[str]) -> pd.DataFrame:
+    """One Arrow pass producing every per-row text feature the three
+    techniques need: both normalized forms (see _norm_batch) AND the
+    per-category occurrence counts for technique 2 (``c0..c{k-1}``,
+    non-overlapping matches of the category's keyword alternation on the
+    LOWERED raw text — Python re mirrors Java regexp_extract_all exactly
+    for these escaped-literal \\s+-joined alternations; parity pinned by
+    tests/test_classify.py::test_features_counts_match_jvm and the
+    classify_vote / classify_grouping DuckDB gate oracles)."""
+    import re as _re
+    comp = [_re.compile(p) for p in pats]
+    na, ns = [], []
+    counts: list[list[int]] = [[] for _ in comp]
+    for s in text:
+        low = (s or "").lower()
+        b = low.encode("utf-8", "surrogatepass")
+        na.append(b.translate(None, _DEL_ALNUM).decode("ascii"))
+        ns.append(b.translate(None, _DEL_SPACE).decode("ascii").strip(" "))
+        for i, c in enumerate(comp):
+            counts[i].append(len(c.findall(low)))
+    data: dict = {"na": na, "ns": ns}
+    for i in range(len(comp)):
+        data[f"c{i}"] = pd.Series(counts[i], dtype="int32")
+    return pd.DataFrame(data)
+
+
+def _make_features_udf(cfg: "ClassifierConfig"):
+    """Config-closure pandas UDF over _features_batch (the patterns are
+    compile-time constants of the config, like the keyword literals in
+    the JVM expressions)."""
+    from pyspark.sql.types import IntegerType
+
+    pats = ["|".join(cat.patterns_py) for cat in cfg.categories]
+    fields = [StructField("na", StringType(), False),
+              StructField("ns", StringType(), False)] + \
+             [StructField(f"c{i}", IntegerType(), False)
+              for i in range(len(pats))]
+
+    @pandas_udf(StructType(fields))
+    def feats(text: pd.Series) -> pd.DataFrame:
+        return _features_batch(text, pats)
+
+    return feats
+
+
 def _argmax_struct(scores: list[tuple[str, Column]], default: str) -> Column:
     """Deterministic argmax over (category, score): greatest score wins,
     ties broken by category-name order; zero scores -> default."""
@@ -160,17 +217,25 @@ def technique_substring(text: Column, cfg: ClassifierConfig,
 
 
 def technique_regex_count(text: Column, cfg: ClassifierConfig,
-                          default: str = "unclassified") -> Column:
+                          default: str = "unclassified",
+                          counts: list[Column] | None = None) -> Column:
     """Occurrence-count x weight scoring (documentClassifier.py:476-492).
 
-    Keywords compile to \\s+-flexible patterns (documentClassifier.py:455)."""
-    lt = F.lower(text)
-    scores = []
-    for cat in cfg.categories:
-        # one alternation pass per category (occurrence count x weight)
-        pat = "|".join(cat.patterns)
-        cnt = F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0)))
-        scores.append((cat.name, cnt.cast("double") * F.lit(cat.weight)))
+    Keywords compile to \\s+-flexible patterns (documentClassifier.py:455).
+    ``counts``: per-category occurrence-count columns when the caller
+    staged them (classify_with_vote does, via the Arrow feature pass —
+    the JVM regexp_extract_all path below is semantics-identical and
+    remains for direct technique use)."""
+    if counts is None:
+        lt = F.lower(text)
+        counts = []
+        for cat in cfg.categories:
+            # one alternation pass per category
+            pat = "|".join(cat.patterns)
+            counts.append(
+                F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0))))
+    scores = [(cat.name, cnt.cast("double") * F.lit(cat.weight))
+              for cat, cnt in zip(cfg.categories, counts)]
     return _argmax_struct(scores, default)
 
 
@@ -232,16 +297,21 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     # subtrees re-evaluate ~9x per row; measured 10.8s -> 2.5s at 5k
     # transcript turns for the 3-technique projection).
     t_eff = F.when(too_short, F.lit("")).otherwise(t)
-    # normalization staged through the byte-LUT Arrow stage (module
-    # docstring: JVM regexp_replace degrades ~35x on dense-match inputs
-    # on this host); gated input, so short rows normalize '' for free
+    # every per-row text feature (both normalized forms + technique-2
+    # occurrence counts) staged through ONE byte-LUT/Python-re Arrow
+    # stage (module docstring: JVM regexp_replace degrades ~35x on
+    # dense-match inputs on this host, and the regex scans ride the same
+    # already-lowered string); gated input, so short rows cost ~nothing
     if "_cnorm" in df.columns:
         raise ValueError("input column _cnorm collides with "
                          "classify_with_vote's internal name")
-    df = df.withColumn("_cnorm", _norm_udf(t_eff))
+    df = df.withColumn("_cnorm", _make_features_udf(cfg)(t_eff))
     t1c = technique_substring(t_eff, cfg, default,
                               norm=F.col("_cnorm.na"))
-    t2c = technique_regex_count(t_eff, cfg, default)
+    t2c = technique_regex_count(
+        t_eff, cfg, default,
+        counts=[F.col(f"_cnorm.c{i}")
+                for i in range(len(cfg.categories))])
     t3c = technique_token_overlap(t_eff, cfg, default,
                                   norm=F.col("_cnorm.ns"))
     # The vote below references each technique column ~10x (counts, max,

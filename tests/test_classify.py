@@ -123,3 +123,44 @@ def test_norm_batch_matches_column_forms(spark):
     out = _norm_batch(pd.Series(cases))
     for i, c in enumerate(cases):
         assert (out["na"][i], out["ns"][i]) == jvm[i], repr(c)
+
+
+def test_features_counts_match_jvm(spark):
+    """The Python-re technique-2 counts (Arrow feature pass) must equal
+    Java regexp_extract_all on the same alternation — overlapping
+    keywords (leftmost preference), multi-word \\s+ joins, whitespace
+    variants, repeated hits."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, _features_batch,
+    )
+
+    cfg = ClassifierConfig.compile({
+        "a": {"keywords": ["po", "po number", "purchase order"]},
+        "b": {"keywords": ["credit", "letter of credit"]},
+    })
+    cases = [
+        "po number po-7 purchase  order purchase\torder po",
+        "letter of credit and credit and letter  of\ncredit",
+        "po po po po", "PO NUMBER", "nothing here",
+        "po\x0bnumber po\x0cnumber",      # \s variants Java also matches
+        "", "   ", "credit creditcredit letter of credit",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "t"])
+    jvm = {}
+    for ci, cat in enumerate(cfg.categories):
+        pat = "|".join(cat.patterns)
+        col = F.size(F.regexp_extract_all(F.lower("t"), F.lit(pat),
+                                          F.lit(0)))
+        for r in df.select("i", col.alias("n")).collect():
+            jvm[(r.i, ci)] = r.n
+    out = _features_batch(pd.Series(cases),
+                          ["|".join(cat.patterns_py)
+                           for cat in cfg.categories])
+    for i, c in enumerate(cases):
+        for ci in range(2):
+            assert out[f"c{ci}"][i] == jvm[(i, ci)], (repr(c), ci)
