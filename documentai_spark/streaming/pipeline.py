@@ -46,6 +46,26 @@ def streaming_verdict_rollup(stream: DataFrame,
                .agg(F.count(F.lit(1)).alias("n_turns")))
 
 
+def streaming_classified(stream: DataFrame, cfg) -> DataFrame:
+    """Stateless per-turn classification on a stream: extraction +
+    quality + the 3-technique vote (row-local, so trivially streamable).
+    Consecutive grouping is a batch concern — the reference groups per
+    uploaded document; the streaming analog is the per-turn category
+    plus the windowed rollup below."""
+    from documentai_spark.operators.classify import classify_with_vote
+    return classify_with_vote(streaming_extraction(stream), cfg)
+
+
+def streaming_category_rollup(stream: DataFrame, cfg,
+                              window: str = "5 minutes",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Windowed per-category turn counts with late-data handling."""
+    out = streaming_classified(stream, cfg)
+    return (out.withWatermark("ts", watermark)
+               .groupBy(F.window("ts", window), "category")
+               .agg(F.count(F.lit(1)).alias("n_turns")))
+
+
 def streaming_conversation_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-conversation totals that survive across micro-batches.

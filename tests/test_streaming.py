@@ -100,3 +100,56 @@ def test_stateful_conversation_totals(spark, transcripts_path):
                  F.sum(F.length("text")).alias("total_chars"),
                  F.max("turn_idx").alias("max_turn_idx")).collect()}
     assert got == want
+
+
+def test_streaming_classified_equals_batch(spark, transcripts_path,
+                                           tmp_path):
+    """The classification vote is stateless, so the streamed per-turn
+    categories must equal the batch chain's on the same input; the
+    windowed per-category rollup must sum to the same totals."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, classify_with_vote,
+    )
+    from documentai_spark.plans.pipeline import extraction_pipeline
+    from documentai_spark.streaming.pipeline import (
+        read_transcript_stream, start_to_parquet, streaming_classified,
+        streaming_category_rollup,
+    )
+
+    cfg = ClassifierConfig.compile({
+        "billing": {"keywords": ["invoice", "amount", "total"]},
+        "shipping": {"keywords": ["vessel", "port", "freight"]},
+    })
+    out_dir = str(tmp_path / "cstream_out")
+    ckpt = str(tmp_path / "cstream_ckpt")
+    stream = read_transcript_stream(spark, transcripts_path)
+    q = start_to_parquet(
+        streaming_classified(stream, cfg).select(
+            "conv_id", "turn_idx", "category", "vote_confidence"),
+        out_dir, ckpt)
+    q.awaitTermination(300)
+    got = {(r.conv_id, r.turn_idx): (r.category, r.vote_confidence)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    batch = classify_with_vote(
+        extraction_pipeline(spark.read.parquet(transcripts_path),
+                            ordered_output=False), cfg)
+    want = {(r.conv_id, r.turn_idx): (r.category, r.vote_confidence)
+            for r in batch.select("conv_id", "turn_idx", "category",
+                                  "vote_confidence").collect()}
+    assert got == want
+
+    q2 = (streaming_category_rollup(
+              read_transcript_stream(spark, transcripts_path), cfg,
+              window="10 minutes", watermark="20 minutes")
+          .writeStream.format("memory").queryName("cat_rollup")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(300)
+    rolled = spark.sql("SELECT category, sum(n_turns) AS n FROM "
+                       "cat_rollup GROUP BY category").collect()
+    want_counts = {r.category: r.n for r in
+                   batch.groupBy("category").count()
+                        .withColumnRenamed("count", "n").collect()}
+    assert {r.category: r.n for r in rolled} == want_counts
