@@ -102,21 +102,61 @@ def extraction_pipeline(transcripts: DataFrame, *,
     return df.select(*cols)
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Read the transcripts table.
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
 
-    Parquet in this sandbox; on a real cluster the same call reads the
-    Iceberg table (``spark.read.format("iceberg").load(tbl)``) and gains
-    partition pruning from the table's bucket(conv_id) spec. The pipeline
-    is storage-agnostic above this line.
+
+def read_transcripts(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    """Read the transcripts table in any supported landing format.
+
+    ``parquet`` (default) is the at-scale path — on a real cluster the
+    same call reads the Iceberg table
+    (``spark.read.format("iceberg").load(tbl)``) and gains partition
+    pruning from the table's bucket(conv_id) spec. ``json`` (JSON Lines)
+    and ``csv`` cover the ingest edge where transcripts land raw before
+    compaction. Both get the EXPLICIT canonical schema — never
+    inference, which costs a second full scan at scale — and permissive
+    corrupt-record handling (malformed rows become nulls and are dropped
+    by the non-null conv_id filter rather than failing the job).
+
+    Scale note on CSV: ``multiLine`` is required because transcript text
+    contains newlines, and multiLine CSV is NOT splittable (one task per
+    file). Use it for ingest-edge conversion only; land parquet for the
+    real pipeline. The pipeline is storage-agnostic above this function.
     """
-    return spark.read.parquet(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        df = (spark.read.schema(TRANSCRIPT_DDL)
+              .option("mode", "PERMISSIVE")
+              .option("timestampFormat",
+                      "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+              .json(path))
+        return df.filter(F.col("conv_id").isNotNull())
+    if fmt == "csv":
+        # nullValue='\\N' keeps the empty-string / NULL distinction:
+        # Spark's default nullValue is "" which silently nulls every
+        # quoted-empty field (a real text/tool value in this table).
+        # Writers must emit \N for SQL NULL — the standard convention.
+        df = (spark.read.schema(TRANSCRIPT_DDL)
+              .option("header", "true")
+              .option("multiLine", "true")
+              .option("escape", '"')
+              .option("nullValue", "\\N")
+              .option("mode", "PERMISSIVE")
+              .option("timestampFormat",
+                      "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+              .csv(path))
+        return df.filter(F.col("conv_id").isNotNull())
+    raise ValueError(f"unsupported transcripts format: {fmt!r}")
 
 
 def run_pipeline(spark: SparkSession, in_path: str, out_path: str,
-                 **kwargs) -> None:
+                 input_format: str = "parquet", **kwargs) -> None:
     """One-shot (non-checkpointed) run; see plans.checkpoint for resume."""
-    df = extraction_pipeline(read_transcripts(spark, in_path), **kwargs)
+    df = extraction_pipeline(
+        read_transcripts(spark, in_path, fmt=input_format), **kwargs)
     (df.withColumn("bucket", F.pmod(F.hash("conv_id"), F.lit(16)))
        .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
 

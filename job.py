@@ -34,6 +34,12 @@ def main() -> None:
                     help="generate synthetic transcripts with N convs first")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--entities", action="store_true")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "json", "csv"),
+                    help="transcripts landing format (json/csv: explicit "
+                         "canonical schema, permissive corrupt-row drop; "
+                         "parquet/Iceberg is the at-scale path — "
+                         "default-path runs only)")
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed per-partition run with resume")
@@ -128,6 +134,7 @@ def main() -> None:
     else:
         from documentai_spark.plans.pipeline import run_pipeline
         run_pipeline(spark, args.input, args.output,
+                     input_format=args.input_format,
                      include_entities=args.entities,
                      salt_buckets=args.salt_buckets)
         rows = spark.read.parquet(args.output).count()

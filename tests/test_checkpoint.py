@@ -70,3 +70,52 @@ def test_lineage_table(spark, transcripts_path, tmp_path):
     assert all(r.status == "done" and r.rows_out == r.rows_in for r in rows)
     assert sum(r.bytes_out for r in rows) > 0
     assert all(r.finished >= r.started for r in rows)
+
+
+def test_read_transcripts_formats_agree(spark, tmp_path):
+    """json/csv landing formats read through the explicit canonical
+    schema must yield exactly the parquet rows (including timestamps and
+    newline-bearing text); malformed rows drop instead of failing."""
+    import csv
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from documentai_spark.plans.pipeline import read_transcripts
+    from documentai_spark.sources.transcripts import gen_rows
+
+    rows = list(gen_rows(7, 12))
+    assert any("\n" in r["text"] for r in rows)  # multiLine really needed
+
+    pdir = str(tmp_path / "p"); jdir = str(tmp_path / "j")
+    cdir = str(tmp_path / "c")
+    for d in (pdir, jdir, cdir):
+        __import__("os").makedirs(d)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    pq.write_table(pa.Table.from_pydict(cols), pdir + "/part-0.parquet")
+    with open(jdir + "/part-0.json", "w") as f:
+        for r in rows:
+            rec = dict(r, ts=r["ts"].isoformat())
+            f.write(_json.dumps(rec) + "\n")
+        f.write('{"broken": \n')           # malformed JSON line
+    with open(cdir + "/part-0.csv", "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_ALL)
+        w.writerow(list(rows[0]))
+        for r in rows:
+            w.writerow([r["conv_id"], r["turn_idx"], r["role"],
+                        r["text"], r["tool"], r["ts"].isoformat()])
+
+    def canon(df):
+        return sorted((r.conv_id, r.turn_idx, r.role, r.text, r.tool,
+                       r.ts) for r in df.collect())
+
+    base = canon(read_transcripts(spark, pdir))
+    assert len(base) == len(rows)
+    assert canon(read_transcripts(spark, jdir, fmt="json")) == base
+    assert canon(read_transcripts(spark, cdir, fmt="csv")) == base
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_transcripts(spark, pdir, fmt="avro")
