@@ -751,6 +751,52 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_ws.alias("n_ws_tokens")).orderBy("doc_id")
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-pass corpus curation report — the summary a training-data
+    pipeline computes before filtering: per predicted language, document
+    volume, token totals, interpolated token quantiles, and the
+    exact-duplicate count/ratio. Composes the already-pinned
+    formulations of doc_token_stats (whitespace tokens),
+    doc_lang_quality (stopword-density language id), doc_fingerprint
+    (normalized md5), and value_percentiles (percentile ==
+    quantile_cont) in ONE scan + ONE low-cardinality shuffle.
+
+    Scale note: `percentile` is the EXACT interpolated percentile (the
+    oracle-replayable form); per-group it buffers the group's values, so
+    at 100 TB swap it for `approx_percentile(n_tokens, p, 10000)` —
+    everything else (counts, sums, distinct counts) combines map-side.
+    A duplicate group never spans languages (identical normalized text
+    implies identical stopword ratio), so the per-language distinct
+    count equals the global dedup arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(sw_pat), F.lit(0)))
+    sw_ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
+    lang = F.when(sw_ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown"))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                       r"\s+", " ")))
+    per = docs.select(n_toks.alias("n_tokens"), lang.alias("lang_pred"),
+                      fp.alias("fp"))
+    agg = (per.groupBy("lang_pred")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+                F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
+                F.countDistinct("fp").alias("n_unique")))
+    return (agg.withColumn("n_dup_docs",
+                           (F.col("n_docs") - F.col("n_unique")))
+               .withColumn("dup_ratio",
+                           F.round(F.col("n_dup_docs") / F.col("n_docs"),
+                                   6))
+               .select("lang_pred", "n_docs", "total_tokens",
+                       "p50_tokens", "p95_tokens", "n_dup_docs",
+                       "dup_ratio")
+               .orderBy("lang_pred"))
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 percentile aggregates: exact interpolated percentiles per
     event_type (Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1288,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": q_lag_delta,
         "user_set_ops": q_user_set_ops,
         "value_percentiles": q_value_percentiles,
+        "corpus_report": q_corpus_report,
         "embedding_near_dups": q_embedding_near_dups,
         "bpe_token_count": q_bpe_token_count,
         "t_kind_dispatch": q_t_kind_dispatch,
@@ -1602,6 +1649,36 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    MIN(value) AS vmin, MAX(value) AS vmax
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "corpus_report": rf"""
+            WITH per AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_tokens,
+                len(regexp_extract_all(lower(text),
+                    '\b({sw_alt})\b')) AS n_stopwords,
+                md5(trim(regexp_replace(lower(text),
+                    '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
+              FROM documents
+            ), langed AS (
+              SELECT *,
+                CASE WHEN n_tokens > 0
+                          AND ROUND(n_stopwords * 1.0 / n_tokens, 6)
+                              >= 0.04
+                     THEN 'en' ELSE 'unknown' END AS lang_pred
+              FROM per
+            )
+            SELECT lang_pred,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   quantile_cont(n_tokens, 0.5) AS p50_tokens,
+                   quantile_cont(n_tokens, 0.95) AS p95_tokens,
+                   CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)
+                       AS n_dup_docs,
+                   ROUND((COUNT(*) - COUNT(DISTINCT fp)) * 1.0
+                         / COUNT(*), 6) AS dup_ratio
+            FROM langed GROUP BY lang_pred ORDER BY lang_pred
         """,
         "t_kind_dispatch": rf"""
             WITH k AS (
