@@ -797,6 +797,55 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("lang_pred"))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation FILTER — the operator that actually
+    decides what enters a training set: keep a document iff it is the
+    dedup representative (min doc_id per normalized fingerprint), the
+    language id says 'en', the token count is in [20, 2000], and the
+    12-point quality confidence clears the azure threshold (0.6). Emits
+    per-reason audit booleans alongside the keep bit so the gate
+    hash-checks the full drop accounting, not just the survivor set.
+
+    Every ingredient reuses a pinned formulation: the quality stack is
+    the generated bit-exact SQL mirror (functions/quality_sql), language
+    and tokens are the corpus_report expressions, the dedup
+    representative is a min-over-fingerprint window — deterministic in
+    both engines. One scan, one fingerprint shuffle, one broadcast-free
+    window; confidence comparisons are exact because the doubles are
+    bit-identical cross-engine (extract_quality's standing hash-check).
+    """
+    from pyspark.sql.window import Window
+
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction, with_quality,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    df = with_verdict(with_quality(with_extraction(docs), raw_col="text"))
+    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(sw_pat), F.lit(0)))
+    sw_ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                       r"\s+", " ")))
+    df = (df.withColumn("_nt", n_toks)
+            .withColumn("_fp", fp)
+            .withColumn("is_dup",
+                        F.col("doc_id") > F.min("doc_id").over(
+                            Window.partitionBy("_fp")))
+            .withColumn("bad_lang", sw_ratio < 0.04)
+            .withColumn("bad_len", (F.col("_nt") < 20)
+                        | (F.col("_nt") > 2000))
+            .withColumn("low_conf", F.col("confidence") < 0.6))
+    keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
+             | F.col("low_conf"))
+    return (df.select("doc_id", keep.alias("keep"), "is_dup", "bad_lang",
+                      "bad_len", "low_conf")
+              .orderBy("doc_id"))
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 percentile aggregates: exact interpolated percentiles per
     event_type (Spark `percentile` and DuckDB `quantile_cont` share the
@@ -1335,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_set_ops": q_user_set_ops,
         "value_percentiles": q_value_percentiles,
         "corpus_report": q_corpus_report,
+        "corpus_filter": q_corpus_filter,
         "embedding_near_dups": q_embedding_near_dups,
         "bpe_token_count": q_bpe_token_count,
         "t_kind_dispatch": q_t_kind_dispatch,
@@ -1649,6 +1699,42 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS p95,
                    MIN(value) AS vmin, MAX(value) AS vmax
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # corpus_filter: quality stack via the generated bit-exact mirror
+        # (nested CTE), lang/token/fingerprint via the corpus_report
+        # expressions, dedup representative via min-over-fingerprint.
+        # 0.6 goes through the string-cast (bare decimal literals lose
+        # the last ulp past 2^53 — documented DuckDB trap).
+        "corpus_filter": rf"""
+            WITH q AS ({_quality_oracle_sql()}),
+            per AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS n_tokens,
+                len(regexp_extract_all(lower(text),
+                    '\b({sw_alt})\b')) AS n_stopwords,
+                md5(trim(regexp_replace(lower(text),
+                    '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
+              FROM documents
+            ), j AS (
+              SELECT per.doc_id, per.n_tokens, per.n_stopwords, per.fp,
+                     q.confidence
+              FROM per JOIN q USING (doc_id)
+            ), w AS (
+              SELECT doc_id,
+                doc_id > MIN(doc_id) OVER (PARTITION BY fp) AS is_dup,
+                ROUND(n_stopwords * 1.0 / greatest(n_tokens, 1), 6)
+                    < 0.04 AS bad_lang,
+                (n_tokens < 20 OR n_tokens > 2000) AS bad_len,
+                confidence < CAST('0.6' AS DOUBLE) AS low_conf
+              FROM j
+            )
+            SELECT doc_id,
+                   NOT (is_dup OR bad_lang OR bad_len OR low_conf)
+                       AS keep,
+                   is_dup, bad_lang, bad_len, low_conf
+            FROM w ORDER BY doc_id
         """,
         "corpus_report": rf"""
             WITH per AS (
