@@ -814,36 +814,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; confidence comparisons are exact because the doubles are
     bit-identical cross-engine (extract_quality's standing hash-check).
     """
-    from pyspark.sql.window import Window
-
-    from documentai_spark.functions.verdict import with_verdict
-    from documentai_spark.operators.extraction import (
-        with_extraction, with_quality,
-    )
+    from documentai_spark.operators.curation import curate_documents
     docs = _t(spark, sf_dir, "documents")
-    df = with_verdict(with_quality(with_extraction(docs), raw_col="text"))
-    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                       F.lit(sw_pat), F.lit(0)))
-    sw_ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
-                                       r"\s+", " ")))
-    df = (df.withColumn("_nt", n_toks)
-            .withColumn("_fp", fp)
-            .withColumn("is_dup",
-                        F.col("doc_id") > F.min("doc_id").over(
-                            Window.partitionBy("_fp")))
-            .withColumn("bad_lang", sw_ratio < 0.04)
-            .withColumn("bad_len", (F.col("_nt") < 20)
-                        | (F.col("_nt") > 2000))
-            .withColumn("low_conf", F.col("confidence") < 0.6))
-    keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
-             | F.col("low_conf"))
-    return (df.select("doc_id", keep.alias("keep"), "is_dup", "bad_lang",
-                      "bad_len", "low_conf")
-              .orderBy("doc_id"))
+    out = curate_documents(docs)
+    return (out.select("doc_id", "keep", "is_dup", "bad_lang", "bad_len",
+                       "low_conf")
+               .orderBy("doc_id"))
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

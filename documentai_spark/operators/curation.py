@@ -1,0 +1,89 @@
+"""Corpus curation: the keep/drop decision for training-data filtering.
+
+The operator behind the ``corpus_filter`` gate query, exposed as a
+library function and a spark-submit mode (``job.py --curate``): keep a
+document iff it is the dedup representative (min id per normalized
+fingerprint), the language id passes, the token count is inside the
+configured band, and the 12-point quality confidence clears the
+threshold. Each reason is emitted as its own audit boolean so drop
+accounting is a first-class output, not a log line.
+
+Every ingredient is a pinned formulation shared with the DuckDB gate
+oracles (__spark_entry__): whitespace tokens, stopword-density language
+id, normalized-md5 fingerprints, and the bit-exact quality confidence
+(functions/quality_sql mirror). Scale shape: one scan, one fingerprint
+shuffle for the min-window, everything else map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from documentai_spark.core.textstats import STOPWORDS
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (doc_token_stats formulation)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    """Stopword density, rounded to 6 dp (doc_lang_quality formulation:
+    branch-free greatest() divisor keeps the regex outside lazy CaseWhen
+    branches — the documented codegen-CSE hazard)."""
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_sw = F.size(F.regexp_extract_all(F.lower(text), F.lit(sw_pat),
+                                       F.lit(0)))
+    return F.round(n_sw / F.greatest(token_count_col(text), F.lit(1)), 6)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalized md5 (doc_fingerprint formulation; Java \\s ==
+    [ \\t\\n\\x0b\\f\\r], mirrored by the oracle's explicit class)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        confidence_col: str = "confidence",
+                        min_tokens: int = 20, max_tokens: int = 2000,
+                        min_confidence: float = 0.6,
+                        min_stopword_ratio: float = 0.04) -> DataFrame:
+    """Adds keep / is_dup / bad_lang / bad_len / low_conf.
+
+    ``df`` must already carry the quality ``confidence`` column (run
+    with_extraction + with_quality + with_verdict upstream — the bench
+    and gate shapes do).
+    """
+    text = F.col(text_col)
+    out = (df.withColumn("_ct_fp", fingerprint_col(text))
+             .withColumn("is_dup",
+                         F.col(id_col) > F.min(id_col).over(
+                             Window.partitionBy("_ct_fp")))
+             .withColumn("bad_lang",
+                         stopword_ratio_col(text)
+                         < F.lit(min_stopword_ratio))
+             .withColumn("bad_len",
+                         (token_count_col(text) < F.lit(min_tokens))
+                         | (token_count_col(text) > F.lit(max_tokens)))
+             .withColumn("low_conf",
+                         F.col(confidence_col) < F.lit(min_confidence))
+             .drop("_ct_fp"))
+    keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
+             | F.col("low_conf"))
+    return out.withColumn("keep", keep)
+
+
+def curate_documents(docs: DataFrame, **kw) -> DataFrame:
+    """documents(doc_id, text, ...) -> the full quality stack + curation
+    flags (the --curate job shape). Returns ALL rows with flags; filter
+    on ``keep`` for the surviving set."""
+    from documentai_spark.functions.verdict import with_verdict
+    from documentai_spark.operators.extraction import (
+        with_extraction, with_quality,
+    )
+    df = with_verdict(with_quality(with_extraction(docs), raw_col="text"))
+    return with_curation_flags(df, **kw)

@@ -43,6 +43,11 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed per-partition run with resume")
+    ap.add_argument("--curate", action="store_true",
+                    help="curation mode: --input is a documents table "
+                         "(doc_id, text); writes every row with the "
+                         "keep/audit flags partitioned by keep, and "
+                         "prints the drop accounting")
     ap.add_argument("--classified", nargs="?", const="default",
                     default=None, metavar="CONFIG_JSON",
                     help="classified-sink mode (S6): extraction + "
@@ -92,6 +97,40 @@ def main() -> None:
                           "master": spark.sparkContext.master,
                           "shuffle_partitions": spark.conf.get(
                               "spark.sql.shuffle.partitions"),
+                          "output": args.output}))
+        spark.stop()
+        return
+
+    if args.curate:
+        from pyspark.sql import functions as F
+
+        from pyspark.sql.observation import Observation
+
+        from documentai_spark.operators.curation import curate_documents
+        t0 = time.time()
+        out = curate_documents(spark.read.parquet(args.input))
+        # drop accounting rides the write job itself (Observation) —
+        # no output re-read, and `keep` stays boolean here (the hive
+        # partition directory stringifies it on disk)
+        obs = Observation("curation")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.sum(F.col("is_dup").cast("int")).alias("dup"),
+            F.sum(F.col("bad_lang").cast("int")).alias("bad_lang"),
+            F.sum(F.col("bad_len").cast("int")).alias("bad_len"),
+            F.sum(F.col("low_conf").cast("int")).alias("low_conf"))
+        (out.write.mode("overwrite").partitionBy("keep")
+            .parquet(args.output))
+        acc = obs.get
+        wall = time.time() - t0
+        print(json.dumps({"rows": acc["rows"], "kept": acc["kept"],
+                          "dropped": acc["rows"] - acc["kept"],
+                          "by_reason": {k: acc[k] for k in
+                                        ("dup", "bad_lang", "bad_len",
+                                         "low_conf")},
+                          "sec": round(wall, 2),
                           "output": args.output}))
         spark.stop()
         return

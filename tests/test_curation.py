@@ -1,0 +1,48 @@
+"""Corpus curation operator: keep/drop flags with engineered cases."""
+
+from __future__ import annotations
+
+from documentai_spark.operators.curation import curate_documents
+
+GOOD = ("the shipment was received and the invoice for the goods is "
+        "attached with all of the required documents and the payment "
+        "terms are agreed by both of the parties for this order")
+
+
+def test_curation_flags(spark):
+    rows = [
+        (0, GOOD),                           # keeper
+        (1, GOOD),                           # exact dup of 0 -> is_dup
+        (2, "too short"),                    # bad_len (and bad_lang)
+        (3, " ".join(f"zx{i}qv" for i in range(40))),  # no stopwords
+        (4, GOOD + " extra tail words here to differ from the first"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in curate_documents(df).collect()}
+    assert out[0].keep and not out[0].is_dup
+    assert out[1].is_dup and not out[1].keep
+    assert not out[1].bad_lang          # same text as the keeper
+    assert out[2].bad_len and not out[2].keep
+    assert out[3].bad_lang and not out[3].keep
+    assert out[4].keep or out[4].low_conf  # distinct text, en, right len
+
+    # audit booleans are independent: the dup row still reports its
+    # other dimensions truthfully
+    assert not out[1].bad_len
+
+
+def test_curation_matches_gate_query(spark):
+    """curate_documents IS the corpus_filter gate query's engine — same
+    flags on the sf0.001 documents table."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.keep, r.is_dup, r.bad_lang, r.bad_len,
+                      r.low_conf)
+           for r in entry.queries()["corpus_filter"](spark, sf).collect()}
+    direct = {r.doc_id: (r.keep, r.is_dup, r.bad_lang, r.bad_len,
+                         r.low_conf)
+              for r in curate_documents(
+                  spark.read.parquet(f"{sf}/documents.parquet"))
+              .collect()}
+    assert got == direct and len(got) > 0
