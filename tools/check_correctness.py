@@ -46,9 +46,11 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
@@ -81,6 +83,8 @@ def main() -> None:
                 merged = a.compare(b) if a.shape == b.shape else None
                 if merged is not None and len(merged):
                     print(merged.head(5))
+    print(f"== {n_run - failures}/{n_run} OK"
+          + (f", {failures} FAILED" if failures else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
 
