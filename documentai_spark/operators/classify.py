@@ -23,15 +23,19 @@ Rebuilt from document_classification_updated/documentClassifier.py:
 All scoring is generated column expressions (keywords are compile-time
 constants folded into the plan — the Spark analog of the reference's
 precompiled keyword cache, X5/X12); no shuffle until the vote. The ONE
-Python stage is text normalization (``_norm_batch``): a byte-LUT
-``bytes.translate`` pass in a single Arrow UDF, byte-identical to the
-``lower + regexp_replace`` column form it replaced. Why: this host's
-JVM ``regexp_replace`` with a character class degrades to ~6 MB/s
-aggregate on 32 cores when matches are dense (measured 99 s for a
-620 MB sf1-shape normalization — 200 us per match; collapsing runs with
-``+`` and salting both changed nothing), while the translate pass runs
-the same input in 2.8 s. Same doctrine as operators/quality_vec: LUT
-gather at memory bandwidth beats per-match machinery.
+Python stage is the per-row FEATURE pass (``_features_batch`` via
+``_make_features_udf``): both normalized text forms (byte-LUT
+``bytes.translate``, byte-identical to the ``lower + regexp_replace``
+column forms it replaced) plus technique 2's per-category occurrence
+counts (Python ``re`` over the same already-lowered string, alternation
+order pinned to the Java mirror). Why: this host's JVM
+``regexp_replace`` with a character class degrades to ~6 MB/s aggregate
+on 32 cores when matches are dense (measured 99 s for a 620 MB
+sf1-shape normalization — 200 us per match; collapsing runs with ``+``
+and salting both changed nothing), while the translate pass runs the
+same input in 2.8 s, and fusing the counts drops the chain from 24-35 s
+to 8 s. Same doctrine as operators/quality_vec: LUT gather at memory
+bandwidth beats per-match machinery.
 """
 
 from __future__ import annotations
@@ -132,15 +136,6 @@ def _norm_batch(text: pd.Series) -> pd.DataFrame:
         na.append(b.translate(None, _DEL_ALNUM).decode("ascii"))
         ns.append(b.translate(None, _DEL_SPACE).decode("ascii").strip(" "))
     return pd.DataFrame({"na": na, "ns": ns})
-
-
-_NORM_TYPE = StructType([StructField("na", StringType(), False),
-                         StructField("ns", StringType(), False)])
-
-
-@pandas_udf(_NORM_TYPE)
-def _norm_udf(text: pd.Series) -> pd.DataFrame:
-    return _norm_batch(text)
 
 
 def _features_batch(text: pd.Series, pats: list[str]) -> pd.DataFrame:
