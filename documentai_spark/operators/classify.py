@@ -258,7 +258,8 @@ def _space_norm(c: Column) -> Column:
 def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
                        text_col: str = "extracted_text",
                        default: str = "unclassified",
-                       ml_category_col: str | None = None) -> DataFrame:
+                       ml_category_col: str | None = None,
+                       jvm_scoring: bool = False) -> DataFrame:
     """Run the 3 rule techniques (+ optionally the ML classifier as the
     4th vote) and take the majority per row.
 
@@ -292,23 +293,33 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     # subtrees re-evaluate ~9x per row; measured 10.8s -> 2.5s at 5k
     # transcript turns for the 3-technique projection).
     t_eff = F.when(too_short, F.lit("")).otherwise(t)
-    # every per-row text feature (both normalized forms + technique-2
-    # occurrence counts) staged through ONE byte-LUT/Python-re Arrow
-    # stage (module docstring: JVM regexp_replace degrades ~35x on
-    # dense-match inputs on this host, and the regex scans ride the same
-    # already-lowered string); gated input, so short rows cost ~nothing
-    if "_cnorm" in df.columns:
-        raise ValueError("input column _cnorm collides with "
-                         "classify_with_vote's internal name")
-    df = df.withColumn("_cnorm", _make_features_udf(cfg)(t_eff))
-    t1c = technique_substring(t_eff, cfg, default,
-                              norm=F.col("_cnorm.na"))
-    t2c = technique_regex_count(
-        t_eff, cfg, default,
-        counts=[F.col(f"_cnorm.c{i}")
-                for i in range(len(cfg.categories))])
-    t3c = technique_token_overlap(t_eff, cfg, default,
-                                  norm=F.col("_cnorm.ns"))
+    if jvm_scoring:
+        # pure column-expression path (no Python stage): semantically
+        # identical (pinned by test_jvm_scoring_path_identical); the
+        # right choice on hosts whose JVM regex runs at normal speed —
+        # this sandbox's does not (module docstring)
+        t1c = technique_substring(t_eff, cfg, default)
+        t2c = technique_regex_count(t_eff, cfg, default)
+        t3c = technique_token_overlap(t_eff, cfg, default)
+    else:
+        # every per-row text feature (both normalized forms +
+        # technique-2 occurrence counts) staged through ONE
+        # byte-LUT/Python-re Arrow stage (module docstring: JVM
+        # regexp_replace degrades ~35x on dense-match inputs on this
+        # host, and the regex scans ride the same already-lowered
+        # string); gated input, so short rows cost ~nothing
+        if "_cnorm" in df.columns:
+            raise ValueError("input column _cnorm collides with "
+                             "classify_with_vote's internal name")
+        df = df.withColumn("_cnorm", _make_features_udf(cfg)(t_eff))
+        t1c = technique_substring(t_eff, cfg, default,
+                                  norm=F.col("_cnorm.na"))
+        t2c = technique_regex_count(
+            t_eff, cfg, default,
+            counts=[F.col(f"_cnorm.c{i}")
+                    for i in range(len(cfg.categories))])
+        t3c = technique_token_overlap(t_eff, cfg, default,
+                                      norm=F.col("_cnorm.ns"))
     # The vote below references each technique column ~10x (counts, max,
     # winner chain). Safe: CollapseProject only inlines non-cheap
     # projection aliases referenced at most once (SPARK-36718), so each

@@ -164,3 +164,29 @@ def test_features_counts_match_jvm(spark):
     for i, c in enumerate(cases):
         for ci in range(2):
             assert out[f"c{ci}"][i] == jvm[(i, ci)], (repr(c), ci)
+
+
+def test_jvm_scoring_path_identical(spark):
+    """classify_with_vote(jvm_scoring=True) — the pure column-expression
+    path for hosts with normal-speed JVM regex — must produce identical
+    votes to the Arrow feature pass."""
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, classify_with_vote,
+    )
+
+    cfg = ClassifierConfig.compile({
+        "billing": {"keywords": ["invoice", "amount", "total"]},
+        "shipping": {"keywords": ["vessel", "port", "freight",
+                                  "shipment"]},
+        "credit": {"keywords": ["credit", "beneficiary"]},
+    })
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumnRenamed("text", "extracted_text")
+    cols = ["doc_id", "technique_1", "technique_2", "technique_3",
+            "category", "vote_confidence"]
+    arrow = {r.doc_id: tuple(r) for r in
+             classify_with_vote(docs, cfg).select(cols).collect()}
+    jvm = {r.doc_id: tuple(r) for r in
+           classify_with_vote(docs, cfg, jvm_scoring=True)
+           .select(cols).collect()}
+    assert arrow == jvm and len(arrow) > 0
