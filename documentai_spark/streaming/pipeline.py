@@ -104,6 +104,58 @@ def streaming_conversation_totals(stream: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_first_wins_dedup(stream: DataFrame,
+                               text_col: str = "text",
+                               id_cols: tuple[str, ...] = ("conv_id",
+                                                           "turn_idx"),
+                               ) -> DataFrame:
+    """Streaming exact dedup, first-wins: the streaming form of the
+    batch U2 operator (dedup.exact_dedup) for continuously-landing
+    training data. Keyed state on the normalized md5 fingerprint — the
+    FIRST row of a fingerprint ever seen (across micro-batches) passes;
+    every later exact duplicate is dropped.
+
+    Scale shape: state is one boolean per distinct fingerprint, sharded
+    by the groupBy shuffle, so each fingerprint's state lives on exactly
+    one executor; within a batch the earliest (id_cols)-ordered row wins
+    deterministically. A production variant bounds state with a TTL
+    timeout (duplicates arriving later than the TTL re-admit — the
+    standard windowed-dedup tradeoff, equivalent to
+    ``dropDuplicates`` + watermark but with the pipeline's OWN
+    fingerprint normalization instead of raw-column equality).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                       r"\s+", " ")))
+    keyed = stream.withColumn("_fp", fp)
+    out_cols = list(dict.fromkeys([*id_cols, text_col]))
+    out_type = ", ".join({"conv_id": "conv_id string",
+                          "turn_idx": "turn_idx int",
+                          text_col: f"{text_col} string",
+                          }.get(c, f"{c} string") for c in out_cols)
+
+    def first_wins(key, pdfs, state):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(id_cols)).head(1)
+            row = pdf.iloc[0]
+            cand = tuple(row[c] for c in out_cols)
+            if first is None or cand < first:
+                first = cand
+        state.update((True,))
+        yield pd.DataFrame([dict(zip(out_cols, first))])
+
+    # "append" output: every emission is final (a key emits at most once
+    # ever), which is what file sinks require
+    return (keyed.groupBy("_fp")
+            .applyInPandasWithState(first_wins, out_type, "seen boolean",
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def start_to_parquet(stream_df: DataFrame, out_path: str,
                      checkpoint: str, trigger_once: bool = True):
     """Exactly-once parquet sink; availableNow drains existing input."""

@@ -153,3 +153,37 @@ def test_streaming_classified_equals_batch(spark, transcripts_path,
                    batch.groupBy("category").count()
                         .withColumnRenamed("count", "n").collect()}
     assert {r.category: r.n for r in rolled} == want_counts
+
+
+def test_streaming_first_wins_dedup(spark, transcripts_path, tmp_path):
+    """Streaming exact dedup drops every later duplicate of a
+    fingerprint across micro-batches; the surviving fingerprint set
+    equals the batch operator's."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.streaming.pipeline import (
+        read_transcript_stream, start_to_parquet,
+        streaming_first_wins_dedup,
+    )
+
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    # small trigger: several micro-batches, so cross-batch state matters
+    stream = read_transcript_stream(spark, transcripts_path,
+                                    max_files_per_trigger=2)
+    q = start_to_parquet(streaming_first_wins_dedup(stream), out_dir,
+                         ckpt)
+    q.awaitTermination(300)
+
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                       r"\s+", " ")))
+    got = spark.read.parquet(out_dir).withColumn("_fp", fp)
+    n_out = got.count()
+    # exactly one survivor per distinct fingerprint
+    assert got.select("_fp").distinct().count() == n_out
+    batch_fps = {r._fp for r in
+                 spark.read.parquet(transcripts_path)
+                 .select(fp.alias("_fp")).distinct().collect()}
+    assert {r._fp for r in got.select("_fp").collect()} == batch_fps
+    # duplicates existed in the input, so the stream really dropped rows
+    assert n_out < spark.read.parquet(transcripts_path).count()
