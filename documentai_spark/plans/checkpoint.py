@@ -159,3 +159,74 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
         log(f"[checkpoint] bucket {bucket}/{n_buckets}: "
             f"{rows_out} rows, {rec['wall_sec']}s")
     return stats
+
+
+def run_checkpointed_curation(spark: SparkSession, in_path: str,
+                              out_path: str, *, n_buckets: int = 16,
+                              max_buckets: int | None = None,
+                              log=print, **curate_kw) -> dict:
+    """Checkpointed corpus curation over a documents table.
+
+    Buckets are keyed by the normalized FINGERPRINT hash — not doc_id —
+    so every exact-duplicate group co-buckets, which makes the
+    per-bucket min-over-fingerprint dedup globally exact while each
+    bucket stays an independent, idempotently-resumable job under the
+    same manifest protocol as the extraction loop (Iceberg stand-in:
+    a bucket(N, fingerprint) derived-column partition spec). The
+    manifest additionally records ``kept``; both counts ride the write
+    job via Observations.
+    """
+    from pyspark.sql.observation import Observation
+
+    from documentai_spark.operators.curation import (
+        curate_documents, fingerprint_col,
+    )
+
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket_partitions = max(4, sp // n_buckets)
+    src = spark.read.parquet(in_path).withColumn(
+        "_bucket", F.pmod(F.hash(fingerprint_col(F.col("text"))),
+                          F.lit(n_buckets)))
+    done = read_manifest(out_path)
+    stats = {"rows_in": 0, "rows_out": 0, "kept": 0, "bytes_out": 0,
+             "failures": 0, "buckets_done": 0, "buckets_skipped": 0}
+    processed = 0
+    for bucket in range(n_buckets):
+        prior = done.get(bucket)
+        if prior and prior.get("status") == "done":
+            stats["buckets_skipped"] += 1
+            stats["rows_in"] += prior["rows_in"]
+            stats["rows_out"] += prior["rows_out"]
+            stats["kept"] += prior.get("kept", 0)
+            stats["bytes_out"] += prior.get("bytes_out", 0)
+            continue
+        if max_buckets is not None and processed >= max_buckets:
+            continue
+        started = time.time()
+        part = (src.filter(F.col("_bucket") == bucket).drop("_bucket")
+                   .repartition(bucket_partitions))
+        obs = Observation(f"cur_{bucket}")
+        out = curate_documents(part, **curate_kw).observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"))
+        bucket_dir = os.path.join(out_path, f"bucket={bucket}")
+        out.write.mode("overwrite").parquet(bucket_dir)
+        n = obs.get["n"]
+        kept = int(obs.get["kept"] or 0)
+        rec = {
+            "partition": bucket, "status": "done",
+            "rows_in": n, "rows_out": n, "kept": kept,
+            "bytes_out": _dir_bytes(bucket_dir), "failures": 0,
+            "started": started, "finished": time.time(),
+            "wall_sec": round(time.time() - started, 3),
+        }
+        _commit_manifest(out_path, rec)
+        processed += 1
+        stats["buckets_done"] += 1
+        stats["rows_in"] += n
+        stats["rows_out"] += n
+        stats["kept"] += kept
+        stats["bytes_out"] += rec["bytes_out"]
+        log(f"[curate-checkpoint] bucket {bucket}/{n_buckets}: "
+            f"{n} rows ({kept} kept), {rec['wall_sec']}s")
+    return stats

@@ -101,6 +101,22 @@ def main() -> None:
         spark.stop()
         return
 
+    if args.curate and args.resume:
+        from documentai_spark.plans.checkpoint import (
+            run_checkpointed_curation,
+        )
+        t0 = time.time()
+        stats = run_checkpointed_curation(spark, args.input, args.output)
+        wall = time.time() - t0
+        print(json.dumps({"rows": stats["rows_out"],
+                          "kept": stats["kept"],
+                          "buckets_done": stats["buckets_done"],
+                          "buckets_skipped": stats["buckets_skipped"],
+                          "sec": round(wall, 2),
+                          "output": args.output}))
+        spark.stop()
+        return
+
     if args.curate:
         from pyspark.sql import functions as F
 

@@ -119,3 +119,39 @@ def test_read_transcripts_formats_agree(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         read_transcripts(spark, pdir, fmt="avro")
+
+
+def test_curation_checkpoint_resume_and_global_dedup(spark, tmp_path):
+    """Checkpointed curation: fingerprint-hash bucketing keeps the
+    per-bucket dedup globally exact (flags equal the single-job
+    operator's), and a killed run resumes by skipping done buckets."""
+    from documentai_spark.operators.curation import curate_documents
+    from documentai_spark.plans.checkpoint import (
+        run_checkpointed_curation,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    docs.write.parquet(in_dir)
+    out_dir = str(tmp_path / "cur_out")
+
+    # partial run (kill analog), then resume
+    s1 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   max_buckets=2, log=lambda *_: None)
+    assert s1["buckets_done"] == 2
+    s2 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   log=lambda *_: None)
+    assert s2["buckets_skipped"] == 2 and s2["buckets_done"] == 2
+
+    got = {r.doc_id: (r.keep, r.is_dup) for r in
+           spark.read.parquet(out_dir + "/bucket=*").collect()}
+    want = {r.doc_id: (r.keep, r.is_dup) for r in
+            curate_documents(docs).collect()}
+    assert got == want and len(got) == docs.count()
+    assert s2["kept"] == sum(1 for k, _ in got.values() if k)
+
+    # third run: everything skips, totals unchanged
+    s3 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   log=lambda *_: None)
+    assert s3["buckets_skipped"] == 4 and s3["rows_out"] == s2["rows_out"]
+    assert s3["kept"] == s2["kept"]
