@@ -107,10 +107,13 @@ def frame_energies(samples: np.ndarray, n_frames: int = 16) -> list[float]:
         return [0.0] * n_frames
     edges = (np.arange(n_frames + 1, dtype=np.int64) * n) // n_frames
     sq = np.square(samples)
-    csum = np.concatenate(([0.0], np.cumsum(sq)))
+    # n_frames slice-sums, not a whole-buffer cumsum: this host's cumsum
+    # runs ~10-90 MB/s (CLAUDE.md quirks) while blockwise .sum() uses
+    # pairwise reduction at memory bandwidth — and needs only n_frames
+    # reductions for real-length audio.
     out = []
     for i in range(n_frames):
         lo, hi = int(edges[i]), int(edges[i + 1])
-        out.append(float(np.sqrt((csum[hi] - csum[lo]) / (hi - lo)))
+        out.append(float(np.sqrt(sq[lo:hi].sum() / (hi - lo)))
                    if hi > lo else 0.0)
     return out

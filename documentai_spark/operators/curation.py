@@ -58,20 +58,53 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     with_extraction + with_quality + with_verdict upstream — the bench
     and gate shapes do).
     """
+    reserved = {"_ct_fp", "keep", "is_dup", "bad_lang", "bad_len",
+                "low_conf"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # exact-name collisions would be silently clobbered by the
+        # withColumn chain below — refuse loudly, matching the
+        # predict_with_topk guard (ADVICE r4)
+        raise ValueError(
+            f"input columns collide with with_curation_flags outputs: "
+            f"{sorted(clash)}")
     text = F.col(text_col)
     out = (df.withColumn("_ct_fp", fingerprint_col(text))
              .withColumn("is_dup",
                          F.col(id_col) > F.min(id_col).over(
                              Window.partitionBy("_ct_fp")))
-             .withColumn("bad_lang",
+             .drop("_ct_fp"))
+    return with_stateless_flags(
+        out, text_col=text_col, confidence_col=confidence_col,
+        min_tokens=min_tokens, max_tokens=max_tokens,
+        min_confidence=min_confidence,
+        min_stopword_ratio=min_stopword_ratio)
+
+
+def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
+                         confidence_col: str = "confidence",
+                         min_tokens: int = 20, max_tokens: int = 2000,
+                         min_confidence: float = 0.6,
+                         min_stopword_ratio: float = 0.04) -> DataFrame:
+    """The row-local half of the curation decision: bad_lang / bad_len /
+    low_conf and the combined ``keep``, folding in an ``is_dup`` column
+    if the caller already computed one (the batch window or the streaming
+    stateful dedup; absent -> treated as not-a-dup).
+
+    This is the streamable piece — no window, no shuffle — shared by
+    the batch ``with_curation_flags`` and ``streaming_curate``.
+    """
+    text = F.col(text_col)
+    out = (df.withColumn("bad_lang",
                          stopword_ratio_col(text)
                          < F.lit(min_stopword_ratio))
              .withColumn("bad_len",
                          (token_count_col(text) < F.lit(min_tokens))
                          | (token_count_col(text) > F.lit(max_tokens)))
              .withColumn("low_conf",
-                         F.col(confidence_col) < F.lit(min_confidence))
-             .drop("_ct_fp"))
+                         F.col(confidence_col) < F.lit(min_confidence)))
+    if "is_dup" not in df.columns:
+        out = out.withColumn("is_dup", F.lit(False))
     keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
              | F.col("low_conf"))
     return out.withColumn("keep", keep)

@@ -22,6 +22,36 @@ from documentai_spark.operators.extraction import with_extraction_and_quality
 TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
                   "text string, tool string, ts timestamp")
 
+_INTERVAL_UNITS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """'30 minutes' / '1 hour' -> milliseconds (the subset of Spark's
+    interval syntax the streaming operators need)."""
+    parts = interval.strip().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() \
+            or parts[1].lower() not in _INTERVAL_UNITS:
+        raise ValueError(f"unsupported interval {interval!r} "
+                         "(want e.g. '30 minutes')")
+    ms = int(parts[0]) * _INTERVAL_UNITS[parts[1].lower()]
+    if ms <= 0:
+        raise ValueError(f"interval must be positive: {interval!r}")
+    return ms
+
+
+def _event_ms(series) -> int:
+    """Max event time of a pandas timestamp series as epoch ms. Arrow
+    hands the ts column over tz-naive in the session timezone (UTC in
+    this engine's sessions); pandas' naive ``.timestamp()`` is
+    epoch-UTC, matching GroupState's watermark clock."""
+    return int(series.max().timestamp() * 1000)
+
 
 def read_transcript_stream(spark: SparkSession, path: str,
                            max_files_per_trigger: int = 8) -> DataFrame:
@@ -104,10 +134,66 @@ def streaming_conversation_totals(stream: DataFrame) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_conversation_totals_final(stream: DataFrame,
+                                        gap: str = "30 minutes",
+                                        watermark: str = "10 minutes",
+                                        ts_col: str = "ts") -> DataFrame:
+    """Emit-and-evict variant of ``streaming_conversation_totals``: a
+    conversation's totals are emitted exactly ONCE, when the event-time
+    watermark passes its last activity + ``gap`` (the conversation is
+    closed), and its state is evicted. Append output — every emission is
+    final, so file sinks work directly.
+
+    This is the bounded-state production shape: state size is the number
+    of OPEN conversations, not all conversations ever seen. The timeout
+    timestamp is re-armed on every batch that touches the conversation
+    (last activity + gap), so long-running conversations stay open; the
+    stored ``last_ms`` makes re-arming monotone even when a later batch
+    carries earlier event times.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _interval_ms(gap)
+    out_type = ("conv_id string, n_turns bigint, total_chars bigint, "
+                "max_turn_idx int")
+    state_type = ("n_turns bigint, total_chars bigint, max_turn_idx int, "
+                  "last_ms bigint")
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, chars, mx, _last = state.get
+            state.remove()
+            yield pd.DataFrame([{"conv_id": key[0], "n_turns": n,
+                                 "total_chars": chars,
+                                 "max_turn_idx": mx}])
+            return
+        n, chars, mx, last = state.get if state.exists else (0, 0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf["text"].str.len().sum())
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            last = max(last, _event_ms(pdf[ts_col]))
+        state.update((n, chars, mx, last))
+        # must be strictly past the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max(last + gap_ms, state.getCurrentWatermarkMs() + 1))
+        return  # nothing emitted until the conversation closes
+
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy("conv_id")
+            .applyInPandasWithState(update, out_type, state_type,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def streaming_first_wins_dedup(stream: DataFrame,
                                text_col: str = "text",
                                id_cols: tuple[str, ...] = ("conv_id",
                                                            "turn_idx"),
+                               ttl: str | None = None,
+                               ts_col: str = "ts",
+                               watermark: str = "10 minutes",
                                ) -> DataFrame:
     """Streaming exact dedup, first-wins: the streaming form of the
     batch U2 operator (dedup.exact_dedup) for continuously-landing
@@ -115,45 +201,116 @@ def streaming_first_wins_dedup(stream: DataFrame,
     FIRST row of a fingerprint ever seen (across micro-batches) passes;
     every later exact duplicate is dropped.
 
-    Scale shape: state is one boolean per distinct fingerprint, sharded
-    by the groupBy shuffle, so each fingerprint's state lives on exactly
-    one executor; within a batch the earliest (id_cols)-ordered row wins
-    deterministically. A production variant bounds state with a TTL
-    timeout (duplicates arriving later than the TTL re-admit — the
-    standard windowed-dedup tradeoff, equivalent to
-    ``dropDuplicates`` + watermark but with the pipeline's OWN
-    fingerprint normalization instead of raw-column equality).
+    Scale shape: state is one small record per distinct fingerprint,
+    sharded by the groupBy shuffle, so each fingerprint's state lives on
+    exactly one executor; within a batch the earliest (id_cols)-ordered
+    row wins deterministically.
+
+    ``ttl=None`` keeps state forever (exact global dedup; unbounded
+    state — at a 10^12-turn stream the store grows one record per
+    distinct fingerprint). Passing ``ttl`` (e.g. ``'1 hour'``) bounds
+    state with an EventTimeTimeout: a fingerprint's state is evicted
+    once the watermark passes its first sighting's event time + ttl,
+    after which a later duplicate RE-ADMITS and is emitted again — the
+    standard windowed-dedup tradeoff (``dropDuplicates`` + watermark
+    semantics, but on the pipeline's OWN fingerprint normalization
+    instead of raw-column equality). The expiry is fixed at first
+    sighting (not slid by duplicates), and re-admission is decided
+    against the stored expiry — correct even when the duplicate lands in
+    the same batch whose watermark advance would have fired the timeout.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                        r"\s+", " ")))
-    keyed = stream.withColumn("_fp", fp)
     out_cols = list(dict.fromkeys([*id_cols, text_col]))
-    out_type = ", ".join({"conv_id": "conv_id string",
-                          "turn_idx": "turn_idx int",
-                          text_col: f"{text_col} string",
-                          }.get(c, f"{c} string") for c in out_cols)
+    # derive output field types from the input schema (a caller passing
+    # e.g. id_cols=('doc_id',) with bigint ids must not get strings)
+    from pyspark.sql.types import StructType
+    out_type = StructType([stream.schema[c] for c in out_cols])
+    ttl_ms = None if ttl is None else _interval_ms(ttl)
+    state_type = "seen boolean, expiry bigint"
 
     def first_wins(key, pdfs, state):
-        if state.exists:
+        if state.hasTimedOut:
+            state.remove()
             return
+        if state.exists:
+            _seen, expiry = state.get
+            if ttl_ms is None or state.getCurrentWatermarkMs() < expiry:
+                return  # still-covered duplicate: drop
+            # expired but data raced the timeout in this batch: re-admit
         first = None
+        max_ts = 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(list(id_cols)).head(1)
-            row = pdf.iloc[0]
+            head = pdf.sort_values(list(id_cols)).head(1)
+            row = head.iloc[0]
             cand = tuple(row[c] for c in out_cols)
             if first is None or cand < first:
                 first = cand
-        state.update((True,))
+            if ttl_ms is not None:
+                max_ts = max(max_ts, _event_ms(pdf[ts_col]))
+        expiry = 0 if ttl_ms is None else max_ts + ttl_ms
+        state.update((True, expiry))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(
+                max(expiry, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame([dict(zip(out_cols, first))])
 
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.EventTimeTimeout)
+    keyed = stream if ttl_ms is None \
+        else stream.withWatermark(ts_col, watermark)
+    keyed = keyed.withColumn("_fp", fp)
     # "append" output: every emission is final (a key emits at most once
-    # ever), which is what file sinks require
+    # per admission window), which is what file sinks require
     return (keyed.groupBy("_fp")
-            .applyInPandasWithState(first_wins, out_type, "seen boolean",
-                                    "append", GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(first_wins, out_type, state_type,
+                                    "append", timeout))
+
+
+def streaming_curate(stream: DataFrame,
+                     text_col: str = "text",
+                     id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                     ttl: str | None = None,
+                     ts_col: str = "ts",
+                     watermark: str = "10 minutes",
+                     **flag_kw) -> DataFrame:
+    """Streaming corpus curation: the continuously-landing training-data
+    shape. Composes the stateful first-wins dedup (cross-batch exact
+    duplicates never reach extraction — the cheap-first ordering that
+    matters at 10^12 turns) with the stateless extraction + quality +
+    verdict stack and the row-local curation flags
+    (``curation.with_stateless_flags``).
+
+    Emissions are per-fingerprint-final (append from the dedup state
+    op; everything downstream is stateless), so
+    :func:`start_to_parquet` gives an exactly-once curated sink.
+    Survivors carry the same flag columns as the batch
+    ``curate_documents`` output: ``is_dup`` is literally false here —
+    duplicates were dropped by state, not flagged — plus
+    bad_lang / bad_len / low_conf / keep byte-identical to the batch
+    formulation on the same rows. ``flag_kw`` forwards thresholds
+    (min_tokens / max_tokens / min_confidence / min_stopword_ratio).
+    """
+    from documentai_spark.operators.curation import with_stateless_flags
+
+    survivors = streaming_first_wins_dedup(
+        stream, text_col=text_col, id_cols=id_cols, ttl=ttl,
+        ts_col=ts_col, watermark=watermark)
+    # UnsafeRow barrier: FlatMapGroupsInPandasWithState emits
+    # non-Unsafe rows, and EvalPythonExec's pass-through row queue casts
+    # its child's rows to UnsafeRow — a directly-downstream Arrow UDF
+    # dies with ClassCastException. A codegen'd FilterExec in between
+    # materializes UnsafeRows with NO shuffle; the predicate is
+    # nondeterministic (spark_partition_id) so the optimizer can neither
+    # constant-fold it away nor push it below the state op, and
+    # always-true so it drops nothing.
+    survivors = survivors.filter(F.spark_partition_id() >= 0)
+    extracted = with_verdict(
+        with_extraction_and_quality(survivors, text_col=text_col))
+    return with_stateless_flags(extracted, text_col=text_col, **flag_kw)
 
 
 def start_to_parquet(stream_df: DataFrame, out_path: str,

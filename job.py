@@ -59,7 +59,31 @@ def main() -> None:
                     help="benchmark mode: warm the JVM + python workers "
                          "first, then time ONLY the pipeline write "
                          "(row count via Observation, no output re-read)")
+    ap.add_argument("--stream-curate", action="store_true",
+                    help="streaming curation mode: availableNow drain of "
+                         "--input through the stateful first-wins dedup + "
+                         "stateless quality/flag stack, exactly-once "
+                         "parquet sink at --output")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir for --stream-curate "
+                         "(default: <output>/_checkpoint)")
     args = ap.parse_args()
+
+    # mode flags are mutually exclusive (ADVICE r4: --classified --resume
+    # used to silently ignore --resume); the one legal combination is
+    # --curate --resume (the checkpointed curation loop)
+    modes = [n for n, on in (("--bench", args.bench),
+                             ("--curate", args.curate),
+                             ("--classified", args.classified is not None),
+                             ("--stream-curate", args.stream_curate))
+             if on]
+    if len(modes) > 1:
+        ap.error(f"mutually exclusive modes: {' '.join(modes)}")
+    if args.resume and modes and modes != ["--curate"]:
+        ap.error(f"--resume cannot be combined with {modes[0]}")
+    if args.input_format != "parquet" and (modes or args.resume):
+        ap.error("--input-format json/csv is only supported in the "
+                 "default pipeline mode")
 
     if args.gen_convs:
         from documentai_spark.sources.transcripts import write_transcripts_parquet
@@ -97,6 +121,38 @@ def main() -> None:
                           "master": spark.sparkContext.master,
                           "shuffle_partitions": spark.conf.get(
                               "spark.sql.shuffle.partitions"),
+                          "output": args.output}))
+        spark.stop()
+        return
+
+    if args.stream_curate:
+        from pyspark.sql import functions as F
+
+        from documentai_spark.streaming.pipeline import (
+            start_to_parquet, streaming_curate,
+        )
+        if os.path.isfile(args.input):
+            # Spark's file stream source only accepts directories (the
+            # continuously-landing shape this mode models)
+            ap.error("--stream-curate needs a DIRECTORY of parquet files "
+                     f"as --input, got a single file: {args.input}")
+        schema = spark.read.parquet(args.input).schema
+        id_cols = (("doc_id",) if "doc_id" in schema.names
+                   else ("conv_id", "turn_idx"))
+        ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
+        t0 = time.time()
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        q = start_to_parquet(streaming_curate(stream, id_cols=id_cols),
+                             args.output, ckpt)
+        q.awaitTermination()
+        out = spark.read.parquet(args.output)
+        acc = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("int")).alias("kept")).first()
+        wall = time.time() - t0
+        print(json.dumps({"rows": acc["rows"], "kept": acc["kept"],
+                          "sec": round(wall, 2),
+                          "checkpoint": ckpt,
                           "output": args.output}))
         spark.stop()
         return

@@ -187,3 +187,171 @@ def test_streaming_first_wins_dedup(spark, transcripts_path, tmp_path):
     assert {r._fp for r in got.select("_fp").collect()} == batch_fps
     # duplicates existed in the input, so the stream really dropped rows
     assert n_out < spark.read.parquet(transcripts_path).count()
+
+
+# ---------------------------------------------------------------------------
+# r5: TTL-bounded dedup state, emit-and-evict totals, streaming curation
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_DOCS_DDL = "doc_id bigint, text string, ts timestamp"
+_CONV_DDL = "conv_id string, turn_idx int, text string, ts timestamp"
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mins(m):
+    return _T0 + _dt.timedelta(minutes=m)
+
+
+def _append_file(spark, in_dir, rows, ddl):
+    spark.createDataFrame(rows, ddl).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+
+def _drain(spark, in_dir, ddl, out_dir, ckpt, builder):
+    from documentai_spark.streaming.pipeline import start_to_parquet
+    stream = spark.readStream.schema(ddl).parquet(in_dir)
+    q = start_to_parquet(builder(stream), out_dir, ckpt)
+    q.awaitTermination(300)
+
+
+def test_dedup_output_schema_derives_from_input(spark, tmp_path):
+    """A non-default id column keeps its input type (bigint, not the old
+    hardcoded string fallback) in the dedup output schema."""
+    from documentai_spark.streaming.pipeline import (
+        streaming_first_wins_dedup,
+    )
+    p = str(tmp_path / "docs_schema")
+    _append_file(spark, p, [(1, "a", _T0)], _DOCS_DDL)
+    stream = spark.readStream.schema(_DOCS_DDL).parquet(p)
+    out = streaming_first_wins_dedup(stream, id_cols=("doc_id",))
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {"doc_id": "bigint", "text": "string"}
+
+
+def test_ttl_dedup_evicts_and_readmits(spark, tmp_path):
+    """Bounded-state dedup: a duplicate inside the TTL is dropped, one
+    arriving after the watermark passes first-sighting + TTL re-admits,
+    and a key evicted by the timeout (no racing data) re-admits too."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.streaming.pipeline import (
+        streaming_first_wins_dedup,
+    )
+
+    in_dir = str(tmp_path / "ttl_in")
+    out_dir = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def build(stream):
+        return streaming_first_wins_dedup(
+            stream, id_cols=("doc_id",), ttl="1 hour",
+            watermark="10 minutes")
+
+    # drain 1: first sightings (expiry = t0 + 1h)
+    _append_file(spark, in_dir, [(1, "dup text", _T0),
+                                 (2, "unique one", _T0)], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+    # drain 2: in-TTL duplicate (wm = t0-10m < expiry) dropped; the
+    # advancer pushes the committed watermark to t0+170m
+    _append_file(spark, in_dir, [(3, "dup text", _mins(5)),
+                                 (4, "advancer xx", _mins(180))], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+    # drain 3: wm(170m) > expiry(60m): duplicate re-admits even though it
+    # races the timeout in the same batch; "unique one" times out with no
+    # data (pure eviction)
+    _append_file(spark, in_dir, [(5, "dup text", _mins(180))], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+    # drain 4: the evicted key is fresh state -> re-admits
+    _append_file(spark, in_dir, [(6, "unique one", _mins(181))], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+
+    got = {(r.doc_id, r.text)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "dup text"), (2, "unique one"),
+                   (4, "advancer xx"), (5, "dup text"),
+                   (6, "unique one")}  # 3 dropped; 5 and 6 re-admitted
+
+
+def test_conversation_totals_final_emit_and_evict(spark, tmp_path):
+    """Closed conversations are final-emitted exactly once when the
+    watermark passes last-activity + gap; open ones emit nothing."""
+    in_dir = str(tmp_path / "fin_in")
+    out_dir = str(tmp_path / "fin_out")
+    ckpt = str(tmp_path / "fin_ckpt")
+
+    from documentai_spark.streaming.pipeline import (
+        streaming_conversation_totals_final,
+    )
+
+    def build(stream):
+        return streaming_conversation_totals_final(
+            stream, gap="30 minutes", watermark="10 minutes")
+
+    _append_file(spark, in_dir,
+                 [("c1", 0, "hello", _T0), ("c1", 1, "world!", _mins(1)),
+                  ("c2", 0, "solo", _T0)], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    # advance watermark past c1/c2 close (last + 30m) across two drains:
+    # the advancer's own event time only becomes the watermark at the
+    # NEXT batch, so a second advancer batch is what fires the timeouts
+    _append_file(spark, in_dir, [("c3", 0, "adv", _mins(180))], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    _append_file(spark, in_dir, [("c4", 0, "adv2", _mins(360))], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = sorted((r.conv_id, r.n_turns, r.total_chars, r.max_turn_idx)
+                 for r in rows)
+    # exactly once each, exact totals. c3 closes too: availableNow runs a
+    # finalize batch after each drain's watermark advance, so drain 3's
+    # extra batch sees wm = t0+350m > c3's t0+210m timeout. c4 (newest)
+    # is still open -> absent.
+    assert got == [("c1", 2, 11, 1), ("c2", 1, 4, 0), ("c3", 1, 3, 0)]
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """streaming_curate drops cross-batch exact duplicates via state and
+    its flag columns byte-match curate_documents on the surviving set."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import curate_documents
+    from documentai_spark.streaming.pipeline import streaming_curate
+
+    in_dir = str(tmp_path / "cur_in")
+    out_dir = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away into the woods where it was happy to "
+            "rest for a while before returning home to the den")
+    nolang = " ".join(f"zxq{i} qwv{i}" for i in range(15))  # no stopwords
+    short = "too short to keep"
+    rows1 = [(1, good, _T0), (2, nolang, _T0), (3, short, _T0)]
+    rows2 = [(5, good, _mins(1)),          # exact cross-batch duplicate
+             (6, good + " again it went", _mins(1))]
+
+    def build(stream):
+        return streaming_curate(stream, id_cols=("doc_id",))
+
+    _append_file(spark, in_dir, rows1, _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+    _append_file(spark, in_dir, rows2, _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+
+    out = spark.read.parquet(out_dir)
+    flag_cols = ["is_dup", "bad_lang", "bad_len", "low_conf", "keep"]
+    got = {r.doc_id: tuple(r[c] for c in flag_cols) + (r.confidence,)
+           for r in out.select("doc_id", "confidence", *flag_cols)
+                       .collect()}
+    assert 5 not in got  # the cross-batch duplicate never surfaced
+    assert set(got) == {1, 2, 3, 6}
+
+    batch = curate_documents(spark.read.parquet(in_dir), id_col="doc_id")
+    want = {r.doc_id: tuple(r[c] for c in flag_cols) + (r.confidence,)
+            for r in batch.select("doc_id", "confidence", *flag_cols)
+                          .collect() if r.doc_id in got}
+    assert got == want  # byte-identical flags + confidence on survivors
+    assert got[2][1] and got[3][2]  # bad_lang / bad_len really fire
+    assert got[1][4]  # the good doc is kept
