@@ -228,6 +228,8 @@ def _classify_vote_oracle_sql() -> str:
         meta = _json.load(f)
     labels = meta["labels"]          # sorted asc == w_0..w_3 order
     inter = meta["intercepts"]
+    fscale, tf_cap = meta["fscale"], meta["tf_cap"]
+    f_lut = ", ".join(str(int(x)) for x in meta["f_lut"])
     assert labels == ["invoice", "letter_of_credit", "purchase_order",
                       "shipping"]
     ws_cls = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
@@ -293,20 +295,30 @@ def _classify_vote_oracle_sql() -> str:
                   for i in range(1, len(tk) - 2)]
                ELSE []::VARCHAR[] END) AS term
           FROM toks
+        ), tfc AS (
+          -- per-(doc, term) tf, the frozen sublinear-LUT scheme: the
+          -- factor list below is the artifact's f_lut (integers frozen
+          -- at train time), 1-indexed by least(tf, tf_cap)
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY doc_id, term
         ), mlsum AS (
           SELECT t.doc_id,
-                 CAST(SUM(w.w_0) AS BIGINT) AS s0,
-                 CAST(SUM(w.w_1) AS BIGINT) AS s1,
-                 CAST(SUM(w.w_2) AS BIGINT) AS s2,
-                 CAST(SUM(w.w_3) AS BIGINT) AS s3
-          FROM terms t JOIN read_parquet('{wpq}') w USING (term)
+                 CAST(SUM(w.w_0 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s0,
+                 CAST(SUM(w.w_1 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s1,
+                 CAST(SUM(w.w_2 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s2,
+                 CAST(SUM(w.w_3 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s3
+          FROM tfc t JOIN read_parquet('{wpq}') w USING (term)
           GROUP BY t.doc_id
         ), t4s AS (
           SELECT b.doc_id,
-                 COALESCE(m.s0, 0) + {inter[0]} AS s0,
-                 COALESCE(m.s1, 0) + {inter[1]} AS s1,
-                 COALESCE(m.s2, 0) + {inter[2]} AS s2,
-                 COALESCE(m.s3, 0) + {inter[3]} AS s3
+                 COALESCE(m.s0, 0) + {inter[0] * fscale} AS s0,
+                 COALESCE(m.s1, 0) + {inter[1] * fscale} AS s1,
+                 COALESCE(m.s2, 0) + {inter[2] * fscale} AS s2,
+                 COALESCE(m.s3, 0) + {inter[3] * fscale} AS s3
           FROM base b LEFT JOIN mlsum m USING (doc_id)
         ), tech AS (
           SELECT s.doc_id, s.too_short,

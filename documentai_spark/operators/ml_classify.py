@@ -22,15 +22,23 @@ Spark-first rebuild, same train-offline / apply-at-scale split:
 - **Scoring** (``predict_with_topk``) applies the model the way the
   reference applies its pickle — as a frozen artifact. The fitted
   (coef x idf) matrix is compiled to INTEGER weights
-  (round(w * 1e6)): per-document class scores become pure integer sums
-  over an explode + broadcast-join + groupBy plan, which (a) is the
-  100 TB shape (no vectors, no vocabulary scan per row, map-side
-  combine), and (b) is EXACT under any aggregation order, so the DuckDB
-  gate oracle replays it bit-for-bit (the classify_vote promotion —
-  float sums would be shuffle-order-dependent). The compiled scorer is
-  linear in raw term counts; sublinear tf lives in training only (a
-  count-dependent ln() cannot be pre-compiled per term, and a live ln()
-  would reintroduce cross-engine 1-ulp risk).
+  (round(w * 1e6)), and the sublinear-tf curve is compiled to a frozen
+  integer LUT ``f(tf) = round((1 + ln tf) * FSCALE)`` for tf = 1..cap
+  (values frozen INTO meta.json — neither engine evaluates ln() live,
+  so there is no cross-engine 1-ulp risk). A document's class score is
+  ``intercept*FSCALE + sum over distinct terms of w_c(term) *
+  f(min(tf, cap))`` — the SAME sublinear feature the trainer used
+  (predict == train, the reference's predict path applies its fitted
+  vectorizer identically, documentClassifier.py:162-205), as pure
+  integer sums over an explode + broadcast-join + tf-count + groupBy
+  plan, which (a) is the 100 TB shape (no vectors, no vocabulary scan
+  per row, map-side combine — tf counts complete map-side because a
+  document's terms live in one partition), and (b) is EXACT under any
+  aggregation order, so the DuckDB gate oracle replays it bit-for-bit
+  (float sums would be shuffle-order-dependent). tf saturates at
+  ``tf_cap`` (64): beyond it the sublinear curve is nearly flat
+  (1+ln(64)=5.16 vs 1+ln(1000)=7.9) and the clamp keeps the LUT finite;
+  the saturation point is part of the frozen artifact.
 
 Top-3 predictions (documentClassifier.py:199-203 argsort()[-3:]) come
 from the integer score vector via a sorted struct slice (W3);
@@ -51,11 +59,38 @@ from pyspark.sql import functions as F
 # \x1c-\x1f, Java's \s lacks \x1c-\x1f)
 _WS_SPLIT = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
 SCALE = 1_000_000
+# sublinear-tf LUT quantization: f(tf) = round((1 + ln tf) * FSCALE).
+# FSCALE=1e4 keeps worst-case integer scores far from int64 overflow
+# under ANSI mode (w <= ~1e8, f <= ~5.2e4, 15k terms -> ~1e17 < 2^63)
+# while the quantization error (~1e-5 relative) is far below any
+# decision margin.
+FSCALE = 10_000
+TF_CAP = 64
+
+
+def sublinear_lut(cap: int = TF_CAP, fscale: int = FSCALE) -> list[int]:
+    """f(tf) for tf = 1..cap, frozen at train time so both engines replay
+    identical integers (f(1) = fscale exactly: ln 1 = 0)."""
+    import math
+    return [round((1.0 + math.log(tf)) * fscale) for tf in range(1, cap + 1)]
 
 
 def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), _WS_SPLIT),
                     lambda x: x != F.lit(""))
+
+
+def _gram_join(toks: Column, n: int):
+    """Unary slice-join lambda for F.transform. MUST stay single-
+    parameter: pyspark inspects the lambda's ARITY, and a second
+    parameter (even a defaulted one like ``n=n``) turns it into the
+    binary (element, index) form — the index silently replaces the
+    captured value. That exact bug shipped in r4: ``lambda i, n=n:``
+    made every slice length the element INDEX, corrupting the n-gram
+    expansion (caught by the r5 exact score-parity test; the gate had
+    stayed green because only the argmax is hashed). ``n`` binds here
+    via the enclosing call frame — eager, no late-binding hazard."""
+    return lambda i: F.array_join(F.slice(toks, i, n), " ")
 
 
 def _ngrams_from(toks: Column, max_ngram: int) -> Column:
@@ -73,7 +108,7 @@ def _ngrams_from(toks: Column, max_ngram: int) -> Column:
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i, n=n: F.array_join(F.slice(toks, i, n), " "),
+                _gram_join(toks, n),
             )).otherwise(F.array().cast("array<string>"))
         parts.append(grams)
     return F.concat(*parts)
@@ -119,11 +154,20 @@ class FrozenTextClassifier:
     applied at scale (the reference's model.pkl analog). ``weights`` has
     one row per vocab term with an integer weight column per class
     (``w_0`` .. ``w_{k-1}``, label order = ``labels``); score_c(doc) =
-    intercepts[c] + sum over term occurrences of w_c(term)."""
+    intercepts[c]*fscale + sum over distinct terms of
+    w_c(term) * f_lut[min(tf, tf_cap)] — the frozen sublinear-tf scheme
+    (f_lut[tf] = round((1 + ln tf) * fscale), tf 1-indexed)."""
     labels: list[str]
     intercepts: list[int]
     weights: DataFrame
     max_ngram: int = 4
+    f_lut: list[int] = None
+    fscale: int = FSCALE
+    tf_cap: int = TF_CAP
+
+    def __post_init__(self):
+        if self.f_lut is None:
+            self.f_lut = sublinear_lut(self.tf_cap, self.fscale)
 
     def save(self, path: str) -> None:
         self.weights.coalesce(1).write.mode("overwrite") \
@@ -132,7 +176,10 @@ class FrozenTextClassifier:
             json.dump({"labels": self.labels,
                        "intercepts": self.intercepts,
                        "max_ngram": self.max_ngram,
-                       "scale": SCALE}, f, indent=1)
+                       "scale": SCALE,
+                       "fscale": self.fscale,
+                       "tf_cap": self.tf_cap,
+                       "f_lut": self.f_lut}, f, indent=1)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "FrozenTextClassifier":
@@ -142,7 +189,10 @@ class FrozenTextClassifier:
                    intercepts=[int(x) for x in meta["intercepts"]],
                    weights=spark.read.parquet(
                        os.path.join(path, "weights.parquet")),
-                   max_ngram=int(meta["max_ngram"]))
+                   max_ngram=int(meta["max_ngram"]),
+                   f_lut=[int(x) for x in meta["f_lut"]],
+                   fscale=int(meta["fscale"]),
+                   tf_cap=int(meta["tf_cap"]))
 
 
 def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
@@ -209,20 +259,25 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                       id_col: str | None = None) -> DataFrame:
     """Adds ml_category + ml_confidence + ml_topk (W3 top-k classes).
 
-    Explode terms -> broadcast-join the compiled weights -> integer
-    groupBy sums: the whole scorer is JVM columnar, shuffles only the
-    (row, term-hit) pairs, and is exact under any aggregation order.
-    Scores into a fresh internal handle column — the input is never
-    renamed, so a caller-side 'text' column cannot collide (ADVICE r2).
+    Explode terms -> broadcast-join the compiled weights -> per-(doc,
+    term) tf counts -> frozen sublinear LUT factor -> integer groupBy
+    sums: the whole scorer is JVM columnar, shuffles only the distinct
+    (row, vocab-term, tf) hits (tf completes map-side), and is exact
+    under any aggregation order — the shipped decision function applies
+    the SAME sublinear-tf feature the trainer fitted. Scores into a
+    fresh internal handle column — the input is never renamed, so a
+    caller-side 'text' column cannot collide (ADVICE r2).
 
     ``id_col``: a UNIQUE row key the score join uses directly — the
-    at-scale path. Without one, the fallback synthesizes a handle via
-    ``monotonically_increasing_id`` and pins it with a lazy
-    ``localCheckpoint``: the handle is consumed by BOTH sides of the
-    self-join, and on a post-shuffle input the two evaluations could
-    otherwise see different row orders (reducer fetch interleaving is
-    nondeterministic) and mis-join scores. The checkpoint makes the
-    handled rows materialize exactly once.
+    at-scale path; every internal caller passes one. Without one, the
+    fallback synthesizes a handle via ``monotonically_increasing_id``
+    and pins it with a lazy ``localCheckpoint``: the handle is consumed
+    by BOTH sides of the self-join, and on a post-shuffle input the two
+    evaluations could otherwise see different row orders (reducer fetch
+    interleaving is nondeterministic) and mis-join scores. The
+    checkpoint makes the handled rows materialize exactly once — which
+    HOLDS EXECUTOR STORAGE for the whole input, so the fallback warns
+    loudly: at 100 TB callers must pass ``id_col``.
     """
     kcls = len(model.labels)
     reserved = {f"_s{c}" for c in range(kcls)} | {"_ranked", "_denom"}
@@ -236,22 +291,42 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
             f"input columns collide with predict_with_topk internals: "
             f"{sorted(clash)}")
     if id_col is None:
+        import warnings
+        warnings.warn(
+            "predict_with_topk without id_col pins the input with a "
+            "localCheckpoint (executor storage for every row). Pass a "
+            "unique id_col for at-scale scoring.", ResourceWarning,
+            stacklevel=2)
         handled = df.withColumn("_mlid", F.monotonically_increasing_id()) \
                     .localCheckpoint(eager=False)
         key = "_mlid"
     else:
         handled = df
         key = id_col
+    w_cols = [f"w_{c}" for c in range(kcls)]
     hits = explode_terms(handled, text_col, [key],
                          model.max_ngram) \
         .join(F.broadcast(model.weights), "term")
-    sums = hits.groupBy(key).agg(
-        *[F.sum(f"w_{c}").alias(f"_s{c}") for c in range(kcls)])
+    # tf per (doc, vocab term): the partial (map-side) aggregation already
+    # yields the COMPLETE count, because a document's exploded terms all
+    # live in its own input partition — the exchange ships one final
+    # (key, term, tf) row per distinct vocab hit, nothing to re-merge.
+    tf = hits.groupBy(key, "term", *w_cols) \
+             .agg(F.count(F.lit(1)).alias("_tf"))
+    # frozen sublinear factor: f_lut is 1-indexed by tf, saturating at
+    # tf_cap (see module docstring)
+    f = F.element_at(F.lit(model.f_lut),
+                     F.least(F.col("_tf"),
+                             F.lit(model.tf_cap)).cast("int"))
+    sums = (tf.select(key, *[(F.col(w) * f).alias(w) for w in w_cols])
+              .groupBy(key)
+              .agg(*[F.sum(w_cols[c]).alias(f"_s{c}")
+                     for c in range(kcls)]))
     out = handled.join(sums, key, "left")
     score_cols = []
     for c in range(kcls):
         s = (F.coalesce(F.col(f"_s{c}"), F.lit(0))
-             + F.lit(model.intercepts[c])).cast("long")
+             + F.lit(model.intercepts[c] * model.fscale)).cast("long")
         score_cols.append(s.alias(f"_s{c}"))
     snames = {f"_s{c}" for c in range(kcls)}
     out = out.select(*[cc for cc in out.columns if cc not in snames],
@@ -263,7 +338,8 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                  F.col(f"_s{c}").alias("s"))
         for c in range(kcls)]))
     # softmax over de-scaled scores for the reference's probability shape
-    exps = [F.exp(F.col(f"_s{c}").cast("double") / F.lit(float(SCALE)))
+    descale = float(SCALE) * float(model.fscale)
+    exps = [F.exp(F.col(f"_s{c}").cast("double") / F.lit(descale))
             for c in range(kcls)]
     denom = exps[0]
     for e in exps[1:]:
@@ -277,14 +353,14 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
               .withColumn("ml_category", top_expr["category"])
               .withColumn("ml_confidence",
                           F.exp(top_expr["s"].cast("double")
-                                / F.lit(float(SCALE))) / F.col("_denom"))
+                                / F.lit(descale)) / F.col("_denom"))
               .withColumn("ml_topk", F.transform(
                   F.slice("_ranked", 1, k),
                   # softmax probability, the reference's predict_proba
                   # top-3 shape (documentClassifier.py:199-203) — was the
                   # raw de-scaled linear score until r4 (ADVICE r3)
                   lambda x: F.struct(
-                      (F.exp(x["s"].cast("double") / F.lit(float(SCALE)))
+                      (F.exp(x["s"].cast("double") / F.lit(descale))
                        / F.col("_denom")).alias("p"),
                       x["category"].alias("category")))))
     drop = ["_ranked", "_denom"] + [f"_s{c}" for c in range(kcls)]
