@@ -18,9 +18,9 @@ every reference metric's shared_preprocessing). Encoders exist so tests
 and the synthetic media table can round-trip real bytes without any
 third-party dependency.
 
-Audio decoding is real too (RIFF/WAVE PCM, ``core.audiocodec``); only
-video decoding remains a declared deterministic fake in
-operators/multimodal (no ffmpeg in the sandbox).
+Audio decoding is real too (RIFF/WAVE PCM, ``core.audiocodec``), and so
+is video since r5 (uncompressed RIFF/AVI, ``core.videocodec`` — its DIB
+frames reuse this module's palette/BGR/bottom-up conventions and luma).
 """
 
 from __future__ import annotations

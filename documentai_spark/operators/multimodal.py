@@ -4,18 +4,23 @@ The reference rasterizes PDF pages to grayscale pixmaps and runs
 image-quality kernels on them (quality_analysis_updated/
 universal_analyzer.py:37-39 raster scan; metrics/*.py pixel kernels).
 
-The IMAGE path is REAL since r3: payloads in PNG / BMP / PGM / PPM decode
-with the pure-stdlib codecs in ``core.imagecodec`` (zlib inflate +
-scanline unfilter for PNG), features come from actual pixels
-(4x4 block-mean thumbnail), and ``extract_media_quality`` runs the
-reference's pixel kernels (white-ratio blank, mean-brightness,
-std-contrast, dark/bright-area shadow/glare) on the decoded raster.
-The AUDIO path is REAL since r4: RIFF/WAVE PCM decode via pure
-``struct`` (``core.audiocodec``), features are per-frame RMS energies
-over the actual samples. Only VIDEO decoding remains a declared
-deterministic fake (no ffmpeg in this sandbox); its plumbing — schema,
-batching, dispatch — is identical to the real paths and swaps in a real
-decoder unchanged.
+ALL THREE media legs decode real bytes since r5:
+
+- IMAGE (r3): PNG / BMP / PGM / PPM via the pure-stdlib codecs in
+  ``core.imagecodec`` (zlib inflate + scanline unfilter for PNG);
+  features are 4x4 block means of actual pixels, and
+  ``extract_media_quality`` runs the reference's pixel kernels
+  (white-ratio blank, mean-brightness, std-contrast, dark/bright-area
+  shadow/glare) on the decoded raster.
+- AUDIO (r4): RIFF/WAVE PCM via pure ``struct`` (``core.audiocodec``);
+  features are per-frame RMS energies over the actual samples.
+- VIDEO (r5): uncompressed RIFF/AVI via ``core.videocodec`` (RIFF walk,
+  ``00db`` DIB frames, 8-bit palettized / 24-bit BGR, BT.601 luma —
+  the same DIB subset the BMP decoder handles); features are mean
+  brightnesses of evenly-sampled frames, and each decoded frame feeds
+  ``imagecodec.pixel_quality`` unchanged. Only formats genuinely
+  needing external libs (MJPG/h264/mp4...) return
+  'decoder_unavailable'.
 
 Spark-side design (100 TB):
 
@@ -99,11 +104,15 @@ def _decode_audio(payload: bytes) -> list[float]:
     return frame_energies(samples, n_frames=N_FEATURES)
 
 
-def _fake_decode_video(payload: bytes) -> np.ndarray:
-    """STUB — frame-sampled features; real impl: ffmpeg keyframe sample."""
-    h = hashlib.sha256(b"video" + payload).digest() * 2
-    return np.frombuffer(h[:N_FEATURES * 4], dtype=np.uint8) \
-             .reshape(N_FEATURES, 4).astype(np.float64)
+def _decode_video(payload: bytes) -> list[float]:
+    """REAL decoder: uncompressed RIFF/AVI via core.videocodec; returns
+    N_FEATURES per-sampled-frame mean brightnesses (each in [0, 1]).
+    Raises NotImplementedError for compressed streams / non-AVI
+    containers (mp4/h264 need libs this sandbox lacks), ValueError /
+    struct.error on corrupt bytes."""
+    from documentai_spark.core.videocodec import decode_avi, frame_features
+    _fps, frames = decode_avi(payload)
+    return frame_features(frames, n_frames=N_FEATURES)
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
@@ -136,8 +145,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         feats.append(_decode_audio(bytes(payload)))
                         oks.append("ok")
                     elif mt == "video":
-                        block = _fake_decode_video(bytes(payload))
-                        feats.append((block.mean(axis=1) / 255.0).tolist())
+                        feats.append(_decode_video(bytes(payload)))
                         oks.append("ok")
                     else:
                         feats.append([0.0] * N_FEATURES)
@@ -191,15 +199,15 @@ def extract_media_quality(df: DataFrame) -> DataFrame:
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table. Image rows carry REAL encoded
-    payloads (PNG / BMP / PGM round-robin over hash-derived pixel blocks);
-    audio rows carry REAL RIFF/WAVE PCM16 payloads (hash-derived sample
-    buffers); only video rows carry opaque hash bytes for the fake
-    decoder."""
+    """Deterministic synthetic media table, ALL payloads real encodings:
+    image rows PNG / BMP / PGM round-robin over hash-derived pixel
+    blocks; audio rows RIFF/WAVE PCM16 over hash-derived sample buffers;
+    video rows uncompressed 8-bit AVI over hash-derived frame stacks."""
     from documentai_spark.core.audiocodec import encode_wav
     from documentai_spark.core.imagecodec import (
         encode_bmp, encode_pgm, encode_png,
     )
+    from documentai_spark.core.videocodec import encode_avi
     encoders = (encode_png, encode_bmp, encode_pgm)
     codec_names = ("png", "bmp", "pgm")
     rows = []
@@ -225,7 +233,18 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             rows.append((i, mt, bytearray(payload), None, None,
                          int(n_samples * 1000 / rate), "pcm_s16le"))
         else:
-            payload = (h * ((i % 7) + 1))[: 16 + (i % 50) * 8]
-            rows.append((i, mt, bytearray(payload), None, None,
-                         1000 * (1 + i % 30), "av1"))
+            fps = 10
+            n_frames = 2 + i % 7
+            w = 8 + (i * 3) % 24
+            ht = 6 + (i * 5) % 18
+            frames = []
+            for fidx in range(n_frames):
+                fh = hashlib.md5(f"{seed}|frame|{i}|{fidx}".encode()) \
+                    .digest()
+                buf = (fh * ((w * ht) // len(fh) + 1))[:w * ht]
+                frames.append(np.frombuffer(buf, dtype=np.uint8)
+                              .reshape(ht, w))
+            payload = encode_avi(frames, fps=fps)
+            rows.append((i, mt, bytearray(payload), w, ht,
+                         int(n_frames * 1000 / fps), "rawvideo"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

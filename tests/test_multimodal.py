@@ -1,8 +1,8 @@
-"""Multimodal tests: REAL image decode (pure-stdlib PNG/BMP/PGM codecs)
-and REAL audio decode (RIFF/WAVE PCM via core.audiocodec) through the
-mapInPandas path — features come from actual pixels / samples — plus
-schema/batching/determinism plumbing. Only video decode remains a
-documented deterministic stub."""
+"""Multimodal tests: REAL image decode (pure-stdlib PNG/BMP/PGM codecs),
+REAL audio decode (RIFF/WAVE PCM via core.audiocodec), and REAL video
+decode (uncompressed RIFF/AVI via core.videocodec, r5) through the
+mapInPandas path — features come from actual pixels / samples / frames —
+plus schema/batching/determinism plumbing."""
 
 from __future__ import annotations
 
@@ -226,3 +226,136 @@ def test_audio_codec_stereo_and_8bit():
     assert rate8 == 4000
     assert s8[0] == 0.0 and s8[3] == 0.0
     assert abs(s8[1] - 127 / 128) < 1e-12 and s8[2] == -1.0
+
+
+def test_video_features_are_real_frames(spark):
+    """Real AVI bytes through mapInPandas must yield the exact sampled
+    per-frame mean brightnesses of the encoded frames — the decode is
+    real, not a payload-hash fake (the WAV test pattern)."""
+    import numpy as np
+
+    from documentai_spark.core.videocodec import (
+        decode_avi, encode_avi, frame_features,
+    )
+    from documentai_spark.operators.multimodal import MEDIA_SCHEMA
+
+    # 4 flat frames at 0 / 85 / 170 / 255: sampled features are exact
+    frames = [np.full((12, 10), v, dtype=np.uint8)
+              for v in (0, 85, 170, 255)]
+    payload = encode_avi(frames, fps=5)
+    fps, decoded = decode_avi(payload)
+    assert fps == 5.0 and len(decoded) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(decoded, frames))
+    expected = frame_features(decoded, n_frames=N_FEATURES)
+    assert expected[:4] == [0.0] * 4
+    assert expected[12:] == [1.0] * 4
+
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(payload), 10, 12, 800, "rawvideo")],
+        MEDIA_SCHEMA)
+    row = extract_media_features(df).collect()[0]
+    assert row.decode_ok == "ok"
+    assert row.features == expected
+
+
+def test_video_nonflat_frame_roundtrip():
+    """Arbitrary pixel content survives the 8-bit palettized round-trip
+    bit-exactly (identity grayscale palette + bottom-up rows + stride
+    padding), including non-multiple-of-4 widths."""
+    import numpy as np
+
+    from documentai_spark.core.videocodec import decode_avi, encode_avi
+
+    rng = [(np.arange(9 * 7, dtype=np.uint8).reshape(9, 7) * 13 + f) % 251
+           for f in range(3)]
+    frames = [f.astype(np.uint8) for f in rng]
+    _fps, decoded = decode_avi(encode_avi(frames, fps=25))
+    assert len(decoded) == 3
+    for a, b in zip(decoded, frames):
+        assert np.array_equal(a, b)
+
+
+def test_video_24bit_bgr_frame():
+    """A hand-built 24-bit BGR AVI decodes through the same BT.601 luma
+    as the BMP path (pinning the DIB convention reuse)."""
+    import struct
+
+    import numpy as np
+
+    from documentai_spark.core.imagecodec import _luma
+    from documentai_spark.core.videocodec import decode_avi
+
+    w, h = 2, 1
+    # pixels (RGB): (255,0,0), (0,255,0) -> stored BGR, row padded to 8
+    row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(row),
+                       0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0, 1, 0, 1,
+                       len(row), w, h, 0, 0, 0, 0)
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strf", strf)))
+    payload = b"AVI " + hdrl + lst(b"movi", chunk(b"00db", row))
+    avi = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    fps, frames = decode_avi(avi)
+    assert fps == 10.0 and len(frames) == 1
+    want = _luma(np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8))
+    assert np.array_equal(frames[0], want)
+
+
+def test_video_quality_kernels_on_frames():
+    """Decoded frames feed imagecodec.pixel_quality unchanged: a white
+    video frame scores blank, a black one scores shadow."""
+    import numpy as np
+
+    from documentai_spark.core.imagecodec import pixel_quality
+    from documentai_spark.core.videocodec import decode_avi, encode_avi
+
+    white = np.full((20, 30), 255, dtype=np.uint8)
+    black = np.zeros((20, 30), dtype=np.uint8)
+    _fps, frames = decode_avi(encode_avi([white, black], fps=10))
+    qw, qb = pixel_quality(frames[0]), pixel_quality(frames[1])
+    assert qw["px_blank"] == 1.0 and qw["px_shadow"] == 0.0
+    assert qb["px_shadow"] == 1.0 and qb["px_blank"] == 0.0
+
+
+def test_video_corrupt_and_unavailable_lanes(spark):
+    """mp4-ish magic -> decoder_unavailable; compressed AVI ->
+    decoder_unavailable; truncated / frame-mismatched AVI -> corrupt."""
+    import struct
+
+    import numpy as np
+
+    from documentai_spark.core.videocodec import encode_avi
+    from documentai_spark.operators.multimodal import MEDIA_SCHEMA
+
+    good = encode_avi([np.zeros((4, 4), dtype=np.uint8)], fps=10)
+    # flip the strf compression dword (offset: find strf, +8 header,
+    # +16 to biCompression)
+    comp_off = good.index(b"strf") + 8 + 16
+    compressed = (good[:comp_off] + struct.pack("<I", 0x47504A4D)
+                  + good[comp_off + 4:])
+    truncated = good[:len(good) // 2]
+    # frame chunk length lies: claim more bytes than the DIB carries
+    fr_off = good.index(b"00db") + 4
+    short_frame = (good[:fr_off] + struct.pack("<I", 9999)
+                   + good[fr_off + 4:])
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(b"\x00\x00\x00 ftypmp42..."), 4, 4, 100,
+          "h264"),
+         (1, "video", bytearray(compressed), 4, 4, 100, "mjpg"),
+         (2, "video", bytearray(truncated), 4, 4, 100, "rawvideo"),
+         (3, "video", bytearray(short_frame), 4, 4, 100, "rawvideo"),
+         (4, "video", bytearray(good), 4, 4, 100, "rawvideo")],
+        MEDIA_SCHEMA)
+    rows = {r.media_id: r.decode_ok
+            for r in extract_media_features(df).collect()}
+    assert rows == {0: "decoder_unavailable", 1: "decoder_unavailable",
+                    2: "corrupt", 3: "corrupt", 4: "ok"}
