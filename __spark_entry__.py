@@ -773,40 +773,14 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (normalized md5), and value_percentiles (percentile ==
     quantile_cont) in ONE scan + ONE low-cardinality shuffle.
 
-    Scale note: `percentile` is the EXACT interpolated percentile (the
-    oracle-replayable form); per-group it buffers the group's values, so
-    at 100 TB swap it for `approx_percentile(n_tokens, p, 10000)` —
-    everything else (counts, sums, distinct counts) combines map-side.
-    A duplicate group never spans languages (identical normalized text
-    implies identical stopword ratio), so the per-language distinct
-    count equals the global dedup arithmetic."""
-    docs = _t(spark, sf_dir, "documents")
-    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                       F.lit(sw_pat), F.lit(0)))
-    sw_ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
-    lang = F.when(sw_ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown"))
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
-                                       r"\s+", " ")))
-    per = docs.select(n_toks.alias("n_tokens"), lang.alias("lang_pred"),
-                      fp.alias("fp"))
-    agg = (per.groupBy("lang_pred")
-           .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-                F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
-                F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
-                F.countDistinct("fp").alias("n_unique")))
-    return (agg.withColumn("n_dup_docs",
-                           (F.col("n_docs") - F.col("n_unique")))
-               .withColumn("dup_ratio",
-                           F.round(F.col("n_dup_docs") / F.col("n_docs"),
-                                   6))
-               .select("lang_pred", "n_docs", "total_tokens",
-                       "p50_tokens", "p95_tokens", "n_dup_docs",
-                       "dup_ratio")
-               .orderBy("lang_pred"))
+    Library form: ``curation.corpus_report`` (promoted in r5). The gate
+    runs ``exact=True`` (`percentile`, the oracle-replayable
+    interpolated form); the 100 TB swap is the ``exact=False`` flag —
+    ``approx_percentile(n_tokens, p, accuracy)`` with bounded memory and
+    rank error <= 1/accuracy, tested against the exact form at an
+    sf1-like skewed shape (tests/test_curation.py)."""
+    from documentai_spark.operators.curation import corpus_report
+    return corpus_report(_t(spark, sf_dir, "documents"), exact=True)
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

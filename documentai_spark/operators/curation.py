@@ -110,6 +110,59 @@ def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
     return out.withColumn("keep", keep)
 
 
+def corpus_report(docs: DataFrame, *, text_col: str = "text",
+                  exact: bool = True, accuracy: int = 10000) -> DataFrame:
+    """Per-language corpus curation report: document volume, token
+    totals, token quantiles (p50/p95), exact-duplicate count/ratio.
+    ONE scan + ONE low-cardinality shuffle; every expression is the
+    pinned gate formulation (whitespace tokens, stopword-density
+    language id, normalized-md5 fingerprints).
+
+    ``exact=True`` uses the interpolated ``percentile`` aggregate — the
+    oracle-replayable form, which buffers each group's values in the
+    aggregation buffer (fine to ~10^8 rows/group). ``exact=False`` is
+    the 100 TB path: ``approx_percentile(n_tokens, p, accuracy)`` — the
+    Greenwald-Khanna sketch with bounded memory and a guaranteed RANK
+    error <= 1/accuracy (the returned value's rank is within
+    n/accuracy positions of the true percentile rank; tested against
+    the exact form at a skewed sf1-like shape). Counts, sums, and
+    distinct counts are identical in both modes.
+
+    A duplicate group never spans languages (identical normalized text
+    implies identical stopword ratio), so the per-language distinct
+    count equals the global dedup arithmetic.
+    """
+    text = F.col(text_col)
+    n_toks = token_count_col(text)
+    lang = F.when(stopword_ratio_col(text) >= 0.04,
+                  F.lit("en")).otherwise(F.lit("unknown"))
+    per = docs.select(n_toks.alias("n_tokens"), lang.alias("lang_pred"),
+                      fingerprint_col(text).alias("fp"))
+    if exact:
+        p50 = F.expr("percentile(n_tokens, 0.5)")
+        p95 = F.expr("percentile(n_tokens, 0.95)")
+    else:
+        p50 = F.expr(f"approx_percentile(n_tokens, 0.5, {int(accuracy)})") \
+               .cast("double")
+        p95 = F.expr(f"approx_percentile(n_tokens, 0.95, {int(accuracy)})") \
+               .cast("double")
+    agg = (per.groupBy("lang_pred")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                p50.alias("p50_tokens"),
+                p95.alias("p95_tokens"),
+                F.countDistinct("fp").alias("n_unique")))
+    return (agg.withColumn("n_dup_docs",
+                           F.col("n_docs") - F.col("n_unique"))
+               .withColumn("dup_ratio",
+                           F.round(F.col("n_dup_docs") / F.col("n_docs"),
+                                   6))
+               .select("lang_pred", "n_docs", "total_tokens",
+                       "p50_tokens", "p95_tokens", "n_dup_docs",
+                       "dup_ratio")
+               .orderBy("lang_pred"))
+
+
 def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     """documents(doc_id, text, ...) -> the full quality stack + curation
     flags (the --curate job shape). Returns ALL rows with flags; filter

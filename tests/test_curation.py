@@ -46,3 +46,47 @@ def test_curation_matches_gate_query(spark):
                   spark.read.parquet(f"{sf}/documents.parquet"))
               .collect()}
     assert got == direct and len(got) > 0
+
+
+def test_corpus_report_approx_percentile_error_bound(spark):
+    """exact=False swaps the exact interpolated percentile for
+    approx_percentile (bounded-memory Greenwald-Khanna): counts, sums,
+    and dup arithmetic stay identical, and each sketch quantile's RANK
+    lands within n/accuracy of the target rank on an sf1-like skewed
+    token distribution (1% mega docs carrying a fat tail)."""
+    import hashlib
+
+    from documentai_spark.operators.curation import corpus_report
+
+    rows = []
+    for i in range(20000):
+        h = int.from_bytes(hashlib.md5(f"pp|{i}".encode()).digest()[:8],
+                           "big")
+        n = 5 + h % 200
+        if i % 100 == 0:                      # 1% mega tail
+            n = 2000 + h % 2000
+        rows.append((i, " ".join(["the"] * n)))   # all-'en', n tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    accuracy = 1000
+    exact = corpus_report(docs, exact=True).collect()
+    approx = corpus_report(docs, exact=False, accuracy=accuracy).collect()
+    assert len(exact) == len(approx) == 1          # one 'en' group
+    e, a = exact[0], approx[0]
+    for c in ("lang_pred", "n_docs", "total_tokens", "n_dup_docs",
+              "dup_ratio"):
+        assert e[c] == a[c], c
+
+    toks = sorted(5 + int.from_bytes(
+        hashlib.md5(f"pp|{i}".encode()).digest()[:8], "big") % 200
+        if i % 100 else 2000 + int.from_bytes(
+        hashlib.md5(f"pp|{i}".encode()).digest()[:8], "big") % 2000
+        for i in range(20000))
+    n = len(toks)
+    for p, col in ((0.5, "p50_tokens"), (0.95, "p95_tokens")):
+        v = a[col]
+        lo = sum(1 for x in toks if x < v)       # value's rank window
+        hi = sum(1 for x in toks if x <= v)
+        target = p * n
+        bound = n / accuracy + 1
+        assert lo - bound <= target <= hi + bound, (col, v, lo, hi)
