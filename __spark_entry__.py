@@ -216,6 +216,82 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _ml_meta() -> dict:
+    import json as _json
+    with open(os.path.join(ML_FROZEN, "meta.json")) as f:
+        return _json.load(f)
+
+
+def _ml_sum_ctes(src: str = "base") -> str:
+    """Shared oracle CTE chain replaying the frozen integer scorer:
+    tokenize -> 1-4gram expansion -> per-(doc, term) tf -> sublinear-LUT
+    weighted integer sums (``mlsum``: doc_id, s0..s3 WITHOUT intercepts).
+    The factor list is the artifact's frozen f_lut, 1-indexed by
+    least(tf, tf_cap) — neither engine evaluates ln() live."""
+    meta = _ml_meta()
+    tf_cap = meta["tf_cap"]
+    f_lut = ", ".join(str(int(x)) for x in meta["f_lut"])
+    ws_cls = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
+    wpq = os.path.join(ML_FROZEN, "weights.parquet", "*.parquet")
+    return rf"""toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '{ws_cls}'),
+                        x -> x <> '') AS tk
+          FROM {src}
+        ), terms AS (
+          SELECT doc_id, unnest(
+            tk
+            || CASE WHEN len(tk) >= 2 THEN
+                 [array_to_string(tk[i:i+1], ' ')
+                  for i in range(1, len(tk))]
+               ELSE []::VARCHAR[] END
+            || CASE WHEN len(tk) >= 3 THEN
+                 [array_to_string(tk[i:i+2], ' ')
+                  for i in range(1, len(tk) - 1)]
+               ELSE []::VARCHAR[] END
+            || CASE WHEN len(tk) >= 4 THEN
+                 [array_to_string(tk[i:i+3], ' ')
+                  for i in range(1, len(tk) - 2)]
+               ELSE []::VARCHAR[] END) AS term
+          FROM toks
+        ), tfc AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms GROUP BY doc_id, term
+        ), mlsum AS (
+          SELECT t.doc_id,
+                 CAST(SUM(w.w_0 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s0,
+                 CAST(SUM(w.w_1 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s1,
+                 CAST(SUM(w.w_2 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s2,
+                 CAST(SUM(w.w_3 * ([{f_lut}])[least(t.tf, {tf_cap})])
+                      AS BIGINT) AS s3
+          FROM tfc t JOIN read_parquet('{wpq}') w USING (term)
+          GROUP BY t.doc_id
+        )"""
+
+
+def _ml_scores_oracle_sql() -> str:
+    """ml_scores mirror: the frozen integer class scores per document
+    (intercept*fscale + sublinear-LUT weighted sums) — hash-checks the
+    scorer at SCORE level, strictly stronger than classify_vote's
+    argmax-only technique_4 column."""
+    meta = _ml_meta()
+    inter = meta["intercepts"]
+    fscale = meta["fscale"]
+    sel = ",\n               ".join(
+        f"COALESCE(m.s{c}, 0) + {inter[c] * fscale} AS s{c}"
+        for c in range(len(meta["labels"])))
+    return f"""
+        WITH {_ml_sum_ctes(src="documents")}
+        SELECT d.doc_id,
+               {sel}
+        FROM documents d LEFT JOIN mlsum m USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _classify_vote_oracle_sql() -> str:
     """classify_vote mirror: 3 rule techniques + the frozen integer-weight
     ML scorer (data/ml_frozen — same weights parquet the Spark side
@@ -223,17 +299,12 @@ def _classify_vote_oracle_sql() -> str:
     exact under any aggregation order, so technique_4 replays bit-for-bit
     (the reason the model is compiled to ints; see operators/ml_classify).
     """
-    import json as _json
-    with open(os.path.join(ML_FROZEN, "meta.json")) as f:
-        meta = _json.load(f)
+    meta = _ml_meta()
     labels = meta["labels"]          # sorted asc == w_0..w_3 order
     inter = meta["intercepts"]
-    fscale, tf_cap = meta["fscale"], meta["tf_cap"]
-    f_lut = ", ".join(str(int(x)) for x in meta["f_lut"])
+    fscale = meta["fscale"]
     assert labels == ["invoice", "letter_of_credit", "purchase_order",
                       "shipping"]
-    ws_cls = r"[ \t\n\x0b\f\r\x1c-\x1f]+"
-    wpq = os.path.join(ML_FROZEN, "weights.parquet", "*.parquet")
     return rf"""
         WITH base AS (
           SELECT doc_id, text,
@@ -274,46 +345,7 @@ def _classify_vote_oracle_sql() -> str:
             CAST(len([x for x in list_distinct(string_split(snt, ' '))
               if x IN ('vessel','port','freight')]) AS DOUBLE) AS c3
           FROM base
-        ), toks AS (
-          SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '{ws_cls}'),
-                        x -> x <> '') AS tk
-          FROM base
-        ), terms AS (
-          SELECT doc_id, unnest(
-            tk
-            || CASE WHEN len(tk) >= 2 THEN
-                 [array_to_string(tk[i:i+1], ' ')
-                  for i in range(1, len(tk))]
-               ELSE []::VARCHAR[] END
-            || CASE WHEN len(tk) >= 3 THEN
-                 [array_to_string(tk[i:i+2], ' ')
-                  for i in range(1, len(tk) - 1)]
-               ELSE []::VARCHAR[] END
-            || CASE WHEN len(tk) >= 4 THEN
-                 [array_to_string(tk[i:i+3], ' ')
-                  for i in range(1, len(tk) - 2)]
-               ELSE []::VARCHAR[] END) AS term
-          FROM toks
-        ), tfc AS (
-          -- per-(doc, term) tf, the frozen sublinear-LUT scheme: the
-          -- factor list below is the artifact's f_lut (integers frozen
-          -- at train time), 1-indexed by least(tf, tf_cap)
-          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-          FROM terms GROUP BY doc_id, term
-        ), mlsum AS (
-          SELECT t.doc_id,
-                 CAST(SUM(w.w_0 * ([{f_lut}])[least(t.tf, {tf_cap})])
-                      AS BIGINT) AS s0,
-                 CAST(SUM(w.w_1 * ([{f_lut}])[least(t.tf, {tf_cap})])
-                      AS BIGINT) AS s1,
-                 CAST(SUM(w.w_2 * ([{f_lut}])[least(t.tf, {tf_cap})])
-                      AS BIGINT) AS s2,
-                 CAST(SUM(w.w_3 * ([{f_lut}])[least(t.tf, {tf_cap})])
-                      AS BIGINT) AS s3
-          FROM tfc t JOIN read_parquet('{wpq}') w USING (term)
-          GROUP BY t.doc_id
-        ), t4s AS (
+        ), {_ml_sum_ctes()}, t4s AS (
           SELECT b.doc_id,
                  COALESCE(m.s0, 0) + {inter[0] * fscale} AS s0,
                  COALESCE(m.s1, 0) + {inter[1] * fscale} AS s1,
@@ -1069,6 +1101,23 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rules_passed", "overall_valid"))
 
 
+def q_ml_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen classifier's INTEGER class scores per document —
+    intercept*fscale + sum over distinct terms of w_c * f_lut[min(tf,
+    cap)] (the r5 sublinear-LUT scheme). Hash-checking the raw scores
+    pins the whole scorer (tokenization, 1-4gram expansion, tf counts,
+    LUT factors, weighted integer sums) at SCORE level — strictly
+    stronger than classify_vote's argmax-only technique_4 column, and
+    the check that would have caught the r4 n-gram lambda-arity bug."""
+    from documentai_spark.operators.ml_classify import (
+        FrozenTextClassifier, integer_scores,
+    )
+    model = FrozenTextClassifier.load(spark, ML_FROZEN)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return integer_scores(model, docs, text_col="text",
+                          id_col="doc_id").orderBy("doc_id")
+
+
 def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 4-technique classification: 3 rule techniques + the frozen
     TF-IDF/LogReg classifier as the 4th vote with k/4 confidence
@@ -1367,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorized_entities": q_categorized_entities,
         "rule_validation": q_rule_validation,
         "rule_cross_field": q_rule_cross_field,
+        "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
         "preprocess_route": q_preprocess_route,
@@ -2393,6 +2443,8 @@ def oracle_sql() -> dict[str, str]:
         "preprocess_route": _preprocess_route_oracle_sql(),
         # 3 rule techniques + frozen integer-weight ML scorer + 4-way vote
         "classify_vote": _classify_vote_oracle_sql(),
+        # r5: frozen integer scorer hash-checked at SCORE level
+        "ml_scores": _ml_scores_oracle_sql(),
         # md5-fold SimHash bit-majority + all-pairs hamming
         "simhash_dups": _simhash_oracle_sql(),
         # frozen-codebook IVF: literal centroids, exact fold replay

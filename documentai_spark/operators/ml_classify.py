@@ -254,6 +254,51 @@ def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
         weights=wdf, max_ngram=max_ngram)
 
 
+def _score_sums(model: FrozenTextClassifier, handled: DataFrame,
+                key: str, text_col: str) -> DataFrame:
+    """(key, _s0.._s{k-1}) raw weighted sums (no intercepts): explode
+    terms -> broadcast-join weights -> per-(doc, term) tf -> frozen
+    sublinear LUT factor -> integer groupBy sums. The partial (map-side)
+    aggregation already yields the COMPLETE tf, because a document's
+    exploded terms all live in its own input partition — the exchange
+    ships one final (key, term, tf) row per distinct vocab hit."""
+    kcls = len(model.labels)
+    w_cols = [f"w_{c}" for c in range(kcls)]
+    hits = explode_terms(handled, text_col, [key], model.max_ngram) \
+        .join(F.broadcast(model.weights), "term")
+    tf = hits.groupBy(key, "term", *w_cols) \
+             .agg(F.count(F.lit(1)).alias("_tf"))
+    # frozen sublinear factor: f_lut is 1-indexed by tf, saturating at
+    # tf_cap (see module docstring)
+    f = F.element_at(F.lit(model.f_lut),
+                     F.least(F.col("_tf"),
+                             F.lit(model.tf_cap)).cast("int"))
+    return (tf.select(key, *[(F.col(w) * f).alias(w) for w in w_cols])
+              .groupBy(key)
+              .agg(*[F.sum(w_cols[c]).alias(f"_s{c}")
+                     for c in range(kcls)]))
+
+
+def integer_scores(model: FrozenTextClassifier, df: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id_col, s0..s{k-1}): the frozen integer class scores —
+    intercept*fscale + sum over distinct terms of w_c * f_lut[min(tf,
+    cap)] — for every input row (no-hit rows score intercept-only).
+    This is EXACTLY the integer the DuckDB oracle replays, exposed for
+    score-level gate checks (stronger than the argmax-only
+    classify_vote hash)."""
+    kcls = len(model.labels)
+    sums = _score_sums(model, df, id_col, text_col)
+    out = df.select(id_col).join(sums, id_col, "left")
+    score_cols = [
+        (F.coalesce(F.col(f"_s{c}"), F.lit(0))
+         + F.lit(model.intercepts[c] * model.fscale)).cast("long")
+        .alias(f"s{c}")
+        for c in range(kcls)]
+    return out.select(id_col, *score_cols)
+
+
 def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                       text_col: str = "text", k: int = 3,
                       id_col: str | None = None) -> DataFrame:
@@ -303,25 +348,7 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     else:
         handled = df
         key = id_col
-    w_cols = [f"w_{c}" for c in range(kcls)]
-    hits = explode_terms(handled, text_col, [key],
-                         model.max_ngram) \
-        .join(F.broadcast(model.weights), "term")
-    # tf per (doc, vocab term): the partial (map-side) aggregation already
-    # yields the COMPLETE count, because a document's exploded terms all
-    # live in its own input partition — the exchange ships one final
-    # (key, term, tf) row per distinct vocab hit, nothing to re-merge.
-    tf = hits.groupBy(key, "term", *w_cols) \
-             .agg(F.count(F.lit(1)).alias("_tf"))
-    # frozen sublinear factor: f_lut is 1-indexed by tf, saturating at
-    # tf_cap (see module docstring)
-    f = F.element_at(F.lit(model.f_lut),
-                     F.least(F.col("_tf"),
-                             F.lit(model.tf_cap)).cast("int"))
-    sums = (tf.select(key, *[(F.col(w) * f).alias(w) for w in w_cols])
-              .groupBy(key)
-              .agg(*[F.sum(w_cols[c]).alias(f"_s{c}")
-                     for c in range(kcls)]))
+    sums = _score_sums(model, handled, key, text_col)
     out = handled.join(sums, key, "left")
     score_cols = []
     for c in range(kcls):

@@ -25,6 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from documentai_spark.sources.session import build_session  # noqa: E402
 
 
+_DEMO_CLASSIFY_CONFIG = {
+    "billing": {"keywords": ["invoice", "amount", "total"],
+                "max_pages": 3},
+    "shipping": {"keywords": ["vessel", "port", "freight", "shipment"]},
+    "credit": {"keywords": ["credit", "beneficiary"]},
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="transcripts parquet dir")
@@ -55,10 +63,14 @@ def main() -> None:
                          "partitioned by category. Optional JSON config "
                          "path ({category: {keywords: [...], ...}}); "
                          "omit the value for a built-in demo config")
-    ap.add_argument("--bench", action="store_true",
+    ap.add_argument("--bench", nargs="?", const="extract", default=None,
+                    choices=("extract", "classify"),
                     help="benchmark mode: warm the JVM + python workers "
                          "first, then time ONLY the pipeline write "
-                         "(row count via Observation, no output re-read)")
+                         "(row count via Observation, no output re-read)."
+                         " 'extract' (default) times the extraction "
+                         "pipeline; 'classify' times extraction + the "
+                         "3-technique vote chain (the r4 hottest path)")
     ap.add_argument("--stream-curate", action="store_true",
                     help="streaming curation mode: availableNow drain of "
                          "--input through the stateful first-wins dedup + "
@@ -112,11 +124,18 @@ def main() -> None:
         t0 = time.time()
         df = extraction_pipeline(src, include_entities=args.entities,
                                  salt_buckets=args.salt_buckets)
+        if args.bench == "classify":
+            from documentai_spark.operators.classify import (
+                ClassifierConfig, classify_with_vote,
+            )
+            df = classify_with_vote(df, ClassifierConfig.compile(
+                _DEMO_CLASSIFY_CONFIG))
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         df.write.mode("overwrite").parquet(args.output)
         wall = time.time() - t0
         rows = obs.get["n"]
         print(json.dumps({"rows": rows, "sec": round(wall, 2),
+                          "leg": args.bench,
                           "turns_per_sec": round(rows / wall, 1),
                           "master": spark.sparkContext.master,
                           "shuffle_partitions": spark.conf.get(
@@ -211,13 +230,7 @@ def main() -> None:
         from documentai_spark.operators.classify import ClassifierConfig
         from documentai_spark.plans.pipeline import run_classified
         if args.classified == "default":
-            raw = {
-                "billing": {"keywords": ["invoice", "amount", "total"],
-                            "max_pages": 3},
-                "shipping": {"keywords": ["vessel", "port", "freight",
-                                          "shipment"]},
-                "credit": {"keywords": ["credit", "beneficiary"]},
-            }
+            raw = _DEMO_CLASSIFY_CONFIG
         else:
             with open(args.classified) as f:
                 raw = json.load(f)

@@ -35,11 +35,11 @@ def build_zip() -> str:
 
 
 def run(master: str, zpath: str, in_dir: str, out_dir: str,
-        shuffle_partitions: int) -> dict:
+        shuffle_partitions: int, leg: str = "extract") -> dict:
     env = dict(os.environ,
                SPARK_SHUFFLE_PARTITIONS=str(shuffle_partitions))
     cmd = ["spark-submit", "--master", master, "--py-files", zpath,
-           os.path.join(REPO, "job.py"), "--bench",
+           os.path.join(REPO, "job.py"), "--bench", leg,
            "--input", in_dir, "--output", out_dir]
     print("::", " ".join(cmd), file=sys.stderr)
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -57,10 +57,11 @@ TRIALS = int(os.environ.get("SCALE_TRIALS", "2"))
 
 
 def best_of(master: str, zpath: str, in_dir: str, out: str,
-            sp: int) -> dict:
+            sp: int, leg: str = "extract") -> dict:
     """Best of TRIALS runs (mitigates VM steal-time noise; both sizes get
     the identical treatment)."""
-    results = [run(master, zpath, in_dir, out, sp) for _ in range(TRIALS)]
+    results = [run(master, zpath, in_dir, out, sp, leg)
+               for _ in range(TRIALS)]
     return max(results, key=lambda r: r["turns_per_sec"])
 
 
@@ -81,35 +82,50 @@ def main() -> None:
 
     zpath = build_zip()
     sp = 64  # pinned across both runs (protocol requirement)
-    rn = best_of(f"local[{N_CORES}]", zpath, in_dir, "/tmp/scale_outN", sp)
-    r4n = best_of(f"local[{N4_CORES}]", zpath, in_dir, "/tmp/scale_out4N", sp)
-    eff = (r4n["turns_per_sec"] / rn["turns_per_sec"]) / 4.0
-    result = {"N": rn, "4N": r4n, "n_cores": N_CORES,
-              "scaling_efficiency": round(eff, 3)}
+    legs = os.environ.get("SCALE_LEGS", "extract,classify").split(",")
+    result = {"n_cores": N_CORES, "legs": {}}
+    rows_md = []
+    for leg in legs:
+        rn = best_of(f"local[{N_CORES}]", zpath, in_dir,
+                     "/tmp/scale_outN", sp, leg)
+        r4n = best_of(f"local[{N4_CORES}]", zpath, in_dir,
+                      "/tmp/scale_out4N", sp, leg)
+        eff = (r4n["turns_per_sec"] / rn["turns_per_sec"]) / 4.0
+        result["legs"][leg] = {"N": rn, "4N": r4n,
+                               "scaling_efficiency": round(eff, 3)}
+        rows_md.append(
+            f"| {leg} | N ({N_CORES}) | local[{N_CORES}] | "
+            f"{rn['turns_per_sec']} | {rn['sec']} |\n"
+            f"| {leg} | 4N ({N4_CORES}) | local[{N4_CORES}] | "
+            f"{r4n['turns_per_sec']} | {r4n['sec']} |\n"
+            f"| {leg} | **efficiency** | | **{round(eff, 3)}** | |")
+        n_rows = rn["rows"]
     print(json.dumps(result))
 
     md = f"""## Two-cluster-size scaling evidence (run {datetime.date.today()})
 
 Protocol per BASELINE.md: identical `spark-submit --py-files pipeline.zip
-job.py --bench` job, identical seeded input ({rn["rows"]} turns, seed 42,
-~1% mega-conversations of 2000 turns), identical
-`spark.sql.shuffle.partitions={sp}`; only `--master` differs. Timing
-covers the pipeline write only (JVM + ALL python workers warmed off the
-clock; row count observed during the write, no output re-read). Best of
-{TRIALS} trials per size — this sandbox VM shows substantial steal-time
-noise (single runs varied up to 3x), and both sizes get the identical
-treatment.
+job.py --bench <leg>` job, identical seeded input ({n_rows} turns, seed
+42, ~1% mega-conversations of 2000 turns), identical
+`spark.sql.shuffle.partitions={sp}`; only `--master` differs. Two legs:
+`extract` (the flagship extraction pipeline) and `classify` (extraction
++ the 3-technique vote chain — the hottest path since the r4 fused
+Arrow pass). Timing covers the pipeline write only (JVM + ALL python
+workers warmed off the clock; row count observed during the write, no
+output re-read). Best of {TRIALS} trials per size — this sandbox VM
+shows substantial steal-time noise (single runs varied up to 3x), and
+both sizes get the identical treatment.
 
-| cluster size | master | turns/sec | wall sec |
-|---|---|---|---|
-| N ({N_CORES} cores) | local[{N_CORES}] | {rn["turns_per_sec"]} | {rn["sec"]} |
-| 4N ({N4_CORES} cores) | local[{N4_CORES}] | {r4n["turns_per_sec"]} | {r4n["sec"]} |
+| leg | cluster size | master | turns/sec | wall sec |
+|---|---|---|---|---|
+{chr(10).join(rows_md)}
 
-**Scaling efficiency = (throughput_4N / throughput_N) / 4 =
-{result["scaling_efficiency"]}** (target >= 0.8).
+**Scaling efficiency = (throughput_4N / throughput_N) / 4** per leg
+above (target >= 0.8 on every leg).
 
-Rows processed: {rn["rows"]} (both runs, identical input); output:
-partitioned parquet, full extraction + quality + verdict schema.
+Rows processed: {n_rows} (all runs, identical input); output:
+partitioned parquet, full extraction + quality + verdict schema
+(+ vote columns on the classify leg).
 
 ### Why N={N_CORES} (and a 16-core saturation note)
 
