@@ -1101,6 +1101,38 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rules_passed", "overall_valid"))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (curation.with_split): bucket
+    = first 32 bits of md5(seed|doc_id) mod 10000 through cumulative
+    thresholds (9000/9500/10000 for 0.9/0.05/0.05). Content- and
+    order-independent, so re-runs and incremental loads never migrate a
+    document between splits; both engines replay the identical bucket
+    arithmetic."""
+    from documentai_spark.operators.curation import with_split
+    docs = _t(spark, sf_dir, "documents")
+    return with_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep (curation.decontaminate): flag
+    documents sharing any 8-token gram with an eval set. The benchmark
+    here is synthesized deterministically INSIDE the query from the
+    corpus itself — a 10-token window (tokens 4..13) of every 97th
+    document — so the oracle can rebuild the identical probe set; the
+    planted windows guarantee true positives (3 overlapping 8-grams
+    each) while the word-soup corpus keeps accidental overlap rare."""
+    from documentai_spark.operators.curation import decontaminate
+    from documentai_spark.operators.ml_classify import tokens_col
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+                 .select(F.array_join(
+                     F.slice(tokens_col(F.col("text")), 4, 10), " ")
+                     .alias("text")))
+    out = decontaminate(docs, bench, n=8)
+    return out.select("doc_id", "n_contam_hits", "contaminated") \
+              .orderBy("doc_id")
+
+
 def q_ml_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen classifier's INTEGER class scores per document —
     intercept*fscale + sum over distinct terms of w_c * f_lut[min(tf,
@@ -1416,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorized_entities": q_categorized_entities,
         "rule_validation": q_rule_validation,
         "rule_cross_field": q_rule_cross_field,
+        "hash_split": q_hash_split,
+        "decontaminate": q_decontaminate,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2445,6 +2479,53 @@ def oracle_sql() -> dict[str, str]:
         "classify_vote": _classify_vote_oracle_sql(),
         # r5: frozen integer scorer hash-checked at SCORE level
         "ml_scores": _ml_scores_oracle_sql(),
+        # r5: deterministic hash split — identical bucket arithmetic
+        # (md5 hex prefix -> 32-bit int) in both engines
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8)
+                     )::BIGINT % 10000 AS b
+              FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        # r5: benchmark decontamination — probe windows (tokens 4..13 of
+        # every 97th doc) rebuilt identically, 8-gram overlap counts
+        "decontaminate": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text),
+                  '[ \t\n\x0b\f\r\x1c-\x1f]+'), x -> x <> '') AS tk
+              FROM documents
+            ), bgrams AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(btk) >= 8 THEN
+                  [array_to_string(btk[i:i+7], ' ')
+                   for i in range(1, len(btk) - 6)]
+                ELSE []::VARCHAR[] END) AS gram
+              FROM (SELECT tk[4:13] AS btk FROM tokd WHERE doc_id % 97 = 0)
+            ), dgrams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= 8 THEN
+                  [array_to_string(tk[i:i+7], ' ')
+                   for i in range(1, len(tk) - 6)]
+                ELSE []::VARCHAR[] END) AS gram
+              FROM tokd
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT gram) AS n
+              FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_contam_hits,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # md5-fold SimHash bit-majority + all-pairs hamming
         "simhash_dups": _simhash_oracle_sql(),
         # frozen-codebook IVF: literal centroids, exact fold replay

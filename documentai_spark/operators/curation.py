@@ -163,6 +163,110 @@ def corpus_report(docs: DataFrame, *, text_col: str = "text",
                .orderBy("lang_pred"))
 
 
+def with_split(df: DataFrame, *, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None, seed: int = 42,
+               col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by a content-independent
+    hash of the row id: bucket = first 32 bits of ``md5(f"{seed}|{id}")``
+    mod 10_000, mapped through cumulative weight thresholds.
+
+    Stable across runs, engines, partitionings, and data order — the
+    property a 100 TB pipeline needs so that re-runs and incremental
+    loads never migrate a document between splits (a ``rand()``-based
+    split re-deals on every action). Pure JVM expressions, no shuffle;
+    the DuckDB gate oracle replays the identical bucket arithmetic
+    (hex-prefix cast both engines agree on).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if col in df.columns:
+        raise ValueError(f"column {col!r} already exists")
+    total = float(sum(weights.values()))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"),
+                       F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % 10_000)
+    names = list(weights)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += weights[name] / total * 10_000
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    # last split takes the remainder: thresholds always cover 0..9999
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(col, expr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) pairs in declaration order —
+    exposed so oracles replay the identical threshold arithmetic."""
+    total = float(sum(weights.values()))
+    out = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * 10_000
+        out.append((name, int(round(acc))))
+    out.append((names[-1], 10_000))
+    return out
+
+
+def exact_ngrams_col(toks: Column, n: int) -> Column:
+    """Exactly-n token grams of an already-projected token-array
+    attribute (unary factory lambda — the r5 HOF-arity rule)."""
+    def join_at(i):
+        return F.array_join(F.slice(toks, i, n), " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: join_at(i))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  n: int = 8, text_col: str = "text",
+                  bench_text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-token gram with a benchmark/eval set (the standard
+    test-set-contamination sweep an LLM data pipeline runs before
+    training). Adds ``n_contam_hits`` (count of DISTINCT shared grams
+    per document) and ``contaminated``.
+
+    Scale shape: the benchmark side (MBs — eval sets are small) is
+    distinct-reduced and BROADCAST into a semi-style inner join against
+    the corpus gram stream; per-doc distinct-gram counts aggregate with
+    map-side combine (grams of one doc live in one partition), then one
+    id-keyed join back. The corpus is never shuffled by gram. Token and
+    gram formulations are the pinned ml_classify tokenization, so the
+    DuckDB oracle replays everything.
+    """
+    from documentai_spark.operators.ml_classify import tokens_col
+
+    bench_grams = (benchmark
+                   .select(tokens_col(F.col(bench_text_col)).alias("_tk"))
+                   .select(F.explode(exact_ngrams_col(F.col("_tk"), n))
+                           .alias("gram"))
+                   .distinct())
+    doc_grams = (docs.select(id_col,
+                             tokens_col(F.col(text_col)).alias("_tk"))
+                     .select(id_col,
+                             F.explode(exact_ngrams_col(F.col("_tk"), n))
+                             .alias("gram")))
+    # broadcast-join FIRST: the corpus gram stream is filtered map-side
+    # to benchmark hits (tiny) before any distinct/aggregate — the raw
+    # stream is never shuffled by gram
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+                     .groupBy(id_col)
+                     .agg(F.countDistinct("gram")
+                           .alias("n_contam_hits")))
+    out = docs.join(hits, id_col, "left")
+    return out.withColumn("n_contam_hits",
+                          F.coalesce(F.col("n_contam_hits"), F.lit(0))) \
+              .withColumn("contaminated", F.col("n_contam_hits") > 0)
+
+
 def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     """documents(doc_id, text, ...) -> the full quality stack + curation
     flags (the --curate job shape). Returns ALL rows with flags; filter

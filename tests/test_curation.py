@@ -90,3 +90,59 @@ def test_corpus_report_approx_percentile_error_bound(spark):
         target = p * n
         bound = n / accuracy + 1
         assert lo - bound <= target <= hi + bound, (col, v, lo, hi)
+
+
+def test_with_split_deterministic_and_weighted(spark):
+    """Hash split: assignment is content/order/partitioning-independent,
+    proportions track the weights, and every id gets exactly one split."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import (
+        split_thresholds, with_split,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in with_split(df).collect()}
+    b = {r.doc_id: r.split
+         for r in with_split(df.repartition(13).orderBy(
+             (F.col("doc_id") * 7919) % 1000)).collect()}
+    assert a == b                       # stable under reorder/repartition
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 20000 - 0.9) < 0.02
+    assert abs(c["val"] / 20000 - 0.05) < 0.01
+    assert abs(c["test"] / 20000 - 0.05) < 0.01
+
+    # custom weights normalize; thresholds cover the full bucket space
+    th = split_thresholds({"a": 3.0, "b": 1.0})
+    assert th == [("a", 7500), ("b", 10000)]
+    d2 = {r.split for r in
+          with_split(df, weights={"a": 3.0, "b": 1.0}).collect()}
+    assert d2 == {"a", "b"}
+
+    with pytest.raises(ValueError, match="already exists"):
+        with_split(df.withColumn("split", F.lit("x")))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc sharing an 8-token window with the benchmark is flagged
+    with the DISTINCT-gram hit count; clean docs are 0/false; a gram
+    repeated inside one doc still counts once."""
+    from documentai_spark.operators.curation import decontaminate
+
+    window = "q1 q2 q3 q4 q5 q6 q7 q8"       # exactly one 8-gram
+    docs = spark.createDataFrame([
+        (0, "alpha " + window + " omega"),            # 1 hit
+        (1, "clean words only nothing shared here at all ok"),
+        (2, window + " filler " + window),            # repeated -> still 1
+        (3, "too short"),
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame([(window,), ("unrelated bench text",)],
+                                  ["text"])
+    got = {r.doc_id: (r.n_contam_hits, r.contaminated)
+           for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[0] == (1, True)
+    assert got[1] == (0, False)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
