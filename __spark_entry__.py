@@ -1133,6 +1133,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.pack_sequences):
+    per-shard (doc_id % 16) ordered greedy fill under a 512-token
+    budget, oversize docs flagged in their own bins. The greedy
+    reset-at-boundary recurrence has no window-function closed form, so
+    the oracle re-derives it independently with a recursive CTE stepping
+    row-by-row per shard — a genuinely different evaluation strategy
+    agreeing value-for-value."""
+    from documentai_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_shards=16) \
+        .orderBy("doc_id")
+
+
 def q_ml_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen classifier's INTEGER class scores per document —
     intercept*fscale + sum over distinct terms of w_c * f_lut[min(tf,
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cross_field": q_rule_cross_field,
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2493,6 +2508,39 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             ORDER BY doc_id
+        """,
+        # r5: greedy sequence packing — the reset-at-boundary recurrence
+        # replayed with a recursive CTE (row-by-row per shard)
+        "pack_sequences": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+'))
+                          END AS INT) AS n_tokens
+              FROM documents
+            ), seq AS (
+              SELECT doc_id, shard, n_tokens,
+                     row_number() OVER (PARTITION BY shard
+                                        ORDER BY doc_id) AS rn
+              FROM toks
+            ), packed AS (
+              SELECT doc_id, shard, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
+                     CASE WHEN p.fill + s.n_tokens <= 512 THEN p.bin
+                          ELSE p.bin + 1 END,
+                     CASE WHEN p.fill + s.n_tokens <= 512
+                          THEN p.fill + s.n_tokens
+                          ELSE s.n_tokens END
+              FROM packed p
+              JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin, n_tokens,
+                   n_tokens > 512 AS oversize
+            FROM packed ORDER BY doc_id
         """,
         # r5: benchmark decontamination — probe windows (tokens 4..13 of
         # every 97th doc) rebuilt identically, 8-gram overlap counts

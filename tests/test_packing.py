@@ -1,0 +1,87 @@
+"""Sequence-packing tests: exact greedy semantics, oversize lane,
+budget invariants, determinism, and the per-shard stats report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documentai_spark.operators.packing import pack_sequences, pack_stats
+
+
+def _mk(spark, counts, n_shards=1):
+    rows = [(i, " ".join(["w"] * c) if c else "") for i, c in
+            enumerate(counts)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_greedy_semantics_exact(spark):
+    """Known sequence [4,4,4,10,11,2] at budget 10 -> bins
+    [0,0,1,2,3,4]: append while it fits, reset at the boundary, an
+    oversize doc (11) takes its own bin."""
+    df = _mk(spark, [4, 4, 4, 10, 11, 2])
+    got = {r.doc_id: (r.bin, r.n_tokens, r.oversize)
+           for r in pack_sequences(df, budget=10, n_shards=1).collect()}
+    assert got == {0: (0, 4, False), 1: (0, 4, False), 2: (1, 4, False),
+                   3: (2, 10, False), 4: (3, 11, True), 5: (4, 2, False)}
+
+    stats = pack_stats(pack_sequences(df, budget=10, n_shards=1),
+                       budget=10).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    # fills: 8, 4, 10, 11(capped 10), 2 -> mean of 0.8,0.4,1.0,1.0,0.2
+    assert s.n_bins == 5 and s.n_oversize == 1
+    assert abs(s.mean_fill_ratio - 0.68) < 1e-9
+
+
+def test_budget_invariants_and_determinism(spark):
+    """Every doc assigned exactly once; no multi-doc bin exceeds the
+    budget; oversize bins are singletons; assignment is independent of
+    input partitioning."""
+    import hashlib
+
+    counts = [5 + int.from_bytes(hashlib.md5(f"pk|{i}".encode())
+                                 .digest()[:2], "big") % 200
+              for i in range(400)]
+    counts[7] = 999          # forced oversize
+    df = _mk(spark, counts)
+    a = pack_sequences(df, budget=256, n_shards=8)
+    rows = a.collect()
+    assert len(rows) == 400 and len({r.doc_id for r in rows}) == 400
+    fills: dict = {}
+    members: dict = {}
+    for r in rows:
+        key = (r.shard, r.bin)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        members.setdefault(key, []).append(r)
+    for key, fill in fills.items():
+        if fill > 256:
+            assert len(members[key]) == 1 and members[key][0].oversize
+    assert any(r.oversize for r in rows)
+
+    b = {r.doc_id: (r.shard, r.bin)
+         for r in pack_sequences(
+             df.repartition(11).orderBy((F.col("doc_id") * 31) % 97),
+             budget=256, n_shards=8).collect()}
+    assert b == {r.doc_id: (r.shard, r.bin) for r in rows}
+
+
+def test_shards_pack_independently(spark):
+    """A shard's bins depend only on its own docs: packing the same ids
+    with n_shards=2 equals packing each parity class alone."""
+    df = _mk(spark, [3, 9, 8, 2, 7, 6, 5, 4])
+    both = {r.doc_id: r.bin
+            for r in pack_sequences(df, budget=10, n_shards=2).collect()}
+    for parity in (0, 1):
+        solo = {r.doc_id: r.bin for r in pack_sequences(
+            df.filter(F.col("doc_id") % 2 == parity),
+            budget=10, n_shards=1).collect()}
+        assert solo == {d: b for d, b in both.items() if d % 2 == parity}
+
+
+def test_invalid_args(spark):
+    import pytest
+    df = _mk(spark, [1])
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=10, n_shards=0)
