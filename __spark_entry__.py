@@ -1133,6 +1133,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("doc_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (curation.stratified_sample):
+    rank inside each predicted-language group by md5(seed|doc_id), keep
+    the 7 smallest — reservoir sampling made deterministic, so eval
+    subsets are stable across re-runs and engines. The oracle replays
+    the identical hash-rank window."""
+    from documentai_spark.operators.curation import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit(sw_pat), F.lit(0)))
+    ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
+    lang = F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown"))
+    tagged = docs.select("doc_id", lang.alias("lang_pred"))
+    return stratified_sample(tagged, group_cols=["lang_pred"], k=7) \
+        .select("doc_id", "lang_pred").orderBy("doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (operators/packing.pack_sequences):
     per-shard (doc_id % 16) ordered greedy fill under a 512-token
@@ -1465,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2508,6 +2529,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             ORDER BY doc_id
+        """,
+        # r5: deterministic k-per-group sampling — hash-rank window
+        "stratified_sample": rf"""
+            WITH tagged AS (
+              SELECT doc_id,
+                CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\s+')) END) > 0
+                          AND ROUND(len(regexp_extract_all(lower(text),
+                                '\b({sw_alt})\b')) * 1.0
+                              / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                      trim(text), '\s+')) END), 6) >= 0.04
+                     THEN 'en' ELSE 'unknown' END AS lang_pred
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, lang_pred,
+                     row_number() OVER (
+                       PARTITION BY lang_pred
+                       ORDER BY md5('42|' || doc_id::VARCHAR) ASC,
+                                doc_id ASC) AS rn
+              FROM tagged
+            )
+            SELECT doc_id, lang_pred FROM ranked
+            WHERE rn <= 7 ORDER BY doc_id
         """,
         # r5: greedy sequence packing — the reset-at-boundary recurrence
         # replayed with a recursive CTE (row-by-row per shard)

@@ -212,6 +212,31 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     return out
 
 
+def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
+                      id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    ``md5(f"{seed}|{id}")`` (uniform, content-independent) and keep the
+    k smallest — reservoir sampling made deterministic and
+    engine-replayable. Re-runs pick the SAME sample; growing a group
+    only ever swaps members whose hash beats an existing one (stable
+    eval subsets as the corpus grows). Ties are impossible for distinct
+    ids but the id itself is the documented tie-break, so the output is
+    total-order determined.
+
+    One shuffle on the group key. At 100 TB with skewed groups, the
+    window's per-group sort is the cost; k-smallest-by-hash could swap
+    to an aggregate top-k buffer, but the window form is the
+    oracle-exact baseline."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(),
+                                                F.col(id_col).asc())
+    return (df.withColumn("_sr", F.row_number().over(w))
+              .filter(F.col("_sr") <= k).drop("_sr"))
+
+
 def exact_ngrams_col(toks: Column, n: int) -> Column:
     """Exactly-n token grams of an already-projected token-array
     attribute (unary factory lambda — the r5 HOF-arity rule)."""

@@ -146,3 +146,38 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert got[1] == (0, False)
     assert got[2] == (1, True)
     assert got[3] == (0, False)
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    """Hash-rank sampling: exactly min(k, group size) rows per group,
+    identical result under repartition/reorder, and growing a group
+    changes the sample by at most the number of added hash-winners."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import stratified_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    a = stratified_sample(df, group_cols=["grp"], k=5)
+    got = a.collect()
+    from collections import Counter
+    assert Counter(r.grp for r in got) == {"g0": 5, "g1": 5, "g2": 5}
+    b = stratified_sample(
+        df.repartition(7).orderBy((F.col("doc_id") * 13) % 41),
+        group_cols=["grp"], k=5)
+    assert {r.doc_id for r in b.collect()} == {r.doc_id for r in got}
+
+    # tiny group: takes all of it
+    small = spark.createDataFrame([(0, "x"), (1, "x")],
+                                  ["doc_id", "grp"])
+    assert stratified_sample(small, group_cols=["grp"], k=5).count() == 2
+
+    # growth stability: adding 10 docs to g0 swaps in only hash-winners;
+    # every kept member was already in the old sample
+    grown = df.union(spark.createDataFrame(
+        [(1000 + i, "g0") for i in range(10)], ["doc_id", "grp"]))
+    new = {r.doc_id for r in
+           stratified_sample(grown, group_cols=["grp"], k=5).collect()
+           if r.grp == "g0"}
+    old = {r.doc_id for r in got if r.grp == "g0"}
+    assert new - old <= {1000 + i for i in range(10)}
