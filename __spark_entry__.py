@@ -292,6 +292,41 @@ def _ml_scores_oracle_sql() -> str:
     """
 
 
+def _redact_oracle_sql() -> str:
+    """redact_entities mirror: RE2 re-derives each field's first-match
+    value (the core/entities patterns verbatim), then the identical
+    nested-replace chain in REDACT_FIELDS order; absent/empty values
+    become chr(0) needles (replace is then an identity)."""
+    specs = [
+        ("po_number", r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)", 1, "i"),
+        ("pi_number", r"PI\s+No[.:\s]+([A-Z0-9/\-]+)", 1, "i"),
+        ("date_numeric", r"\b(\d{2}[./-]\d{2}[./-]\d{4})\b", 1, None),
+        ("date_alpha", r"\b(\d{1,2}-[A-Za-z]{3}-\d{4})\b", 1, None),
+        ("currency_amount", r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b", 0,
+         None),
+        ("email", r"\b[\w.+-]+@[\w-]+\.[\w.]+\b", 0, None),
+        ("phone", r"\+?\d[\d\s\-]{7,14}\d", 0, None),
+    ]
+    cols = []
+    for name, pat, grp, opt in specs:
+        o = f", '{opt}'" if opt else ""
+        cols.append(f"regexp_extract(text, '{pat}', {grp}{o}) AS {name}")
+    expr = "text"
+    for name, *_ in specs:
+        expr = (f"replace({expr}, coalesce(nullif({name}, ''), chr(0)), "
+                f"'[{name.upper()}]')")
+    return f"""
+        WITH vals AS (
+          SELECT conv_id, turn_idx, text,
+                 {', '.join(cols)}
+          FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+        )
+        SELECT conv_id, turn_idx,
+               {expr} AS redacted_text
+        FROM vals ORDER BY conv_id, turn_idx
+    """
+
+
 def _classify_vote_oracle_sql() -> str:
     """classify_vote mirror: 3 rule techniques + the frozen integer-weight
     ML scorer (data/ml_frozen — same weights parquet the Spark side
@@ -1101,6 +1136,22 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rules_passed", "overall_valid"))
 
 
+def q_redact_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity redaction (functions/redact): every extracted sensitive
+    entity value (PO/PI numbers, dates, currency amounts, emails,
+    phones) replaced with its [FIELD] tag — the privacy scrub before a
+    corpus release. First-match values, replaced at every identical
+    occurrence, fields in the fixed REDACT_FIELDS order; the oracle
+    re-derives the values with RE2 and replays the identical
+    nested-replace chain."""
+    from documentai_spark.functions.redact import with_redaction
+    from documentai_spark.operators.extraction import with_entities
+    out = with_redaction(
+        with_entities(_transcripts(spark), extracted_col="text"))
+    return out.select("conv_id", "turn_idx", "redacted_text") \
+              .orderBy("conv_id", "turn_idx")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (curation.with_split): bucket
     = first 32 bits of md5(seed|doc_id) mod 10000 through cumulative
@@ -1486,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "redact_entities": q_redact_entities,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2530,6 +2582,8 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY doc_id
         """,
+        # r5: entity redaction — nested replace over RE2 first-matches
+        "redact_entities": _redact_oracle_sql(),
         # r5: deterministic k-per-group sampling — hash-rank window
         "stratified_sample": rf"""
             WITH tagged AS (
