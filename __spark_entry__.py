@@ -1136,6 +1136,17 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rules_passed", "overall_valid"))
 
 
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (curation.repetition_signals): the
+    Gopher-rule family — duplicate-line fraction (count and character
+    weighted) and top-bigram coverage — per document, all
+    partial-aggregating map-side (a doc's lines/grams are
+    partition-local). Oracle replays line and bigram paths in SQL."""
+    from documentai_spark.operators.curation import repetition_signals
+    return repetition_signals(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
 def q_redact_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity redaction (functions/redact): every extracted sensitive
     entity value (PO/PI numbers, dates, currency amounts, emails,
@@ -1538,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "redact_entities": q_redact_entities,
+        "rep_signals": q_rep_signals,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2584,6 +2596,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r5: entity redaction — nested replace over RE2 first-matches
         "redact_entities": _redact_oracle_sql(),
+        # r5: Gopher-style repetition signals — line + bigram paths
+        "rep_signals": r"""
+            WITH lines AS (
+              SELECT doc_id, line FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents)
+              WHERE length(trim(line)) > 0
+            ), per_line AS (
+              SELECT doc_id, line, count(*) AS cnt
+              FROM lines GROUP BY doc_id, line
+            ), la AS (
+              SELECT doc_id, SUM(cnt) AS n_lines,
+                     COUNT(*) AS n_distinct,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * length(line)
+                         ELSE 0 END) AS dup_chars,
+                     SUM(cnt * length(line)) AS tot_chars
+              FROM per_line GROUP BY doc_id
+            ), toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text),
+                  '[ \t\n\x0b\f\r\x1c-\x1f]+'), x -> x <> '') AS tk,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS ntok
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= 2 THEN
+                  [array_to_string(tk[i:i+1], ' ')
+                   for i in range(1, len(tk))]
+                ELSE []::VARCHAR[] END) AS gram
+              FROM toks
+            ), t2 AS (
+              SELECT doc_id, MAX(cnt) AS top2 FROM (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+                   ROUND(CASE WHEN COALESCE(la.n_lines, 0) > 0
+                         THEN (la.n_lines - la.n_distinct) * 1.0
+                              / la.n_lines
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN COALESCE(la.tot_chars, 0) > 0
+                         THEN la.dup_chars * 1.0 / la.tot_chars
+                         ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   ROUND(2.0 * COALESCE(t2.top2, 0)
+                         / greatest(t.ntok, 1), 6) AS top2gram_frac
+            FROM documents d
+            LEFT JOIN la USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            JOIN toks t USING (doc_id)
+            ORDER BY doc_id
+        """,
         # r5: deterministic k-per-group sampling — hash-rank window
         "stratified_sample": rf"""
             WITH tagged AS (

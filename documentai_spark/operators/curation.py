@@ -292,6 +292,74 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
               .withColumn("contaminated", F.col("n_contam_hits") > 0)
 
 
+def repetition_signals(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-rule family
+    a pretraining pipeline screens on (duplicated boilerplate lines and
+    degenerate n-gram loops are the classic low-quality tells):
+
+    - ``n_lines`` — non-empty (after trim) newline-split lines;
+    - ``dup_line_frac`` — 1 - distinct/total over those lines;
+    - ``dup_line_char_frac`` — fraction of line characters belonging to
+      lines that occur more than once;
+    - ``top2gram_frac`` — 2 * (count of the most frequent token bigram)
+      / token count.
+
+    All ratios round(6); docs with no lines / <2 tokens score 0.0.
+
+    Scale shape: both aggregate paths group by (doc, unit) then by doc —
+    a document's lines/grams live in its own input partition, so the
+    first aggregation completes map-side and each exchange ships one row
+    per distinct unit; line and gram arrays are staged as their own
+    projections before explode (the Generate re-evaluation hazard).
+    """
+    from documentai_spark.operators.ml_classify import tokens_col
+
+    ident = F.col(id_col)
+    # --- line path ---
+    lines = (docs.select(ident, F.split(F.col(text_col), "\n")
+                         .alias("_ls"))
+                 .select(id_col, F.explode("_ls").alias("line"))
+                 .filter(F.length(F.trim(F.col("line"))) > 0))
+    per_line = lines.groupBy(id_col, "line") \
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+    line_agg = (per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("_n_lines"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1,
+                     F.col("cnt") * F.length("line"))
+               .otherwise(F.lit(0))).alias("_dup_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("_tot_chars")))
+    # --- bigram path ---
+    grams = (docs.select(ident, tokens_col(F.col(text_col)).alias("_tk"))
+                 .select(id_col, F.explode(exact_ngrams_col(F.col("_tk"),
+                                                            2))
+                         .alias("gram")))
+    top2 = (grams.groupBy(id_col, "gram")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .groupBy(id_col)
+                 .agg(F.max("cnt").alias("_top2")))
+    base = docs.select(ident,
+                       token_count_col(F.col(text_col)).alias("_ntok"))
+    out = base.join(line_agg, id_col, "left").join(top2, id_col, "left")
+    n_lines = F.coalesce(F.col("_n_lines"), F.lit(0))
+    return out.select(
+        id_col,
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(F.when(n_lines > 0,
+                       (n_lines - F.coalesce(F.col("_n_distinct"),
+                                             F.lit(0)))
+                       / n_lines).otherwise(F.lit(0.0)), 6)
+         .alias("dup_line_frac"),
+        F.round(F.when(F.coalesce(F.col("_tot_chars"), F.lit(0)) > 0,
+                       F.coalesce(F.col("_dup_chars"), F.lit(0))
+                       / F.col("_tot_chars")).otherwise(F.lit(0.0)), 6)
+         .alias("dup_line_char_frac"),
+        F.round(F.lit(2) * F.coalesce(F.col("_top2"), F.lit(0))
+                / F.greatest(F.col("_ntok"), F.lit(1)), 6)
+         .alias("top2gram_frac"))
+
+
 def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     """documents(doc_id, text, ...) -> the full quality stack + curation
     flags (the --curate job shape). Returns ALL rows with flags; filter

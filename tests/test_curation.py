@@ -181,3 +181,38 @@ def test_stratified_sample_deterministic_and_stable(spark):
            if r.grp == "g0"}
     old = {r.doc_id for r in got if r.grp == "g0"}
     assert new - old <= {1000 + i for i in range(10)}
+
+
+def test_repetition_signals_exact(spark):
+    """Hand-computed Gopher-style signals: duplicated lines and a
+    degenerate bigram loop score high; clean text scores 0."""
+    from documentai_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame([
+        # 4 lines, 'same line' x3 (9 chars each), 'other' once (5 chars)
+        (0, "same line\nsame line\nother\nsame line"),
+        # degenerate loop: 'ha ha ha ha ha' -> 4 bigrams all 'ha ha'
+        (1, "ha ha ha ha ha"),
+        (2, "a perfectly normal single line of plain text"),
+        (3, ""),
+        (4, "\n\n  \n"),                      # only blank lines
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+
+    r0 = got[0]
+    assert r0.n_lines == 4
+    assert abs(r0.dup_line_frac - round((4 - 2) / 4, 6)) < 1e-12
+    # dup chars = 3*9 = 27 of total 27+5 = 32
+    assert abs(r0.dup_line_char_frac - round(27 / 32, 6)) < 1e-12
+
+    r1 = got[1]
+    # 5 tokens, top bigram 'ha ha' occurs 4x -> 2*4/5 = 1.6
+    assert abs(r1.top2gram_frac - 1.6) < 1e-12
+    assert r1.n_lines == 1 and r1.dup_line_frac == 0.0
+
+    r2 = got[2]
+    assert (r2.dup_line_frac, r2.dup_line_char_frac) == (0.0, 0.0)
+    assert r2.top2gram_frac < 0.3
+
+    assert got[3].n_lines == 0 and got[3].top2gram_frac == 0.0
+    assert got[4].n_lines == 0 and got[4].dup_line_char_frac == 0.0
