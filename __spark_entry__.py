@@ -1136,6 +1136,17 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rules_passed", "overall_valid"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture thinning (curation.mixture_sample):
+    src0/src1 kept at 25% / 50%, everything else in full — the
+    downweight-the-crawl move, hash-stable so re-runs keep the same
+    rows. Oracle replays the salted bucket + per-source thresholds."""
+    from documentai_spark.operators.curation import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, rates={"src0": 0.25, "src1": 0.5})
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals (curation.repetition_signals): the
     Gopher-rule family — duplicate-line fraction (count and character
@@ -1550,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_entities": q_redact_entities,
         "rep_signals": q_rep_signals,
+        "mixture_sample": q_mixture_sample,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
         "classify_grouping": q_classify_grouping,
@@ -2596,6 +2608,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r5: entity redaction — nested replace over RE2 first-matches
         "redact_entities": _redact_oracle_sql(),
+        # r5: source-mixture thinning — salted bucket + per-source rates
+        "mixture_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('mix|42|' || doc_id::VARCHAR),
+                                     1, 8))::BIGINT % 10000 AS b
+              FROM documents
+            )
+            WHERE b < CASE source WHEN 'src0' THEN 2500
+                                  WHEN 'src1' THEN 5000
+                                  ELSE 10000 END
+            ORDER BY doc_id
+        """,
         # r5: Gopher-style repetition signals — line + bigram paths
         "rep_signals": r"""
             WITH lines AS (

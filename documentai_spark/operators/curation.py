@@ -292,6 +292,38 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
               .withColumn("contaminated", F.col("n_contam_hits") > 0)
 
 
+def mixture_sample(df: DataFrame, *, rates: dict[str, float],
+                   default_rate: float = 1.0, source_col: str = "source",
+                   id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic source-mixture thinning: keep a row iff its hash
+    bucket (first 32 bits of ``md5(f"mix|{seed}|{id}")`` mod 10_000)
+    falls under ``rate(source) * 10_000`` — how a pretraining pipeline
+    downweights over-represented sources (web crawl vs. curated sets)
+    without a ``rand()`` re-deal on every action. The salt prefix
+    ``mix|`` makes the decision independent of :func:`with_split`'s
+    bucket, so thinning never biases the train/val/test assignment.
+    Pure JVM expressions, no shuffle; unknown sources keep
+    ``default_rate``. Re-runs and incremental loads keep/drop the SAME
+    rows (stable mixtures as the corpus grows)."""
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1]: {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"mix|{seed}|"),
+                       F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % 10_000)
+    thr = None
+    for s, r in rates.items():
+        c = F.col(source_col) == F.lit(s)
+        t = F.lit(int(round(r * 10_000)))
+        thr = F.when(c, t) if thr is None else thr.when(c, t)
+    thr = (F.lit(int(round(default_rate * 10_000))) if thr is None
+           else thr.otherwise(int(round(default_rate * 10_000))))
+    return df.filter(bucket < thr)
+
+
 def repetition_signals(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Per-document repetition quality signals — the Gopher-rule family

@@ -216,3 +216,41 @@ def test_repetition_signals_exact(spark):
 
     assert got[3].n_lines == 0 and got[3].top2gram_frac == 0.0
     assert got[4].n_lines == 0 and got[4].dup_line_char_frac == 0.0
+
+
+def test_mixture_sample_rates_and_independence(spark):
+    """Per-source keep rates track the configured mixture; the decision
+    is stable under repartition and independent of with_split's bucket
+    (different salt); invalid rates refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import (
+        mixture_sample, with_split,
+    )
+
+    rows = [(i, "s%d" % (i % 2)) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, rates={"s0": 0.3})
+    kept = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in kept}
+    assert abs(by["s0"] / 10000 - 0.3) < 0.02     # thinned
+    assert by["s1"] == 10000                      # default_rate=1.0
+
+    again = {r.doc_id for r in
+             mixture_sample(df.repartition(9), rates={"s0": 0.3})
+             .collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+    # independence from the split hash: among kept s0 docs the split
+    # proportions still track 0.9/0.05/0.05
+    split = with_split(out.filter(F.col("source") == "s0"))
+    from collections import Counter
+    c = Counter(r.split for r in split.collect())
+    n = sum(c.values())
+    assert abs(c["train"] / n - 0.9) < 0.03
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, rates={"s0": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(df, rates={}, default_rate=-0.1)
