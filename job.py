@@ -9,7 +9,12 @@ Usage (the north_rule deployment shape):
         [--entities]         # include entity extraction stage
         [--resume]           # per-partition checkpoint resume (plans.checkpoint)
 
-Prints one JSON line with rows, wall seconds, and turns/sec.
+Exclusive modes (see --help): --bench [extract|classify] (timed write),
+--classified [config.json] (S6 category-partitioned sink), --curate
+(keep/drop flags + accounting; +--resume for the checkpointed loop),
+--stream-curate (availableNow streaming curation with stateful dedup and
+an exactly-once sink). Prints one JSON line with rows, wall seconds, and
+turns/sec.
 """
 
 from __future__ import annotations
