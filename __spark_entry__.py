@@ -706,6 +706,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("doc_a", "doc_b"))
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair->cluster closure (dedup.cluster_pairs): ngram-Jaccard pairs
+    at >= 0.2 over the bounded doc set, collapsed into connected
+    components with min-id representatives — the transitive step every
+    pair-emitting dedup needs before a keep set exists (A~B, B~C must
+    fold into ONE cluster even when A!~C). The distributed side runs
+    iterative min-label propagation; the oracle closes the SAME pair
+    set with a recursive CTE — two different fixpoint strategies
+    agreeing value-for-value."""
+    from documentai_spark.operators.dedup import cluster_pairs
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = q_ngram_jaccard(spark, sf_dir) \
+        .filter(F.col("jaccard") >= 0.2)
+    return cluster_pairs(pairs, docs).orderBy("doc_id")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 10 anchor vectors (ANN
     baseline). Anchors broadcast; dot/norm via higher-order aggregate in
@@ -1527,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "cosine_topk": q_cosine_topk,
         "classify_keywords": q_classify_keywords,
         "running_total": q_running_total,
@@ -1743,6 +1760,52 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.01
             ORDER BY doc_a, doc_b
+        """,
+        # r5: pair->cluster closure — recursive-CTE fixpoint over the
+        # same jaccard>=0.2 pair set the Spark side label-propagates
+        "near_dup_clusters": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         trim(regexp_replace(lower(text),
+                                             '[ \t\n\x0b\f\r]+', ' ',
+                                             'g')),
+                         ' ') AS t
+              FROM documents WHERE doc_id < 120
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                     ELSE list_distinct([array_to_string(t, ' ')])
+                     END AS shingles
+              FROM d
+            ), ex AS (
+              SELECT doc_id, len(shingles) AS ns,
+                     unnest(shingles) AS shingle
+              FROM sh
+            ), pr AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.ns AS na, b.ns AS nb, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ), e0 AS (
+              SELECT doc_a, doc_b FROM pr
+              WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.2
+            ), e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM e0
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM e0
+            ), reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM d
+              UNION
+              SELECT e.src AS node, r.label
+              FROM reach r JOIN e ON e.dst = r.node
+            )
+            SELECT node AS doc_id,
+                   CAST(min(label) AS BIGINT) AS cluster_rep
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH v AS (

@@ -336,3 +336,67 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
+                  a_col: str = "doc_a", b_col: str = "doc_b",
+                  id_col: str = "doc_id",
+                  max_iter: int = 50) -> DataFrame:
+    """Near-dup PAIRS -> clusters: connected components by iterative
+    min-label propagation. Returns ``(id_col, cluster_rep)`` where
+    ``cluster_rep`` is the smallest id in the component — the canonical
+    representative a dedup pass keeps (``filter(id == cluster_rep)``).
+    ``nodes`` supplies the full id universe, so documents in no pair
+    come out as their own singleton representative.
+
+    This closes the pair->keep-set gap: MinHash/SimHash/Jaccard emit
+    PAIRS, but transitive near-duplicates (A~B, B~C, A!~C) must collapse
+    into ONE cluster or the corpus keeps two of the three.
+
+    Shape: each round joins labels to the (symmetrized, distinct) edge
+    list, takes the min neighbor label per node, and lowers labels that
+    improved — label(v) converges to min(component) in O(diameter)
+    rounds, and near-dup components are shallow (stars around a popular
+    template; diameter rarely exceeds 3-4). The driver loop with one
+    convergence count per round is the legitimate iterative-algorithm
+    shape (GraphX connected components does the same barrier); each
+    round is two key shuffles, and ``localCheckpoint`` truncates the
+    growing lineage so round N's plan does not replay rounds 1..N-1.
+    Raises if max_iter rounds pass without convergence (pathological
+    chain-shaped graphs; raise max_iter for those).
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("src"),
+                          F.col(b_col).cast("long").alias("dst"))
+             .union(pairs.select(F.col(b_col).cast("long").alias("src"),
+                                 F.col(a_col).cast("long").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))   # reused every round
+    labels = (nodes.select(F.col(id_col).cast("long").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("node").alias("dst"),
+                                       F.col("label").alias("dlab")),
+                         "dst")
+                   .groupBy("src")
+                   .agg(F.min("dlab").alias("cand")))
+        new = (labels.join(nbr_min,
+                           labels["node"] == nbr_min["src"], "left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("cand"),
+                                          F.col("label")))
+                       .alias("label"),
+                       (F.col("cand") < F.col("label"))
+                       .alias("_lowered"))
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("_lowered")).limit(1).count()
+        labels = new.drop("_lowered")
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col),
+                                 F.col("label").alias("cluster_rep"))
+    raise RuntimeError(
+        f"cluster_pairs did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter — raise it)")

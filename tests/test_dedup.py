@@ -124,3 +124,39 @@ def test_fingerprint_whitespace_pin(spark):
                       .collect()}
     for i, t in enumerate(texts):
         assert got[i] == fingerprint(t), repr(t)
+
+
+def test_cluster_pairs_transitive_closure(spark):
+    """A~B and B~C fold into ONE cluster with the min-id representative
+    even without an A~C pair; disjoint components and singletons keep
+    their own reps."""
+    from documentai_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 9)], ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(i,) for i in
+                                   (1, 5, 9, 20, 21, 30, 40)],
+                                  ["doc_id"])
+    got = {r.doc_id: r.cluster_rep
+           for r in cluster_pairs(pairs, nodes).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 30: 1,      # chain 1-5-9-30
+                   20: 20, 21: 20,               # separate component
+                   40: 40}                       # singleton
+
+
+def test_cluster_pairs_convergence_guard(spark):
+    """A chain deeper than max_iter rounds raises instead of returning
+    a half-propagated labeling."""
+    import pytest
+
+    from documentai_spark.operators.dedup import cluster_pairs
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                  ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(chain, nodes, max_iter=2)
+    # and with enough rounds the same chain fully collapses
+    got = {r.doc_id: r.cluster_rep
+           for r in cluster_pairs(chain, nodes, max_iter=10).collect()}
+    assert set(got.values()) == {0}
