@@ -33,7 +33,7 @@ from tools.bench_dedup_stress import _stage_summary  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CPUS = int(os.environ.get("STRESS_CPUS", "32"))
 TPATH = os.path.join(REPO, ".benchcache", "sf1shape", "transcripts")
-OUT = os.path.join(REPO, "BENCH", "STRESS_r04.md")
+OUT = os.path.join(REPO, "BENCH", os.environ.get("STRESS_OUT", "STRESS_r05.md"))
 
 
 def main() -> None:
