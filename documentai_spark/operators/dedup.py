@@ -400,3 +400,32 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
     raise RuntimeError(
         f"cluster_pairs did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter — raise it)")
+
+
+def near_dedup(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id",
+               jaccard_threshold: float = 0.8,
+               num_hashes: int = 64, bands: int = 16,
+               max_iter: int = 50) -> DataFrame:
+    """One-call near-deduplication, the full production chain:
+    MinHash-LSH candidates -> exact shingle-Jaccard verify
+    (:func:`minhash_dedup_pairs`) -> transitive cluster closure
+    (:func:`cluster_pairs`) -> keep each cluster's min-id
+    representative. Returns the SURVIVING rows of ``df`` (all columns),
+    plus a ``cluster_rep`` column (== the row's own id, by
+    construction) so callers can audit cluster sizes from the pair set
+    if needed.
+
+    This is the end-to-end shape a 100 TB curation pass runs: every
+    stage is banded/semi-filtered (no all-pairs anywhere), and the
+    closure makes the keep-decision TRANSITIVE — without it, A~B and
+    B~C with A!~C would keep both A and C's near-identical content.
+    """
+    pairs = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col,
+                                num_hashes=num_hashes, bands=bands,
+                                jaccard_threshold=jaccard_threshold)
+    reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
+                         b_col="id_b", id_col=id_col,
+                         max_iter=max_iter)
+    keep = reps.filter(F.col(id_col) == F.col("cluster_rep"))
+    return df.join(keep, id_col, "inner")

@@ -160,3 +160,27 @@ def test_cluster_pairs_convergence_guard(spark):
     got = {r.doc_id: r.cluster_rep
            for r in cluster_pairs(chain, nodes, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_near_dedup_end_to_end(spark):
+    """The one-call chain: near-identical docs (incl. a TRANSITIVE
+    chain A~B~C where A and C differ more) collapse to one min-id
+    representative; distinct docs all survive."""
+    from documentai_spark.operators.dedup import near_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep woods to rest for a while longer")
+    rows = [
+        (10, base),
+        (11, base + " extra"),                     # ~A
+        (12, base + " extra tail"),                # ~B (chain to A)
+        (20, "completely different content about spark plans and "
+             "shuffles and broadcast joins in a distributed engine"),
+        (21, "yet another unrelated document concerning audio codecs "
+             "and riff containers with pcm samples inside them ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = near_dedup(df, jaccard_threshold=0.7)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [10, 20, 21]
+    assert all(r.cluster_rep == r.doc_id for r in out.collect())
