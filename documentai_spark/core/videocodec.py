@@ -52,10 +52,12 @@ def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
 
     geom: dict = {}
     fps = 0.0
-    frames_raw: list[tuple[int, int]] = []
+    stream_type = b""   # current strl's strh fccType (b"" = untyped)
+    strl_idx = -1       # strl lists entered so far - 1 (= stream index)
+    frames_raw: list[tuple[bytes, int, int]] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps
+        nonlocal fps, stream_type, strl_idx
         while pos + 8 <= end:
             cid, clen = struct.unpack_from("<4sI", data, pos)
             body = pos + 8
@@ -64,13 +66,26 @@ def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
             if cid == b"LIST":
                 if clen < 4:
                     raise ValueError("short LIST chunk")
+                if data[body:body + 4] == b"strl":
+                    strl_idx += 1
+                    stream_type = b""   # typed by this strl's strh only
                 walk(body + 4, body + clen)
             elif cid == b"avih":
                 if clen < 4:
                     raise ValueError("short avih chunk")
                 usec = struct.unpack_from("<I", data, body)[0]
                 fps = 1e6 / usec if usec else 0.0
-            elif cid == b"strf" and not geom:
+            elif cid == b"strh":
+                if clen < 4:
+                    raise ValueError("short strh chunk")
+                stream_type = data[body:body + 4]
+            elif cid == b"strf" and not geom \
+                    and stream_type in (b"vids", b""):
+                # only the VIDEO stream's format chunk is a
+                # BITMAPINFOHEADER — an AVI whose first strl is audio
+                # carries a WAVEFORMATEX here, which must be skipped,
+                # not parsed as geometry (ADVICE r5). An strl with no
+                # strh stays accepted (minimal hand-built files).
                 if clen < 40:
                     raise ValueError("short strf chunk")
                 bisize, w, h, _planes, bpp, comp = \
@@ -93,14 +108,21 @@ def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
                     # BGR0 entries -> luma LUT (decode_bmp convention)
                     pal = _luma(raw[:, [2, 1, 0]].reshape(n_colors, 1, 3)) \
                         .reshape(n_colors)
-                geom.update(w=w, h=h, bpp=bpp, pal=pal)
-            elif cid in (b"00db", b"00dB"):
-                frames_raw.append((body, clen))
+                geom.update(w=w, h=h, bpp=bpp, pal=pal,
+                            stream_idx=max(strl_idx, 0))
+            elif cid[2:4] in (b"db", b"dB") and cid[:2].isdigit():
+                # movi chunk of ANY stream; filtered to the video
+                # stream's index after the walk (hdrl precedes movi, so
+                # the index is known by then)
+                frames_raw.append((cid, body, clen))
             pos = body + clen + (clen & 1)  # chunks are word-aligned
 
     walk(12, len(data))
     if not geom:
         raise ValueError("AVI missing stream format")
+    vid_tag = b"%02d" % geom["stream_idx"]
+    frames_raw = [(off, clen) for cid, off, clen in frames_raw
+                  if cid[:2] == vid_tag]
     w, h_signed, bpp, pal = geom["w"], geom["h"], geom["bpp"], geom["pal"]
     flip = h_signed > 0                      # bottom-up DIB rows
     h = abs(h_signed)

@@ -213,8 +213,8 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
 
 
 def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
-                      id_col: str = "doc_id",
-                      seed: int = 42) -> DataFrame:
+                      id_col: str = "doc_id", seed: int = 42,
+                      exact_window: bool = True) -> DataFrame:
     """Deterministic k-per-group sample: rank rows inside each group by
     ``md5(f"{seed}|{id}")`` (uniform, content-independent) and keep the
     k smallest — reservoir sampling made deterministic and
@@ -224,17 +224,62 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
     ids but the id itself is the documented tie-break, so the output is
     total-order determined.
 
-    One shuffle on the group key. At 100 TB with skewed groups, the
-    window's per-group sort is the cost; k-smallest-by-hash could swap
-    to an aggregate top-k buffer, but the window form is the
-    oracle-exact baseline."""
+    ``exact_window=True`` (default) ranks with a window — the
+    oracle-exact baseline, whose cost at 100 TB is the per-group sort of
+    EVERY row of a skewed group. ``exact_window=False`` is the at-scale
+    form: because the hash is uniform, the k smallest hashes of a group
+    of n rows almost surely sit below fraction ``margin * k / n``, so a
+    broadcast of the (tiny) per-group counts prefilters each group to
+    ~margin*k survivor rows and the window sorts ONLY those. The
+    prefilter is verified (a group yielding fewer than min(k, n)
+    survivors re-runs with a doubled margin — geometrically improbable,
+    never silently wrong), so both forms return the IDENTICAL row set
+    (equality-tested at a skewed shape)."""
     if k < 1:
         raise ValueError("k must be positive")
+    if "_sr" in df.columns:
+        # the rank handle below would silently clobber it (same guard
+        # family as with_curation_flags / predict_with_topk; ADVICE r5)
+        raise ValueError("input column '_sr' collides with "
+                         "stratified_sample internals")
     h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*group_cols).orderBy(h.asc(),
                                                 F.col(id_col).asc())
-    return (df.withColumn("_sr", F.row_number().over(w))
-              .filter(F.col("_sr") <= k).drop("_sr"))
+    if exact_window:
+        return (df.withColumn("_sr", F.row_number().over(w))
+                  .filter(F.col("_sr") <= k).drop("_sr"))
+    if {"_sn", "_shf"} & set(df.columns):
+        raise ValueError("input columns '_sn'/'_shf' collide with "
+                         "stratified_sample internals")
+    # hash as a uniform fraction of [0, 1): first 8 hex digits / 16^8.
+    # Ordering by (frac, id) == ordering by (md5, id) for the survivor
+    # set because frac is a monotone prefix of the full digest and the
+    # id tie-break covers prefix collisions.
+    frac = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / F.lit(float(16 ** 8)))
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_sn"))
+    margin = 8.0
+    for _ in range(8):  # P(retry) < ~e^-margin per group; 8 doublings
+        thr = F.least(F.lit(1.0), F.lit(margin) * F.lit(float(k))
+                      / F.col("_sn"))
+        surv = (df.join(F.broadcast(counts), group_cols)
+                  .withColumn("_shf", frac)
+                  .filter(F.col("_shf") < thr))
+        # verify the prefilter kept at least min(k, n) rows per group —
+        # one tiny aggregate over the ~margin*k-per-group survivor set
+        short = (surv.groupBy(*group_cols, "_sn")
+                     .agg(F.count(F.lit(1)).alias("_kept"))
+                     .filter(F.col("_kept")
+                             < F.least(F.lit(k), F.col("_sn")))
+                     .limit(1).count())
+        if short == 0:
+            return (surv.withColumn("_sr", F.row_number().over(w))
+                        .filter(F.col("_sr") <= k)
+                        .drop("_sr", "_sn", "_shf"))
+        margin *= 2.0
+    raise RuntimeError("stratified_sample prefilter failed to cover "
+                       "k per group at margin 1024 — hash is not "
+                       "behaving uniformly (corrupt id column?)")
 
 
 def exact_ngrams_col(toks: Column, n: int) -> Column:
@@ -269,6 +314,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     """
     from documentai_spark.operators.ml_classify import tokens_col
 
+    clash = {"n_contam_hits", "contaminated"} & set(docs.columns)
+    if clash:
+        # the id-keyed join back would raise an ambiguous-column error
+        # (or the withColumn would clobber) — refuse loudly, same guard
+        # family as with_curation_flags (ADVICE r5)
+        raise ValueError(
+            f"input columns collide with decontaminate outputs: "
+            f"{sorted(clash)}")
     bench_grams = (benchmark
                    .select(tokens_col(F.col(bench_text_col)).alias("_tk"))
                    .select(F.explode(exact_ngrams_col(F.col("_tk"), n))

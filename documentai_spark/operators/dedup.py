@@ -338,6 +338,22 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                  .select("id_a", "id_b", "hamming"))
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'ed DataFrame's
+    cached blocks. There is no public API for this (``unpersist()`` on
+    the Dataset is a CacheManager no-op for checkpoint blocks; the
+    ContextCleaner only frees them at GC), so this walks the analyzed
+    ``LogicalRDD`` to the checkpointed RDD — verified to drop the
+    storage entry while leaving DataFrames checkpointed FROM it intact.
+    Only ever called on a frame whose every consumer is already
+    eagerly materialized; if Spark's internals move, the except leaves
+    the blocks to the ContextCleaner (the pre-fix behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
                   a_col: str = "doc_a", b_col: str = "doc_b",
                   id_col: str = "doc_id",
@@ -375,6 +391,7 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    prev_cp = labels  # the round's eagerly-checkpointed label table
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.select(F.col("node").alias("dst"),
@@ -392,11 +409,20 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
                        (F.col("cand") < F.col("label"))
                        .alias("_lowered"))
                .localCheckpoint(eager=True))
+        # `new` is eagerly materialized, so the PRIOR round's checkpoint
+        # blocks are unreachable from any live plan — free them now or
+        # executor storage holds one label-table copy per round, up to
+        # max_iter copies on chain-shaped components (ADVICE r5)
+        _free_local_checkpoint(prev_cp)
+        prev_cp = new
         changed = new.filter(F.col("_lowered")).limit(1).count()
         labels = new.drop("_lowered")
         if changed == 0:
+            # the result depends only on the final label table
+            _free_local_checkpoint(edges)
             return labels.select(F.col("node").alias(id_col),
                                  F.col("label").alias("cluster_rep"))
+    _free_local_checkpoint(edges)
     raise RuntimeError(
         f"cluster_pairs did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter — raise it)")

@@ -49,8 +49,18 @@ def _event_ms(series) -> int:
     """Max event time of a pandas timestamp series as epoch ms. Arrow
     hands the ts column over tz-naive in the session timezone (UTC in
     this engine's sessions); pandas' naive ``.timestamp()`` is
-    epoch-UTC, matching GroupState's watermark clock."""
-    return int(series.max().timestamp() * 1000)
+    epoch-UTC, matching GroupState's watermark clock.
+
+    ``Series.max()`` skips NaT rows; a group whose ts values are ALL
+    null yields NaT, which must not crash the stream — such rows carry
+    no event-time information, so they contribute epoch 0 (callers fold
+    with ``max(last, ...)``, so prior knowledge wins) (ADVICE r5)."""
+    import pandas as pd
+
+    m = series.max()
+    if pd.isna(m):
+        return 0
+    return int(m.timestamp() * 1000)
 
 
 def read_transcript_stream(spark: SparkSession, path: str,

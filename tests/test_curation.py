@@ -183,6 +183,54 @@ def test_stratified_sample_deterministic_and_stable(spark):
     assert new - old <= {1000 + i for i in range(10)}
 
 
+def test_stratified_sample_prefilter_equals_window(spark):
+    """The at-scale prefilter form (exact_window=False) returns the
+    IDENTICAL row set as the oracle-exact window form on a skewed shape
+    (one mega group, several small ones, one smaller than k)."""
+    from documentai_spark.operators.curation import stratified_sample
+
+    rows = ([(i, "mega") for i in range(3000)]
+            + [(10_000 + i, "g%d" % (i % 4)) for i in range(80)]
+            + [(20_000, "tiny"), (20_001, "tiny")])
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    for k in (1, 5, 17):
+        exact = {(r.grp, r.doc_id) for r in
+                 stratified_sample(df, group_cols=["grp"], k=k).collect()}
+        fast = {(r.grp, r.doc_id) for r in
+                stratified_sample(df, group_cols=["grp"], k=k,
+                                  exact_window=False).collect()}
+        assert fast == exact, f"k={k}"
+
+
+def test_curation_output_collision_guards(spark):
+    """decontaminate / stratified_sample refuse inputs already carrying
+    their output/internal column names instead of clobbering or raising
+    an ambiguous-column AnalysisException mid-plan (ADVICE r5)."""
+    import pytest
+
+    from documentai_spark.operators.curation import (
+        decontaminate, stratified_sample,
+    )
+
+    bench = spark.createDataFrame([("a b c",)], ["text"])
+    poisoned = spark.createDataFrame(
+        [(0, "some text", 1)], ["doc_id", "text", "n_contam_hits"])
+    with pytest.raises(ValueError, match="n_contam_hits"):
+        decontaminate(poisoned, bench)
+    poisoned2 = spark.createDataFrame(
+        [(0, "some text", True)], ["doc_id", "text", "contaminated"])
+    with pytest.raises(ValueError, match="contaminated"):
+        decontaminate(poisoned2, bench)
+
+    srp = spark.createDataFrame([(0, "g", 1)], ["doc_id", "grp", "_sr"])
+    with pytest.raises(ValueError, match="_sr"):
+        stratified_sample(srp, group_cols=["grp"], k=1)
+    srp2 = spark.createDataFrame([(0, "g", 1)], ["doc_id", "grp", "_sn"])
+    with pytest.raises(ValueError, match="_sn"):
+        stratified_sample(srp2, group_cols=["grp"], k=1,
+                          exact_window=False)
+
+
 def test_repetition_signals_exact(spark):
     """Hand-computed Gopher-style signals: duplicated lines and a
     degenerate bigram loop score high; clean text scores 0."""

@@ -162,6 +162,28 @@ def test_cluster_pairs_convergence_guard(spark):
     assert set(got.values()) == {0}
 
 
+def test_cluster_pairs_frees_per_round_checkpoints(spark):
+    """Each propagation round localCheckpoints a label table; the prior
+    round's blocks must be FREED as soon as the new round materializes,
+    or executor storage grows one table copy per round (ADVICE r5). A
+    10-node chain needs ~9 rounds, so the leak would leave ~10 extra
+    storage entries; fixed, at most the final table survives."""
+    from documentai_spark.operators.dedup import cluster_pairs
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    before = n_persisted()
+    got = cluster_pairs(chain, nodes, max_iter=20)
+    assert {r.cluster_rep for r in got.collect()} == {0}
+    # retained: at most the final label checkpoint the result reads from
+    # (unpersist is async — allow one in-flight entry of slack)
+    assert n_persisted() - before <= 2
+
+
 def test_near_dedup_end_to_end(spark):
     """The one-call chain: near-identical docs (incl. a TRANSITIVE
     chain A~B~C where A and C differ more) collapse to one min-id

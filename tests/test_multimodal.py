@@ -310,6 +310,53 @@ def test_video_24bit_bgr_frame():
     assert np.array_equal(frames[0], want)
 
 
+def test_video_audio_first_avi_skips_waveformatex():
+    """An AVI whose FIRST strl is an audio stream must not parse that
+    stream's WAVEFORMATEX strf as a BITMAPINFOHEADER (ADVICE r5): the
+    decoder skips to the vids strl's strf and reads the video frames
+    from the second stream's movi chunks (01db)."""
+    import struct
+
+    import numpy as np
+
+    from documentai_spark.core.videocodec import decode_avi, encode_avi
+
+    frame = (np.arange(6 * 8, dtype=np.uint8).reshape(6, 8) * 3) % 251
+    base = encode_avi([frame], fps=10)
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    # splice the encoder's video strl/avih/frame out of `base`
+    def sub(tag):
+        off = base.index(tag)
+        ln = struct.unpack_from("<I", base, off + 4)[0]
+        return base[off + 8:off + 8 + ln]
+
+    avih = sub(b"avih")
+    vid_strl = lst(b"strl", chunk(b"strh", sub(b"strh"))
+                   + chunk(b"strf", sub(b"strf")))
+    # audio stream FIRST: strh 'auds' + a 16-byte WAVEFORMAT strf whose
+    # leading dwords would parse as absurd DIB geometry if misread
+    aud_strh = b"auds" + b"\x00" * 52
+    aud_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    aud_strl = lst(b"strl", chunk(b"strh", aud_strh)
+                   + chunk(b"strf", aud_strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + aud_strl + vid_strl)
+    movi = lst(b"movi", chunk(b"00wb", b"\x01\x02\x03\x04")
+               + chunk(b"01db", sub(b"00db")))
+    payload = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    fps, frames = decode_avi(avi)
+    assert fps == 10.0 and len(frames) == 1
+    assert np.array_equal(frames[0], frame)
+
+
 def test_video_quality_kernels_on_frames():
     """Decoded frames feed imagecodec.pixel_quality unchanged: a white
     video frame scores blank, a black one scores shadow."""
