@@ -91,6 +91,32 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    # Host-noise canaries (VERDICT r5 #2): two FIXED kernels, one per
+    # noise class this box exhibits (CLAUDE.md): pure-JVM codegen work
+    # and Arrow/pandas python-worker work. They never change between
+    # rounds, so a round-over-round delta in any query can be normalized
+    # against the matching canary's delta instead of re-adjudicated —
+    # if canary_udf_sec doubled too, the window was slow, not the code.
+    def run_canary_jvm():
+        # pmod keeps the 20M-term sum inside a long (ANSI mode throws
+        # on overflow — the documented Spark-4 trap)
+        _force(spark.range(0, 20_000_000, 1, cpus).selectExpr(
+            "sum(pmod(xxhash64(id, id + 1), 1000000)) as h"))
+
+    @pandas_udf("double")
+    def _canary_udf(v):
+        import numpy as np
+        a = v.to_numpy()
+        return type(v)(np.sqrt(a * 1.0001 + 3.0) * np.log1p(a % 97 + 1.0))
+
+    def run_canary_udf():
+        _force(spark.range(0, 2_000_000, 1, cpus * 2)
+               .select(_canary_udf(F.col("id").cast("double")).alias("x"))
+               .selectExpr("sum(x) as s"))
+
+    canary_jvm = round(best_of(run_canary_jvm), 3)
+    canary_udf = round(best_of(run_canary_udf), 3)
+
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         timings[name] = round(
@@ -110,6 +136,8 @@ def main() -> None:
         "queries": timings, "sf": sf, "trials": trials,
         "extraction_turns": n_turns,
         "extraction_turns_per_sec": round(n_turns / t_extract, 1),
+        "canary_jvm_sec": canary_jvm,
+        "canary_udf_sec": canary_udf,
         "cpus": cpus,
     }))
     spark.stop()

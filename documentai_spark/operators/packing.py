@@ -46,18 +46,55 @@ PACK_SCHEMA = ("doc_id bigint, shard int, bin bigint, n_tokens int, "
 
 def pack_sequences(docs: DataFrame, *, budget: int,
                    id_col: str = "doc_id", text_col: str = "text",
-                   n_shards: int = 16) -> DataFrame:
+                   n_shards: int = 16,
+                   max_rows_per_shard: int = 5_000_000,
+                   est_rows: int | None = None) -> DataFrame:
     """(doc_id, shard, bin, n_tokens, oversize) greedy packing
     assignment (see module docstring). ``budget`` is the per-bin token
-    capacity; ``n_shards`` the packing parallelism."""
+    capacity; ``n_shards`` the packing parallelism.
+
+    **Sizing rule** (VERDICT r5 #3): each shard is ONE applyInPandas
+    group — its (id, shard, n_tokens) rows materialize in a single
+    python worker, so choose ``n_shards >= ceil(corpus_rows /
+    max_rows_per_shard)`` (and >= cluster cores for parallelism). At
+    the default 5M-row cap a shard's pandas frame is ~100 MB; a
+    10^10-doc corpus therefore needs n_shards ~ 2000+, NOT the
+    16 default. Two guards enforce this:
+
+    - driver-side, when the caller knows the corpus size: pass
+      ``est_rows`` and a ResourceWarning fires with the suggested
+      ``n_shards`` (the predict_with_topk pattern) before any job runs;
+    - executor-side, always: a shard whose actual rows exceed
+      ``max_rows_per_shard`` raises with the same sizing rule —
+      fail-fast with a named fix instead of an opaque worker OOM.
+    """
     if budget < 1 or n_shards < 1:
         raise ValueError("budget and n_shards must be positive")
+    if max_rows_per_shard < 1:
+        raise ValueError("max_rows_per_shard must be positive")
+    if est_rows is not None and est_rows / n_shards > max_rows_per_shard:
+        import math
+        import warnings
+        warnings.warn(
+            f"pack_sequences: ~{est_rows} rows over n_shards={n_shards} "
+            f"puts ~{est_rows // n_shards} rows in one applyInPandas "
+            f"group (> max_rows_per_shard={max_rows_per_shard}); raise "
+            f"n_shards to >= {math.ceil(est_rows / max_rows_per_shard)} "
+            "or the packing stage will OOM a python worker.",
+            ResourceWarning, stacklevel=2)
     narrow = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         token_count_col(F.col(text_col)).cast("int").alias("n_tokens"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows_per_shard:
+            raise ValueError(
+                f"pack_sequences shard {int(pdf['shard'].iloc[0])} holds "
+                f"{len(pdf)} rows > max_rows_per_shard="
+                f"{max_rows_per_shard}; raise n_shards to ~ceil(corpus_"
+                "rows / max_rows_per_shard) (see pack_sequences "
+                "docstring sizing rule)")
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins = []
         b = -1
