@@ -20,25 +20,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from documentai_spark.core.redact import REDACT_FIELDS
+from documentai_spark.core.redact import REDACT_FIELDS, REGEX_SPECIALS
+
+
+def _bounded_pattern_col(v: Column) -> Column:
+    """Spark mirror of ``core.redact.bounded_pattern``: chained-replace
+    regex escaping (backslash first) + conditional ``\\b`` guards at
+    word-char edges. The when() branches sit on the tiny VALUE column,
+    never on the accumulated text tree (the r2 CaseWhen re-evaluation
+    trap does not apply)."""
+    esc = v
+    for ch in REGEX_SPECIALS:
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    w_start = F.substring(v, 1, 1).rlike("[A-Za-z0-9_]")
+    w_end = F.substring(v, -1, 1).rlike("[A-Za-z0-9_]")
+    return F.concat(
+        F.when(w_start, F.lit("\\b")).otherwise(F.lit("")), esc,
+        F.when(w_end, F.lit("\\b")).otherwise(F.lit("")))
 
 
 def redacted_text_col(text: Column, entities: Column,
-                      fields: tuple[str, ...] = REDACT_FIELDS) -> Column:
-    """text + entities map -> redacted text (see module docstring)."""
+                      fields: tuple[str, ...] = REDACT_FIELDS,
+                      word_boundary: bool = False) -> Column:
+    """text + entities map -> redacted text (see module docstring).
+
+    ``word_boundary=True`` (VERDICT r5 #6) replaces only occurrences at
+    word boundaries via ``regexp_replace`` over the escaped value —
+    a short value can no longer over-redact substrings of unrelated
+    tokens. The default stays the oracle-pinned all-substrings replace
+    chain (and the faster plan: literal replace beats regexp)."""
     out = text
     for field in fields:
         needle = F.coalesce(
             F.nullif(F.element_at(entities, F.lit(field)), F.lit("")),
             F.lit("\x00"))
-        out = F.replace(out, needle, F.lit(f"[{field.upper()}]"))
+        tag = F.lit(f"[{field.upper()}]")
+        if word_boundary:
+            # the \x00 absent-value sentinel is a non-word char, so the
+            # bounded pattern stays a never-matching literal
+            out = F.regexp_replace(out, _bounded_pattern_col(needle), tag)
+        else:
+            out = F.replace(out, needle, tag)
     return out
 
 
 def with_redaction(df: DataFrame, *, text_col: str = "text",
                    entities_col: str = "entities",
                    out_col: str = "redacted_text",
-                   fields: tuple[str, ...] = REDACT_FIELDS) -> DataFrame:
+                   fields: tuple[str, ...] = REDACT_FIELDS,
+                   word_boundary: bool = False) -> DataFrame:
     """Adds ``redacted_text`` from an existing entities map column (run
     ``operators.extraction.with_entities`` upstream). No shuffle; one
     codegen projection."""
@@ -46,4 +76,5 @@ def with_redaction(df: DataFrame, *, text_col: str = "text",
         raise ValueError(f"column {out_col!r} already exists")
     return df.withColumn(out_col,
                          redacted_text_col(F.col(text_col),
-                                           F.col(entities_col), fields))
+                                           F.col(entities_col), fields,
+                                           word_boundary=word_boundary))

@@ -51,15 +51,30 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                         confidence_col: str = "confidence",
                         min_tokens: int = 20, max_tokens: int = 2000,
                         min_confidence: float = 0.6,
-                        min_stopword_ratio: float = 0.04) -> DataFrame:
+                        min_stopword_ratio: float = 0.04,
+                        near_dedup: bool = False,
+                        jaccard_threshold: float = 0.8,
+                        num_hashes: int = 64, bands: int = 16,
+                        max_iter: int = 50) -> DataFrame:
     """Adds keep / is_dup / bad_lang / bad_len / low_conf.
 
     ``df`` must already carry the quality ``confidence`` column (run
     with_extraction + with_quality + with_verdict upstream — the bench
     and gate shapes do).
+
+    ``near_dedup=True`` (VERDICT r5 #5) additionally runs the full
+    near-dup chain — MinHash-LSH candidates -> shingle-Jaccard verify
+    -> transitive cluster closure (``dedup.near_dedup``'s stages) — and
+    adds ``is_near_dup``: the row is NOT its cluster's min-id
+    representative *and* is not already an exact duplicate, so drop
+    accounting attributes near-dup kills separately from exact ones.
+    ``keep`` then requires the row to be its cluster representative.
+    Requires a long-castable ``id_col`` (the closure's label domain).
     """
     reserved = {"_ct_fp", "keep", "is_dup", "bad_lang", "bad_len",
                 "low_conf"}
+    if near_dedup:
+        reserved |= {"is_near_dup", "_ct_rep"}
     clash = reserved & set(df.columns)
     if clash:
         # exact-name collisions would be silently clobbered by the
@@ -74,6 +89,26 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                          F.col(id_col) > F.min(id_col).over(
                              Window.partitionBy("_ct_fp")))
              .drop("_ct_fp"))
+    if near_dedup:
+        from documentai_spark.operators.dedup import (
+            cluster_pairs, minhash_dedup_pairs,
+        )
+        pairs = minhash_dedup_pairs(
+            df.select(id_col, text_col), text_col=text_col,
+            id_col=id_col, num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold)
+        reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
+                             b_col="id_b", id_col=id_col,
+                             max_iter=max_iter)
+        out = (out.join(reps.withColumnRenamed("cluster_rep", "_ct_rep"),
+                        id_col, "left")
+                  .withColumn(
+                      "is_near_dup",
+                      (F.col(id_col).cast("long")
+                       != F.coalesce(F.col("_ct_rep"),
+                                     F.col(id_col).cast("long")))
+                      & ~F.col("is_dup"))
+                  .drop("_ct_rep"))
     return with_stateless_flags(
         out, text_col=text_col, confidence_col=confidence_col,
         min_tokens=min_tokens, max_tokens=max_tokens,
@@ -107,6 +142,11 @@ def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
         out = out.withColumn("is_dup", F.lit(False))
     keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
              | F.col("low_conf"))
+    if "is_near_dup" in df.columns:
+        # present only when the caller ran the near-dup chain
+        # (with_curation_flags(near_dedup=True)) — folded, not created,
+        # so the batch/streaming default schemas stay unchanged
+        keep = keep & ~F.col("is_near_dup")
     return out.withColumn("keep", keep)
 
 

@@ -11,7 +11,9 @@ Usage (the north_rule deployment shape):
 
 Exclusive modes (see --help): --bench [extract|classify] (timed write),
 --classified [config.json] (S6 category-partitioned sink), --curate
-(keep/drop flags + accounting; +--resume for the checkpointed loop),
+(keep/drop flags + accounting; +--resume for the checkpointed loop;
++--near-dedup for the MinHash->Jaccard->closure near-dup chain with
+separate near_dup drop accounting),
 --stream-curate (availableNow streaming curation with stateful dedup and
 an exactly-once sink). Prints one JSON line with rows, wall seconds, and
 turns/sec.
@@ -61,6 +63,12 @@ def main() -> None:
                          "(doc_id, text); writes every row with the "
                          "keep/audit flags partitioned by keep, and "
                          "prints the drop accounting")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="with --curate: also run the MinHash-LSH -> "
+                         "Jaccard-verify -> cluster-closure near-dup "
+                         "chain; non-representative near-duplicates are "
+                         "dropped and accounted separately (near_dup) "
+                         "from exact fingerprint dups")
     ap.add_argument("--classified", nargs="?", const="default",
                     default=None, metavar="CONFIG_JSON",
                     help="classified-sink mode (S6): extraction + "
@@ -98,6 +106,11 @@ def main() -> None:
         ap.error(f"mutually exclusive modes: {' '.join(modes)}")
     if args.resume and modes and modes != ["--curate"]:
         ap.error(f"--resume cannot be combined with {modes[0]}")
+    if args.near_dedup and (not args.curate or args.resume):
+        # the closure labels globally; the per-bucket --resume loop
+        # processes partitions independently, so near-dedup there would
+        # silently miss cross-bucket near-duplicates
+        ap.error("--near-dedup requires --curate (without --resume)")
     if args.input_format != "parquet" and (modes or args.resume):
         ap.error("--input-format json/csv is only supported in the "
                  "default pipeline mode")
@@ -204,28 +217,32 @@ def main() -> None:
 
         from documentai_spark.operators.curation import curate_documents
         t0 = time.time()
-        out = curate_documents(spark.read.parquet(args.input))
+        out = curate_documents(spark.read.parquet(args.input),
+                               near_dedup=args.near_dedup)
         # drop accounting rides the write job itself (Observation) —
         # no output re-read, and `keep` stays boolean here (the hive
         # partition directory stringifies it on disk)
         obs = Observation("curation")
-        out = out.observe(
-            obs,
+        reasons = ["dup", "bad_lang", "bad_len", "low_conf"]
+        metrics = [
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("keep").cast("int")).alias("kept"),
             F.sum(F.col("is_dup").cast("int")).alias("dup"),
             F.sum(F.col("bad_lang").cast("int")).alias("bad_lang"),
             F.sum(F.col("bad_len").cast("int")).alias("bad_len"),
-            F.sum(F.col("low_conf").cast("int")).alias("low_conf"))
+            F.sum(F.col("low_conf").cast("int")).alias("low_conf")]
+        if args.near_dedup:
+            reasons.insert(1, "near_dup")
+            metrics.append(F.sum(F.col("is_near_dup").cast("int"))
+                           .alias("near_dup"))
+        out = out.observe(obs, *metrics)
         (out.write.mode("overwrite").partitionBy("keep")
             .parquet(args.output))
         acc = obs.get
         wall = time.time() - t0
         print(json.dumps({"rows": acc["rows"], "kept": acc["kept"],
                           "dropped": acc["rows"] - acc["kept"],
-                          "by_reason": {k: acc[k] for k in
-                                        ("dup", "bad_lang", "bad_len",
-                                         "low_conf")},
+                          "by_reason": {k: acc[k] for k in reasons},
                           "sec": round(wall, 2),
                           "output": args.output}))
         spark.stop()

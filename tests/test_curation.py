@@ -266,6 +266,71 @@ def test_repetition_signals_exact(spark):
     assert got[4].n_lines == 0 and got[4].dup_line_char_frac == 0.0
 
 
+def test_near_dedup_curation_flags(spark):
+    """VERDICT r5 #5: near_dedup composes into the curation surface.
+    is_near_dup fires on non-representative NEAR duplicates only (exact
+    dups keep their is_dup attribution), keep requires being the
+    cluster rep, and the flag-based keep set equals the
+    near_dedup-then-flags composition."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import with_curation_flags
+    from documentai_spark.operators.dedup import near_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away into the deep woods where it was happy to "
+            "rest for a while before returning to the warm den")
+    other = ("completely different content about spark plans and "
+             "shuffles and broadcast joins in a distributed engine "
+             "that keeps the optimizer busy for a good long while")
+    rows = [(1, base), (2, base),                 # 2 = exact dup of 1
+            (3, base + " extra"),                 # near dup of 1
+            (4, base + " extra tail"),            # chain: near dup of 3
+            (5, other),                           # distinct, kept
+            (6, "too short to keep ok")]          # bad_len only
+    df = spark.createDataFrame(rows, ["doc_id", "text"]) \
+              .withColumn("confidence", F.lit(1.0))
+
+    flags = with_curation_flags(df, near_dedup=True,
+                                jaccard_threshold=0.7)
+    got = {r.doc_id: r for r in flags.collect()}
+    assert got[2].is_dup and not got[2].is_near_dup   # exact attribution
+    assert got[3].is_near_dup and not got[3].is_dup   # near attribution
+    assert got[4].is_near_dup and not got[4].is_dup   # transitive
+    assert not got[1].is_dup and not got[1].is_near_dup
+    assert got[6].bad_len and not got[6].is_near_dup
+    keep = {d for d, r in got.items() if r.keep}
+    assert keep == {1, 5}
+
+    # composition equality: near_dedup survivors -> flags == flag path
+    surv = near_dedup(df, jaccard_threshold=0.7).drop("cluster_rep")
+    comp = with_curation_flags(surv, jaccard_threshold=0.7)
+    comp_keep = {r.doc_id for r in comp.collect() if r.keep}
+    assert comp_keep == keep
+
+
+def test_near_dedup_job_flag_validation():
+    """--near-dedup refuses to run outside plain --curate (argparse
+    errors fire before any Spark session is built)."""
+    import sys
+
+    import pytest
+
+    import job
+
+    for argv in (["job.py", "--input", "x", "--output", "y",
+                  "--near-dedup"],
+                 ["job.py", "--input", "x", "--output", "y",
+                  "--curate", "--resume", "--near-dedup"]):
+        old = sys.argv
+        sys.argv = argv
+        try:
+            with pytest.raises(SystemExit):
+                job.main()
+        finally:
+            sys.argv = old
+
+
 def test_mixture_sample_rates_and_independence(spark):
     """Per-source keep rates track the configured mixture; the decision
     is stable under repartition and independent of with_split's bucket

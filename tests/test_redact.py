@@ -57,6 +57,82 @@ def test_spark_redaction_byte_equals_core(spark):
         assert got[i] == redact_text(t), (i, got[i], redact_text(t))
 
 
+def test_word_boundary_mode_core():
+    """VERDICT r5 #6: a short extracted value embedded inside a longer
+    token stays intact in word_boundary mode (default mode over-redacts
+    by contract); standalone occurrences still redact everywhere."""
+    t = ("PO NUMBER: AB dated 01.02.2024; see SLAB and ABS, "
+         "then AB again and AB, done")
+    plain = redact_text(t)
+    assert "SL[PO_NUMBER]" in plain            # the documented contract
+    bounded = redact_text(t, word_boundary=True)
+    assert "SLAB" in bounded and "ABS" in bounded
+    assert bounded.count("[PO_NUMBER]") == 3   # AB, AB again, AB,
+    assert "[DATE_NUMERIC]" in bounded
+
+
+def test_word_boundary_nonword_edges_core():
+    """Values whose edges are NON-word chars (a phone with leading +)
+    must not get an inverted \\b guard: the bounded pattern still
+    matches the standalone occurrence."""
+    t = "call +1 555-123-4567 now"
+    bounded = redact_text(t, word_boundary=True)
+    assert "[PHONE]" in bounded and "555-123-4567" not in bounded
+
+
+def test_word_boundary_spark_equals_core_and_duckdb(spark):
+    """Three-engine agreement for the bounded form: the Spark
+    regexp_replace chain byte-matches core, and a DuckDB oracle that
+    re-derives the SAME escape chain + conditional boundary guards in
+    SQL (RE2) replays every row."""
+    import duckdb
+
+    from documentai_spark.core.redact import REGEX_SPECIALS
+    from documentai_spark.functions.redact import with_redaction
+    from documentai_spark.operators.extraction import with_entities
+
+    texts = [
+        "PO NUMBER: AB inside SLAB and alone AB ok",
+        "PO NUMBER: X/9 pay EUR 5,000 via bob@x.co on 12/11/2023",
+        "PI No. P-77 delivery 3-Jan-2024 call +44 20 7946 0958 ok",
+        "dates 01.02.2024 and x01.02.2024y and 01.02.2024",
+        "",
+        "plain text with no entities whatsoever in it",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    out = with_redaction(with_entities(df, extracted_col="text"),
+                         word_boundary=True)
+    got = {r.doc_id: r.redacted_text for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == redact_text(t, word_boundary=True), (i, got[i])
+
+    # DuckDB replay: per (text, value, tag) row, build the pattern with
+    # the identical chained-replace escape + CASE boundary guards, then
+    # global regexp_replace
+    esc_sql = "v"
+    for ch in REGEX_SPECIALS:
+        lit = ch.replace("'", "''")
+        esc_sql = (f"replace({esc_sql}, '{lit}', '\\' || '{lit}')")
+    pat_sql = (
+        "(CASE WHEN regexp_matches(substr(v, 1, 1), '^[A-Za-z0-9_]$') "
+        "THEN '\\b' ELSE '' END) || " + esc_sql + " || "
+        "(CASE WHEN regexp_matches(substr(v, length(v), 1), "
+        "'^[A-Za-z0-9_]$') THEN '\\b' ELSE '' END)")
+    from documentai_spark.core.entities import extract_entities
+    for t in texts:
+        cur = t
+        for field in REDACT_FIELDS:
+            v = extract_entities(t).get(field)
+            if not v:
+                continue
+            (cur,) = duckdb.sql(
+                "SELECT regexp_replace(t, " + pat_sql + ", tag, 'g') "
+                "FROM (SELECT ? AS t, ? AS v, ? AS tag)",
+                params=[cur, v, f"[{field.upper()}]"]).fetchone()
+        assert cur == redact_text(t, word_boundary=True), (t, cur)
+
+
 def test_redaction_output_collision_guard(spark):
     import pytest
     from pyspark.sql import functions as F
