@@ -48,10 +48,21 @@ def pack_sequences(docs: DataFrame, *, budget: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    n_shards: int = 16,
                    max_rows_per_shard: int = 5_000_000,
-                   est_rows: int | None = None) -> DataFrame:
+                   est_rows: int | None = None,
+                   group_cols: list[str] | None = None) -> DataFrame:
     """(doc_id, shard, bin, n_tokens, oversize) greedy packing
     assignment (see module docstring). ``budget`` is the per-bin token
     capacity; ``n_shards`` the packing parallelism.
+
+    ``group_cols`` (r6) prepends extra PASSTHROUGH grouping columns —
+    packing then runs independently per ``(*group_cols, shard)`` group
+    in the SAME single shuffle, so e.g. train/val/test splits can be
+    packed together without a bin ever mixing splits and without one
+    pass over the corpus per split (the ``plans.prepare`` shape). Bin
+    ids restart per group; the group columns are carried through to the
+    output. The sizing rule is unchanged — each ``(*group_cols, shard)``
+    group is still one pandas frame, so a dominant group value behaves
+    like a smaller corpus of its own.
 
     **Sizing rule** (VERDICT r5 #3): each shard is ONE applyInPandas
     group — its (id, shard, n_tokens) rows materialize in a single
@@ -82,10 +93,26 @@ def pack_sequences(docs: DataFrame, *, budget: int,
             f"n_shards to >= {math.ceil(est_rows / max_rows_per_shard)} "
             "or the packing stage will OOM a python worker.",
             ResourceWarning, stacklevel=2)
+    group_cols = list(group_cols or [])
+    clash = {"doc_id", "shard", "bin", "n_tokens", "oversize"} \
+        & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group_cols collide with packing output columns: "
+            f"{sorted(clash)}")
     narrow = docs.select(
+        *group_cols,
         F.col(id_col).cast("long").alias("doc_id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         token_count_col(F.col(text_col)).cast("int").alias("n_tokens"))
+    schema = PACK_SCHEMA
+    if group_cols:
+        extra = ", ".join(
+            f"{c} {narrow.schema[c].dataType.simpleString()}"
+            for c in group_cols)
+        schema = f"{extra}, {PACK_SCHEMA}"
+    out_cols = group_cols + ["doc_id", "shard", "bin", "n_tokens",
+                             "oversize"]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_rows_per_shard:
@@ -109,22 +136,27 @@ def pack_sequences(docs: DataFrame, *, budget: int,
             bins.append(b)
         pdf["bin"] = pd.Series(bins, dtype="int64")
         pdf["oversize"] = pdf["n_tokens"] > budget
-        return pdf[["doc_id", "shard", "bin", "n_tokens", "oversize"]]
+        return pdf[out_cols]
 
-    return narrow.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+    return (narrow.groupBy(*group_cols, "shard")
+            .applyInPandas(pack, schema))
 
 
-def pack_stats(assignment: DataFrame, budget: int) -> DataFrame:
+def pack_stats(assignment: DataFrame, budget: int,
+               group_cols: list[str] | None = None) -> DataFrame:
     """Per-shard packing efficiency: bins used, mean fill ratio, count
     of oversize documents — the report a pipeline logs to judge whether
-    the budget suits the corpus."""
-    per_bin = (assignment.groupBy("shard", "bin")
+    the budget suits the corpus. Pass the same ``group_cols`` the
+    assignment was packed with (bin ids restart per group)."""
+    group_cols = list(group_cols or [])
+    keys = group_cols + ["shard"]
+    per_bin = (assignment.groupBy(*keys, "bin")
                .agg(F.sum("n_tokens").alias("fill"),
                     F.max(F.col("oversize").cast("int")).alias("ov")))
-    return (per_bin.groupBy("shard")
+    return (per_bin.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_bins"),
                  F.round(F.avg(F.least(F.col("fill"), F.lit(budget))
                                / F.lit(float(budget))), 6)
                   .alias("mean_fill_ratio"),
                  F.sum("ov").cast("bigint").alias("n_oversize"))
-            .orderBy("shard"))
+            .orderBy(*keys))

@@ -15,8 +15,11 @@ Exclusive modes (see --help): --bench [extract|classify] (timed write),
 +--near-dedup for the MinHash->Jaccard->closure near-dup chain with
 separate near_dup drop accounting),
 --stream-curate (availableNow streaming curation with stateful dedup and
-an exactly-once sink). Prints one JSON line with rows, wall seconds, and
-turns/sec.
+an exactly-once sink), --prepare (end-to-end training-data export:
+curate [-> decontaminate -> mixture] -> split -> per-split sequence
+packing; writes <output>/corpus and <output>/assignment, both
+partitioned by split). Prints one JSON line with rows, wall seconds,
+and turns/sec.
 """
 
 from __future__ import annotations
@@ -69,6 +72,30 @@ def main() -> None:
                          "chain; non-representative near-duplicates are "
                          "dropped and accounted separately (near_dup) "
                          "from exact fingerprint dups")
+    ap.add_argument("--prepare", action="store_true",
+                    help="training-data export mode: --input is a "
+                         "documents table; runs curate [-> decontaminate "
+                         "-> mixture] -> split -> per-split sequence "
+                         "packing, writes <output>/corpus and "
+                         "<output>/assignment partitioned by split, and "
+                         "prints the full drop accounting "
+                         "(combines with --near-dedup)")
+    ap.add_argument("--benchmark", default=None, metavar="PARQUET_DIR",
+                    help="with --prepare: eval-set parquet whose 8-gram "
+                         "overlaps disqualify training documents")
+    ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05",
+                    metavar="NAME:W,...",
+                    help="with --prepare: split names and weights")
+    ap.add_argument("--mixture", default=None, metavar="SOURCE:RATE,...",
+                    help="with --prepare: per-source keep rates "
+                         "(deterministic thinning; unknown sources keep "
+                         "everything)")
+    ap.add_argument("--budget", type=int, default=2048,
+                    help="with --prepare: per-sequence token budget")
+    ap.add_argument("--pack-shards", type=int, default=16,
+                    help="with --prepare: packing parallelism; size as "
+                         "ceil(corpus_rows / 5e6) at scale (the "
+                         "pack_sequences sizing rule)")
     ap.add_argument("--classified", nargs="?", const="default",
                     default=None, metavar="CONFIG_JSON",
                     help="classified-sink mode (S6): extraction + "
@@ -99,6 +126,7 @@ def main() -> None:
     # --curate --resume (the checkpointed curation loop)
     modes = [n for n, on in (("--bench", args.bench),
                              ("--curate", args.curate),
+                             ("--prepare", args.prepare),
                              ("--classified", args.classified is not None),
                              ("--stream-curate", args.stream_curate))
              if on]
@@ -106,11 +134,15 @@ def main() -> None:
         ap.error(f"mutually exclusive modes: {' '.join(modes)}")
     if args.resume and modes and modes != ["--curate"]:
         ap.error(f"--resume cannot be combined with {modes[0]}")
-    if args.near_dedup and (not args.curate or args.resume):
+    if args.near_dedup and (not (args.curate or args.prepare)
+                            or args.resume):
         # the closure labels globally; the per-bucket --resume loop
         # processes partitions independently, so near-dedup there would
         # silently miss cross-bucket near-duplicates
-        ap.error("--near-dedup requires --curate (without --resume)")
+        ap.error("--near-dedup requires --curate or --prepare "
+                 "(without --resume)")
+    if (args.benchmark or args.mixture) and not args.prepare:
+        ap.error("--benchmark/--mixture are --prepare options")
     if args.input_format != "parquet" and (modes or args.resume):
         ap.error("--input-format json/csv is only supported in the "
                  "default pipeline mode")
@@ -207,6 +239,102 @@ def main() -> None:
                           "buckets_skipped": stats["buckets_skipped"],
                           "sec": round(wall, 2),
                           "output": args.output}))
+        spark.stop()
+        return
+
+    if args.prepare:
+        from pyspark.sql import functions as F
+        from pyspark.sql.observation import Observation
+
+        from documentai_spark.operators.packing import pack_sequences
+        from documentai_spark.plans.prepare import prepare_training_data
+
+        def _rates(spec: str) -> dict[str, float]:
+            out = {}
+            for part in spec.split(","):
+                name, _, w = part.partition(":")
+                out[name.strip()] = float(w)
+            return out
+
+        weights = _rates(args.splits)
+        mixture = _rates(args.mixture) if args.mixture else None
+        bench_df = (spark.read.parquet(args.benchmark)
+                    if args.benchmark else None)
+        t0 = time.time()
+        reasons = ["dup", "bad_lang", "bad_len", "low_conf"]
+        if args.near_dedup:
+            reasons.insert(1, "near_dup")
+        if bench_df is not None:
+            reasons.append("contaminated")
+        flag_col = {"dup": "is_dup", "near_dup": "is_near_dup"}
+        obs_flags = Observation("prepare_flags")
+
+        def observe_flags(df):
+            surviving = F.col("keep")
+            if bench_df is not None:
+                surviving = surviving & ~F.col("contaminated")
+            metrics = [
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("int")).alias("kept"),
+                F.sum(surviving.cast("int")).alias("surviving"),
+            ] + [F.sum(F.col(flag_col.get(r, r)).cast("int")).alias(r)
+                 for r in reasons]
+            return df.observe(obs_flags, *metrics)
+
+        prep = prepare_training_data(
+            spark.read.parquet(args.input), benchmark=bench_df,
+            near_dedup=args.near_dedup, split_weights=weights,
+            mixture_rates=mixture, budget=args.budget,
+            n_shards=args.pack_shards, seed=args.seed,
+            observer=observe_flags)
+
+        # stage 1: flag + filter + split, written partitioned by split;
+        # ALL drop accounting rides this one write (Observation — no
+        # output re-read, single-counted)
+        corpus_path = os.path.join(args.output, "corpus")
+        assign_path = os.path.join(args.output, "assignment")
+        obs_corpus = Observation("prepare_corpus")
+        corpus_metrics = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum((F.col("split") == s).cast("int")).alias(f"split_{s}")
+            for s in weights]
+        (prep.corpus.observe(obs_corpus, *corpus_metrics)
+             .write.mode("overwrite").partitionBy("split")
+             .parquet(corpus_path))
+        acc = obs_flags.get
+        acc_c = obs_corpus.get
+
+        # stage 2: pack from the WRITTEN corpus (staging re-read — the
+        # flag stack is not recomputed under the packing shuffle) with
+        # the observed corpus size driving the shard-sizing guard
+        obs_pack = Observation("prepare_pack")
+        assign = pack_sequences(
+            spark.read.parquet(corpus_path), budget=args.budget,
+            n_shards=args.pack_shards, est_rows=acc_c["rows"],
+            group_cols=["split"])
+        (assign.observe(
+                obs_pack, F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("oversize").cast("int")).alias("oversize"))
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(assign_path))
+        acc_p = obs_pack.get
+        # sequences per split: one tiny agg over the narrow written
+        # assignment (end-of-job reporting)
+        seqs = {r["split"]: r["n"]
+                for r in (spark.read.parquet(assign_path)
+                          .groupBy("split")
+                          .agg(F.countDistinct("shard", "bin").alias("n"))
+                          .collect())}
+        wall = time.time() - t0
+        print(json.dumps({
+            "rows": acc["rows"], "kept": acc["kept"],
+            "dropped": acc["rows"] - acc["surviving"],
+            "by_reason": {k: acc[k] for k in reasons},
+            "mixture_dropped": acc["surviving"] - acc_c["rows"],
+            "splits": {s: acc_c[f"split_{s}"] for s in weights},
+            "packed_docs": acc_p["rows"], "oversize": acc_p["oversize"],
+            "sequences": seqs, "budget": args.budget,
+            "sec": round(wall, 2),
+            "corpus": corpus_path, "assignment": assign_path}))
         spark.stop()
         return
 

@@ -1,0 +1,160 @@
+"""plans.prepare: the end-to-end training-data export composition.
+
+Each stage is gate-checked in isolation (test_curation, test_packing);
+these tests pin the COMPOSITION — stage order, single-shuffle per-split
+packing, and the accounting identities the job mode reports.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentai_spark.operators.curation import (
+    curate_documents, mixture_sample, with_split,
+)
+from documentai_spark.operators.packing import pack_sequences, pack_stats
+from documentai_spark.plans.prepare import prepare_training_data
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 120
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_prepare_matches_manual_composition(spark, docs):
+    """prepare == curate -> filter(keep) -> with_split -> pack, stage
+    for stage, on the sf0.001 documents table."""
+    prep = prepare_training_data(docs, budget=BUDGET, n_shards=4)
+
+    manual_kept = curate_documents(docs).filter("keep")
+    manual_corpus = with_split(manual_kept)
+    got_corpus = {(r.doc_id, r.split) for r in prep.corpus.collect()}
+    want_corpus = {(r.doc_id, r.split) for r in manual_corpus.collect()}
+    assert got_corpus == want_corpus and len(got_corpus) > 0
+
+    # every surviving doc is packed exactly once; nothing else is
+    assign = prep.assignment.collect()
+    assert {(r.doc_id, r.split) for r in assign} == got_corpus
+
+    # per-(split, shard, bin) budget respected unless the bin is one
+    # oversize document
+    fills = (prep.assignment.groupBy("split", "shard", "bin")
+             .agg(F.sum("n_tokens").alias("fill"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.max(F.col("oversize").cast("int")).alias("ov"))
+             .collect())
+    for r in fills:
+        assert r.fill <= BUDGET or (r.n == 1 and r.ov == 1)
+
+
+def test_prepare_determinism(spark, docs):
+    """Re-running the identical plan reproduces the identical export
+    (hash-deterministic splits and packing, no rand())."""
+    a = prepare_training_data(docs, budget=BUDGET, n_shards=4)
+    b = prepare_training_data(docs, budget=BUDGET, n_shards=4)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.split, r.shard, r.bin) for r in df.collect())
+    assert rows(a.assignment) == rows(b.assignment)
+
+
+def test_prepare_benchmark_and_mixture(spark, docs):
+    """A planted benchmark disqualifies its source document; mixture
+    thinning equals the standalone operator on the same survivors."""
+    victim = (curate_documents(docs).filter("keep")
+              .select("doc_id", "text").orderBy("doc_id").first())
+    benchmark = docs.filter(F.col("doc_id") == victim.doc_id) \
+                    .select("text")
+    rates = {"src13": 0.0, "src8": 0.5}
+    prep = prepare_training_data(
+        docs, benchmark=benchmark, mixture_rates=rates,
+        budget=BUDGET, n_shards=4)
+
+    flagged = {r.doc_id: r for r in prep.flagged.collect()}
+    assert flagged[victim.doc_id].contaminated
+    contam = {i for i, r in flagged.items() if r.contaminated}
+    corpus_ids = {r.doc_id for r in prep.corpus.collect()}
+    assert victim.doc_id not in corpus_ids
+
+    manual = mixture_sample(
+        curate_documents(docs).filter("keep")
+        .filter(~F.col("doc_id").isin(contam))
+        .select("doc_id", "source"), rates=rates)
+    assert corpus_ids == {r.doc_id for r in manual.collect()}
+    # src13 is zeroed out entirely
+    assert not {r.doc_id for r in prep.corpus
+                .filter(F.col("source") == "src13").collect()}
+
+
+def test_pack_group_cols_equals_per_group_packing(spark, docs):
+    """ONE grouped shuffle == packing each split separately: bins never
+    mix splits and bin ids restart per (split, shard) group."""
+    corpus = with_split(curate_documents(docs).filter("keep"))
+    grouped = pack_sequences(corpus, budget=BUDGET, n_shards=4,
+                             group_cols=["split"])
+    got = sorted((r.split, r.shard, r.bin, r.doc_id, r.n_tokens,
+                  r.oversize) for r in grouped.collect())
+    want = []
+    for s in ("train", "val", "test"):
+        part = pack_sequences(corpus.filter(F.col("split") == s),
+                              budget=BUDGET, n_shards=4)
+        want += [(s, r.shard, r.bin, r.doc_id, r.n_tokens, r.oversize)
+                 for r in part.collect()]
+    assert got == sorted(want) and len(got) > 0
+
+    # pack_stats respects the grouping: one stats row per
+    # (split, shard) pair that has documents
+    stats = pack_stats(grouped, BUDGET, group_cols=["split"]).collect()
+    assert {(r.split, r.shard) for r in stats} == \
+        {(r.split, r.shard) for r in grouped.collect()}
+
+
+def test_pack_group_cols_collision_guard(spark, docs):
+    with pytest.raises(ValueError, match="group_cols collide"):
+        pack_sequences(docs, budget=BUDGET, group_cols=["bin"])
+
+
+def test_prepare_observer_hook_and_accounting(spark, docs):
+    """The job mode's accounting identities: observer sees every input
+    row with the full flag stack; surviving == corpus when no mixture
+    is applied."""
+    from pyspark.sql.observation import Observation
+
+    obs = Observation("test_prepare_acc")
+    prep = prepare_training_data(
+        docs, budget=BUDGET, n_shards=4,
+        observer=lambda df: df.observe(
+            obs, F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("int")).alias("kept")))
+    n_corpus = prep.corpus.count()
+    acc = obs.get
+    assert acc["rows"] == docs.count() == 500
+    assert acc["kept"] == n_corpus > 0
+
+
+def test_prepare_job_flag_validation():
+    """--benchmark/--mixture require --prepare; --prepare excludes
+    --resume and the other modes (argparse errors fire before any
+    Spark session is built)."""
+    import sys
+
+    import job
+
+    for argv in (["job.py", "--input", "x", "--output", "y",
+                  "--benchmark", "b"],
+                 ["job.py", "--input", "x", "--output", "y",
+                  "--mixture", "web:0.5"],
+                 ["job.py", "--input", "x", "--output", "y",
+                  "--prepare", "--resume"],
+                 ["job.py", "--input", "x", "--output", "y",
+                  "--prepare", "--curate"]):
+        old = sys.argv
+        sys.argv = argv
+        try:
+            with pytest.raises(SystemExit):
+                job.main()
+        finally:
+            sys.argv = old
