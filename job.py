@@ -35,6 +35,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from documentai_spark.sources.session import build_session  # noqa: E402
 
 
+def check_driver_heap(heap_bytes: int,
+                      min_bytes: int = 3 << 30) -> None:
+    """Warn when the driver JVM heap is too small for the broadcast-using
+    modes (--near-dedup / --prepare).
+
+    build_session's ``spark.driver.memory=8g`` silently NO-OPS under
+    spark-submit (the driver JVM is already up, default 1g), and the
+    LSH-verify/closure joins legitimately AQE-broadcast their
+    runtime-small sides — at a 1g driver that fails with "Not enough
+    memory to build and broadcast" on corpora the plan itself handles
+    fine (measured: 50k-doc ``--prepare --near-dedup`` OOMs at 1g, runs
+    in 47 s at 8g). Detect the actual heap up front and say how to fix
+    it (the predict_with_topk ResourceWarning pattern)."""
+    import warnings
+
+    if heap_bytes < min_bytes:
+        warnings.warn(
+            f"driver JVM heap is {heap_bytes / (1 << 30):.1f} GiB; "
+            "--near-dedup/--prepare broadcast AQE-verified small join "
+            "sides and need headroom — relaunch with spark-submit "
+            "--driver-memory 8g (session-config driver.memory cannot "
+            "apply after JVM start)", ResourceWarning, stacklevel=2)
+
+
 _DEMO_CLASSIFY_CONFIG = {
     "billing": {"keywords": ["invoice", "amount", "total"],
                 "max_pages": 3},
@@ -154,6 +178,9 @@ def main() -> None:
         print(f"generated {n} turns at {args.input}", file=sys.stderr)
 
     spark = build_session("documentai-extract", master=args.master)
+    if args.near_dedup or args.prepare:
+        check_driver_heap(int(spark.sparkContext._jvm.java.lang.Runtime
+                              .getRuntime().maxMemory()))
     if args.bench:
         from pyspark.sql import functions as F
         from pyspark.sql.observation import Observation

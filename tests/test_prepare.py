@@ -158,3 +158,18 @@ def test_prepare_job_flag_validation():
                 job.main()
         finally:
             sys.argv = old
+
+
+def test_driver_heap_guard():
+    """The spark-submit 1g-default trap (r6): --near-dedup/--prepare
+    warn when the ACTUAL driver JVM heap is under 3 GiB (build_session's
+    driver.memory claim no-ops after JVM start)."""
+    import warnings
+
+    from job import check_driver_heap
+
+    with pytest.warns(ResourceWarning, match="driver-memory 8g"):
+        check_driver_heap(1 << 30)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        check_driver_heap(8 << 30)  # no warning at 8 GiB
