@@ -1224,10 +1224,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-group sampling (curation.stratified_sample):
-    rank inside each predicted-language group by md5(seed|doc_id), keep
-    the 7 smallest — reservoir sampling made deterministic, so eval
-    subsets are stable across re-runs and engines. The oracle replays
-    the identical hash-rank window."""
+    rank inside each predicted-language group by md5('strat|'seed|doc_id)
+    (salted so the rank hash is independent of with_split's bucket
+    hash), keep the 7 smallest — reservoir sampling made deterministic,
+    so eval subsets are stable across re-runs and engines. The oracle
+    replays the identical hash-rank window."""
     from documentai_spark.operators.curation import stratified_sample
     docs = _t(spark, sf_dir, "documents")
     sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
@@ -2768,7 +2769,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lang_pred,
                      row_number() OVER (
                        PARTITION BY lang_pred
-                       ORDER BY md5('42|' || doc_id::VARCHAR) ASC,
+                       ORDER BY md5('strat|42|' || doc_id::VARCHAR) ASC,
                                 doc_id ASC) AS rn
               FROM tagged
             )

@@ -36,8 +36,11 @@ REDACT_FIELDS = ("po_number", "pi_number", "date_numeric", "date_alpha",
                  "currency_amount", "email", "phone")
 
 # regex metacharacters escaped by the engine-replayable chain (backslash
-# FIRST); identical in Java regex (Spark) and RE2 (DuckDB), so all three
-# engines construct the character-identical pattern
+# FIRST); identical in Java regex (Spark) and RE2 (DuckDB). The escaped
+# VALUE is character-identical across engines; the boundary guards are
+# engine-spelled ASCII equivalents (here \b under re.ASCII, Spark ASCII
+# lookarounds because Java's \b is Unicode-aware, RE2's \b is ASCII) —
+# see functions/redact._bounded_pattern_col
 REGEX_SPECIALS = "\\.+*?()[]{}|^$"
 
 _WORD = re.compile(r"[A-Za-z0-9_]")
@@ -90,8 +93,14 @@ def redact_text(text: str | None,
         if v:
             tag = f"[{field.upper()}]"
             if word_boundary:
+                # re.ASCII: Java regex and DuckDB's RE2 both treat \b
+                # with the ASCII word set by default, while Python's \b
+                # is Unicode-aware — without the flag, a value followed
+                # by e.g. 'é' redacts in the Spark/DuckDB mirrors but
+                # not here, breaking three-engine parity on non-ASCII
+                # neighbors.
                 out = re.sub(bounded_pattern(v), tag.replace("\\", r"\\"),
-                             out)
+                             out, flags=re.ASCII)
             else:
                 out = out.replace(v, tag)
     return out

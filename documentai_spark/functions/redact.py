@@ -25,18 +25,27 @@ from documentai_spark.core.redact import REDACT_FIELDS, REGEX_SPECIALS
 
 def _bounded_pattern_col(v: Column) -> Column:
     """Spark mirror of ``core.redact.bounded_pattern``: chained-replace
-    regex escaping (backslash first) + conditional ``\\b`` guards at
+    regex escaping (backslash first) + conditional boundary guards at
     word-char edges. The when() branches sit on the tiny VALUE column,
     never on the accumulated text tree (the r2 CaseWhen re-evaluation
-    trap does not apply)."""
+    trap does not apply).
+
+    The guards are explicit ASCII lookarounds, not ``\\b``:
+    java.util.regex's ``\\b`` is Unicode-aware even without
+    UNICODE_CHARACTER_CLASS, while core pins ``re.ASCII`` and the
+    DuckDB oracle's RE2 ``\\b`` is ASCII-only — a value followed by
+    e.g. 'é' must redact in all three engines. RE2 lacks lookarounds,
+    so each engine spells the SAME ASCII boundary predicate natively
+    (core: ``\\b``+re.ASCII; here: lookarounds; oracle: RE2 ``\\b``)."""
     esc = v
     for ch in REGEX_SPECIALS:
         esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
     w_start = F.substring(v, 1, 1).rlike("[A-Za-z0-9_]")
     w_end = F.substring(v, -1, 1).rlike("[A-Za-z0-9_]")
     return F.concat(
-        F.when(w_start, F.lit("\\b")).otherwise(F.lit("")), esc,
-        F.when(w_end, F.lit("\\b")).otherwise(F.lit("")))
+        F.when(w_start, F.lit("(?<![A-Za-z0-9_])")).otherwise(F.lit("")),
+        esc,
+        F.when(w_end, F.lit("(?![A-Za-z0-9_])")).otherwise(F.lit("")))
 
 
 def redacted_text_col(text: Column, entities: Column,

@@ -84,9 +84,15 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
             f"input columns collide with with_curation_flags outputs: "
             f"{sorted(clash)}")
     text = F.col(text_col)
+    # near_dedup's closure labels live in the LONG domain, so the
+    # exact-dup winner must be picked there too: with string ids whose
+    # native and numeric orderings disagree ('9' vs '10'), a cluster
+    # could otherwise lose EVERY member (exact window drops one, the
+    # closure rep drops the other).
+    dup_id = F.col(id_col).cast("long") if near_dedup else F.col(id_col)
     out = (df.withColumn("_ct_fp", fingerprint_col(text))
              .withColumn("is_dup",
-                         F.col(id_col) > F.min(id_col).over(
+                         dup_id > F.min(dup_id).over(
                              Window.partitionBy("_ct_fp")))
              .drop("_ct_fp"))
     if near_dedup:
@@ -256,8 +262,8 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
                       id_col: str = "doc_id", seed: int = 42,
                       exact_window: bool = True) -> DataFrame:
     """Deterministic k-per-group sample: rank rows inside each group by
-    ``md5(f"{seed}|{id}")`` (uniform, content-independent) and keep the
-    k smallest — reservoir sampling made deterministic and
+    ``md5(f"strat|{seed}|{id}")`` (uniform, content-independent) and keep
+    the k smallest — reservoir sampling made deterministic and
     engine-replayable. Re-runs pick the SAME sample; growing a group
     only ever swaps members whose hash beats an existing one (stable
     eval subsets as the corpus grows). Ties are impossible for distinct
@@ -271,10 +277,18 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
     of n rows almost surely sit below fraction ``margin * k / n``, so a
     broadcast of the (tiny) per-group counts prefilters each group to
     ~margin*k survivor rows and the window sorts ONLY those. The
-    prefilter is verified (a group yielding fewer than min(k, n)
-    survivors re-runs with a doubled margin — geometrically improbable,
-    never silently wrong), so both forms return the IDENTICAL row set
-    (equality-tested at a skewed shape)."""
+    prefilter is verified against the per-group COUNTS table (not the
+    survivor set — a group whose rows all miss the prefilter would be
+    invisible there): any group keeping fewer than min(k, n) survivors
+    re-runs with a doubled margin — geometrically improbable, never
+    silently wrong — so both forms return the IDENTICAL row set
+    (equality-tested at a skewed shape).
+
+    The rank hash carries a ``strat|`` salt so it is independent of
+    ``with_split``'s bucket hash under a shared seed: without it, the k
+    survivors of a huge group are exactly the smallest split-hashes too,
+    and the sample would concentrate in the low split buckets (the same
+    bias ``mixture_sample`` guards against with its ``mix|`` salt)."""
     if k < 1:
         raise ValueError("k must be positive")
     if "_sr" in df.columns:
@@ -282,7 +296,8 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         # family as with_curation_flags / predict_with_topk; ADVICE r5)
         raise ValueError("input column '_sr' collides with "
                          "stratified_sample internals")
-    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    h = F.md5(F.concat(F.lit(f"strat|{seed}|"),
+                       F.col(id_col).cast("string")))
     w = Window.partitionBy(*group_cols).orderBy(h.asc(),
                                                 F.col(id_col).asc())
     if exact_window:
@@ -305,13 +320,18 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         surv = (df.join(F.broadcast(counts), group_cols)
                   .withColumn("_shf", frac)
                   .filter(F.col("_shf") < thr))
-        # verify the prefilter kept at least min(k, n) rows per group —
-        # one tiny aggregate over the ~margin*k-per-group survivor set
-        short = (surv.groupBy(*group_cols, "_sn")
-                     .agg(F.count(F.lit(1)).alias("_kept"))
-                     .filter(F.col("_kept")
-                             < F.least(F.lit(k), F.col("_sn")))
-                     .limit(1).count())
+        # verify the prefilter kept at least min(k, n) rows per group.
+        # Anchor the check on the per-group COUNTS table: a group whose
+        # rows ALL miss the prefilter contributes no survivor row, so
+        # aggregating surv alone would never see it and the group would
+        # be silently absent from the sample. counts is the tiny side
+        # (one row per group); the survivor agg is ~margin*k per group.
+        kept = (surv.groupBy(*group_cols)
+                    .agg(F.count(F.lit(1)).alias("_kept")))
+        short = (counts.join(kept, group_cols, "left")
+                       .filter(F.coalesce(F.col("_kept"), F.lit(0))
+                               < F.least(F.lit(k), F.col("_sn")))
+                       .limit(1).count())
         if short == 0:
             return (surv.withColumn("_sr", F.row_number().over(w))
                         .filter(F.col("_sr") <= k)

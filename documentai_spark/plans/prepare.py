@@ -77,7 +77,6 @@ def prepare_training_data(docs: DataFrame, *,
                           source_col: str = "source",
                           est_rows: int | None = None,
                           split_col: str = "split",
-                          pack_from: DataFrame | None = None,
                           observer=None,
                           **curation_kw) -> PreparedData:
     """Compose the full preparation chain over ``docs``; see module
@@ -91,10 +90,6 @@ def prepare_training_data(docs: DataFrame, *,
     independent, so order cannot bias either).
     ``est_rows``: forwarded to :func:`pack_sequences`'s driver-side
     sizing guard — pass the approximate corpus size at scale.
-    ``pack_from``: stage boundary for the two-stage job form — when
-    given, packing reads THIS DataFrame (normally the just-written
-    corpus re-read from disk) instead of the in-plan ``corpus``;
-    ``flagged``/``corpus`` are still returned for accounting.
     ``observer`` (optional): ``DataFrame -> DataFrame`` applied to the
     fully-flagged table before the keep-filter — the job mode attaches
     an ``Observation`` here so drop accounting rides the corpus write
@@ -120,8 +115,22 @@ def prepare_training_data(docs: DataFrame, *,
                               seed=seed)
     corpus = with_split(kept, id_col=id_col, weights=split_weights,
                         seed=seed, col=split_col)
-    assignment = pack_sequences(
-        pack_from if pack_from is not None else corpus,
-        budget=budget, id_col=id_col, text_col=text_col,
-        n_shards=n_shards, est_rows=est_rows, group_cols=[split_col])
+    assignment = pack_corpus(corpus, budget=budget, id_col=id_col,
+                             text_col=text_col, n_shards=n_shards,
+                             est_rows=est_rows, split_col=split_col)
     return PreparedData(flagged, corpus, assignment)
+
+
+def pack_corpus(corpus: DataFrame, *, budget: int = 2048,
+                n_shards: int = 16, est_rows: int | None = None,
+                id_col: str = "doc_id", text_col: str = "text",
+                split_col: str = "split") -> DataFrame:
+    """The packing stage of the preparation chain, in ONE place: both
+    the in-plan ``assignment`` above and ``job.py --prepare``'s stage 2
+    (which re-reads the written corpus — the staging boundary in the
+    module docstring) call THIS, so the packing parameters
+    (per-split grouping, budget, sharding) cannot drift between the
+    single-call and two-stage forms."""
+    return pack_sequences(corpus, budget=budget, id_col=id_col,
+                          text_col=text_col, n_shards=n_shards,
+                          est_rows=est_rows, group_cols=[split_col])

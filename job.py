@@ -59,6 +59,14 @@ def check_driver_heap(heap_bytes: int,
             "apply after JVM start)", ResourceWarning, stacklevel=2)
 
 
+def zero_nulls(metrics) -> dict:
+    """Observation metrics with SQL-NULL sums coalesced to 0: SUM over
+    zero observed rows is None, and the report arithmetic below
+    (``rows - surviving`` etc.) would raise TypeError on an empty input
+    or an all-dropped filter AFTER the writes already succeeded."""
+    return {k: (0 if v is None else v) for k, v in dict(metrics).items()}
+
+
 _DEMO_CLASSIFY_CONFIG = {
     "billing": {"keywords": ["invoice", "amount", "total"],
                 "max_pages": 3},
@@ -273,8 +281,9 @@ def main() -> None:
         from pyspark.sql import functions as F
         from pyspark.sql.observation import Observation
 
-        from documentai_spark.operators.packing import pack_sequences
-        from documentai_spark.plans.prepare import prepare_training_data
+        from documentai_spark.plans.prepare import (
+            pack_corpus, prepare_training_data,
+        )
 
         def _rates(spec: str) -> dict[str, float]:
             out = {}
@@ -327,30 +336,39 @@ def main() -> None:
         (prep.corpus.observe(obs_corpus, *corpus_metrics)
              .write.mode("overwrite").partitionBy("split")
              .parquet(corpus_path))
-        acc = obs_flags.get
-        acc_c = obs_corpus.get
+        acc = zero_nulls(obs_flags.get)
+        acc_c = zero_nulls(obs_corpus.get)
 
         # stage 2: pack from the WRITTEN corpus (staging re-read — the
         # flag stack is not recomputed under the packing shuffle) with
-        # the observed corpus size driving the shard-sizing guard
-        obs_pack = Observation("prepare_pack")
-        assign = pack_sequences(
-            spark.read.parquet(corpus_path), budget=args.budget,
-            n_shards=args.pack_shards, est_rows=acc_c["rows"],
-            group_cols=["split"])
-        (assign.observe(
-                obs_pack, F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("oversize").cast("int")).alias("oversize"))
-            .write.mode("overwrite").partitionBy("split")
-            .parquet(assign_path))
-        acc_p = obs_pack.get
-        # sequences per split: one tiny agg over the narrow written
-        # assignment (end-of-job reporting)
-        seqs = {r["split"]: r["n"]
-                for r in (spark.read.parquet(assign_path)
-                          .groupBy("split")
-                          .agg(F.countDistinct("shard", "bin").alias("n"))
-                          .collect())}
+        # the observed corpus size driving the shard-sizing guard.
+        # Skipped when the corpus observed ZERO rows: a partitioned
+        # write of nothing leaves no parquet files, so the re-read
+        # would die with UNABLE_TO_INFER_SCHEMA after the (empty)
+        # corpus write already succeeded — report the empty export
+        # instead.
+        if acc_c["rows"] == 0:
+            acc_p = {"rows": 0, "oversize": 0}
+            seqs = {}
+        else:
+            obs_pack = Observation("prepare_pack")
+            assign = pack_corpus(
+                spark.read.parquet(corpus_path), budget=args.budget,
+                n_shards=args.pack_shards, est_rows=acc_c["rows"])
+            (assign.observe(
+                    obs_pack, F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("oversize").cast("int")).alias("oversize"))
+                .write.mode("overwrite").partitionBy("split")
+                .parquet(assign_path))
+            acc_p = zero_nulls(obs_pack.get)
+            # sequences per split: one tiny agg over the narrow written
+            # assignment (end-of-job reporting)
+            seqs = {r["split"]: r["n"]
+                    for r in (spark.read.parquet(assign_path)
+                              .groupBy("split")
+                              .agg(F.countDistinct("shard", "bin")
+                                   .alias("n"))
+                              .collect())}
         wall = time.time() - t0
         print(json.dumps({
             "rows": acc["rows"], "kept": acc["kept"],
@@ -393,7 +411,7 @@ def main() -> None:
         out = out.observe(obs, *metrics)
         (out.write.mode("overwrite").partitionBy("keep")
             .parquet(args.output))
-        acc = obs.get
+        acc = zero_nulls(obs.get)
         wall = time.time() - t0
         print(json.dumps({"rows": acc["rows"], "kept": acc["kept"],
                           "dropped": acc["rows"] - acc["kept"],

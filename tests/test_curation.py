@@ -202,6 +202,63 @@ def test_stratified_sample_prefilter_equals_window(spark):
         assert fast == exact, f"k={k}"
 
 
+def test_stratified_sample_zero_survivor_group(spark):
+    """r6 review: a group whose rows ALL miss the first-margin hash
+    prefilter must still appear in the exact_window=False sample (the
+    verification is anchored on the per-group counts table, not the
+    survivor set — a zero-survivor group is invisible there and was
+    silently dropped)."""
+    import hashlib
+
+    from documentai_spark.operators.curation import stratified_sample
+
+    def frac(i):
+        h = hashlib.md5(f"strat|42|{i}".encode()).hexdigest()
+        return int(h[:8], 16) / 16 ** 8
+
+    # 32 ids whose rank-hash fraction all exceed thr = 8*k/n = 0.25
+    # (k=1, n=32): the first prefilter pass keeps ZERO of them, so only
+    # the counts-anchored verification can notice and double the margin
+    trap = [i for i in range(2000) if frac(i) > 0.25][:32]
+    assert len(trap) == 32
+    rows = [(i, "trap") for i in trap] + \
+           [(100_000 + i, "normal") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    exact = {(r.grp, r.doc_id) for r in
+             stratified_sample(df, group_cols=["grp"], k=1).collect()}
+    fast = {(r.grp, r.doc_id) for r in
+            stratified_sample(df, group_cols=["grp"], k=1,
+                              exact_window=False).collect()}
+    assert fast == exact
+    assert any(g == "trap" for g, _ in fast)
+
+
+def test_near_dedup_string_id_rep_consistency(spark):
+    """r6 review: with a STRING id column whose native and numeric
+    orderings disagree ('9' vs '10'), the exact-dup window and the
+    closure representative must pick the SAME winner (both in the long
+    domain) — otherwise every member of a cluster is dropped."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import with_curation_flags
+
+    base = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away into the deep woods where it was happy to "
+            "rest for a while before returning to the warm den")
+    rows = [("9", base), ("10", base),          # exact dups, '10' < '9'
+            ("11", base + " extra tail here")]  # near dup of the pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"]) \
+              .withColumn("confidence", F.lit(1.0))
+    got = {r.doc_id: r for r in
+           with_curation_flags(df, near_dedup=True,
+                               jaccard_threshold=0.7).collect()}
+    assert not got["9"].is_dup and not got["9"].is_near_dup
+    assert got["10"].is_dup and not got["10"].is_near_dup
+    assert got["11"].is_near_dup and not got["11"].is_dup
+    keep = {d for d, r in got.items() if r.keep}
+    assert keep == {"9"}
+
+
 def test_curation_output_collision_guards(spark):
     """decontaminate / stratified_sample refuse inputs already carrying
     their output/internal column names instead of clobbering or raising

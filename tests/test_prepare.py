@@ -135,6 +135,46 @@ def test_prepare_observer_hook_and_accounting(spark, docs):
     assert acc["kept"] == n_corpus > 0
 
 
+def test_pack_corpus_is_the_job_stage_boundary(spark, docs, tmp_path):
+    """r6 review: job.py --prepare's stage 2 packs via the SAME
+    pack_corpus call as the in-plan assignment, so the two-stage form
+    (write corpus, re-read, pack) reproduces the single-call export
+    exactly — no drift point."""
+    from documentai_spark.plans.prepare import pack_corpus
+
+    prep = prepare_training_data(docs, budget=BUDGET, n_shards=4)
+    corpus_path = str(tmp_path / "corpus")
+    (prep.corpus.write.mode("overwrite").partitionBy("split")
+         .parquet(corpus_path))
+    staged = pack_corpus(spark.read.parquet(corpus_path),
+                         budget=BUDGET, n_shards=4)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.split, r.shard, r.bin, r.n_tokens, r.oversize)
+        for r in df.collect())
+    assert rows(staged) == rows(prep.assignment) and staged.count() > 0
+
+
+def test_job_accounting_survives_zero_rows(spark, tmp_path):
+    """r6 review: SUM Observation metrics over a write that observes
+    zero rows come back as SQL NULL (None); job.zero_nulls coalesces
+    them so the end-of-job report arithmetic (rows - surviving) cannot
+    TypeError after the writes already succeeded."""
+    from pyspark.sql.observation import Observation
+
+    import job
+
+    empty = spark.createDataFrame([], "doc_id long, keep boolean")
+    obs = Observation("acc_zero_rows")
+    out = empty.observe(
+        obs, F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("int")).alias("kept"))
+    out.write.mode("overwrite").parquet(str(tmp_path / "o"))
+    raw = obs.get
+    assert raw["rows"] == 0 and raw["kept"] is None   # the hazard
+    acc = job.zero_nulls(raw)
+    assert acc["rows"] - acc["kept"] == 0
+
+
 def test_prepare_job_flag_validation():
     """--benchmark/--mixture require --prepare; --prepare excludes
     --resume and the other modes (argparse errors fire before any

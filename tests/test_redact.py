@@ -71,6 +71,17 @@ def test_word_boundary_mode_core():
     assert "[DATE_NUMERIC]" in bounded
 
 
+def test_word_boundary_ascii_semantics_core():
+    """``\\b`` must use the ASCII word set in core (``re.ASCII``):
+    Java regex and DuckDB's RE2 both treat a non-ASCII letter as a
+    NON-word char, so a value followed by e.g. 'é' redacts there — core
+    must agree or three-engine parity breaks on non-ASCII neighbors."""
+    t = "PO NUMBER: AB then ABé done"
+    bounded = redact_text(t, word_boundary=True)
+    assert bounded.count("[PO_NUMBER]") == 2
+    assert "[PO_NUMBER]é" in bounded
+
+
 def test_word_boundary_nonword_edges_core():
     """Values whose edges are NON-word chars (a phone with leading +)
     must not get an inverted \\b guard: the bounded pattern still
@@ -93,6 +104,7 @@ def test_word_boundary_spark_equals_core_and_duckdb(spark):
 
     texts = [
         "PO NUMBER: AB inside SLAB and alone AB ok",
+        "PO NUMBER: AB then ABé and AB ok",   # non-ASCII neighbor
         "PO NUMBER: X/9 pay EUR 5,000 via bob@x.co on 12/11/2023",
         "PI No. P-77 delivery 3-Jan-2024 call +44 20 7946 0958 ok",
         "dates 01.02.2024 and x01.02.2024y and 01.02.2024",
