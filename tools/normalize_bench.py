@@ -3,7 +3,7 @@ canaries (the BENCH/BASELINE.md "Normalization protocol").
 
 Usage:
     python tools/normalize_bench.py BENCH_rOLD.json BENCH_rNEW.json \
-        [--tol 1.3] [--improve 0.77]
+        [--tol 2.5] [--suite-tol 1.5] [--floor 1.5] [--improve 0.77]
 
 Why: this sandbox host swings 2-3x between identical runs (steal time +
 the python-worker memory pathology), so a raw per-query delta between two
@@ -18,15 +18,41 @@ A query's wall time is dominated by one of those two noise classes, so a
 delta that tracks the matching canary's delta is the host, not the code.
 Rather than hand-maintaining a query -> class map (and mislabeling a
 mixed-plan query), this tool normalizes every query against BOTH
-canaries and flags a CODE regression only when the delta exceeds
-tolerance under BOTH — i.e. when neither noise class can explain it.
-That is conservative in exactly the right direction: a real regression
-larger than the host swing still trips it, while a noisy window never
-produces a false "regression" verdict that needs a judge A/B.
+canaries; ``min_norm`` is the most forgiving of the two (the best noise
+explanation).
 
-Exit status: 0 = no query regressed beyond what the canaries explain,
-1 = at least one did (usable as a round gate). Files lacking canaries
-(pre-r6) degrade to raw-ratio comparison with a warning.
+The r6 version of this gate cried wolf: its tol=1.3 sat BELOW the
+host's measured identical-tree residual (the r6 judge A/B flagged 14
+"regressions" between two runs of the SAME code, worst min_norm 1.84 on
+a 0.9 s query), and min_norm alone also flags an unchanged query
+whenever both canaries happen to SPEED UP (raw 1.0 / canary 0.5 ->
+min_norm 2.0). The r7 rule, calibrated to that A/B evidence:
+
+- **REGRESSION** (exit 1) requires the delta to exceed ``--tol`` under
+  BOTH views: ``raw_ratio > tol`` AND ``min_norm > tol`` (when canaries
+  exist). Default tol = 2.5, the measured identical-tree per-query
+  residual envelope (judge-observed swings up to ~2.4x on unchanged
+  code). A canary-corrected delta can never flag what the raw delta
+  does not show.
+- **Absolute-time floor**: a query whose old AND new best-of times are
+  both under ``--floor`` (default 1.5 s) is never a regression — the
+  judge A/B showed sub-1.5 s queries jitter +/-2x even after
+  normalization (verdict ``sub-floor``).
+- **Suite-total gate**: per-query tolerance at 2.5 means a lone 2x code
+  regression on one query is under this host's per-query noise floor —
+  genuinely indistinguishable from jitter. What IS detectable is a
+  broad or large regression: the summed wall time of the common queries
+  averages out per-query jitter (identical-tree totals differed ~1.05x
+  raw), so the suite total gates at the tighter ``--suite-tol``
+  (default 1.5) under the same raw-AND-normalized rule.
+- Deltas above 1.3 both raw and normalized but under tol print as
+  ``suspect`` — visible to a human, not an exit-1.
+
+Exit status: 0 = nothing regressed beyond the measured host envelope,
+1 = a query or the suite total did (usable as a round gate; an
+identical-tree A/B exits 0 by construction of the thresholds). Files
+lacking canaries (pre-r6) degrade to raw-ratio comparison with a
+warning.
 """
 
 from __future__ import annotations
@@ -34,6 +60,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+SUSPECT = 1.3   # informational threshold (the r6 gate's old tol)
 
 
 def _unwrap(d: dict) -> dict:
@@ -43,25 +71,49 @@ def _unwrap(d: dict) -> dict:
     return inner if isinstance(inner, dict) else d
 
 
-def compare(old: dict, new: dict, *, tol: float = 1.3,
+def _classify(raw: float, min_norm: float | None, *, tol: float,
+              improve: float, sub_floor: bool) -> str:
+    """One (query or suite-total) verdict under the r7 rule."""
+    basis = raw if min_norm is None else min(raw, min_norm)
+    hot = raw > SUSPECT and (min_norm is None or min_norm > SUSPECT)
+    if sub_floor:
+        # any material delta on a sub-floor query is labeled, never
+        # gated — sub-1.5 s runs jitter +/-2x even after normalization
+        return "sub-floor" if (hot or basis < improve) else "noise"
+    if raw > tol and (min_norm is None or min_norm > tol):
+        return "REGRESSION"
+    if hot:
+        return "suspect"
+    if basis < improve:
+        return "improved"
+    return "noise"
+
+
+def compare(old: dict, new: dict, *, tol: float = 2.5,
+            suite_tol: float = 1.5, floor: float = 1.5,
             improve: float = 1.0 / 1.3) -> dict:
     """Pure comparison of two bench.py JSON payloads.
 
     Returns ``{"rows": [...], "regressions": [...], "improvements":
-    [...], "canary_ratios": {...} | None}``. Each row carries the raw
-    new/old time ratio and, when both files have canaries, the ratio
-    normalized by each canary's own new/old ratio; ``min_norm`` is the
-    most forgiving of the two (the best noise explanation).
+    [...], "suite": {...}, "canary_ratios": {...} | None}``. Each row
+    carries the raw new/old time ratio and, when both files have
+    canaries, the ratio normalized by each canary's own new/old ratio;
+    ``min_norm`` is the most forgiving of the two (the best noise
+    explanation).
 
-    ``tol``: a query is a regression when min(normalized ratios) > tol
-    (or raw ratio > tol when canaries are unavailable) — default 1.3,
-    the documented best-of-N residual on this host.
-    ``improve``: symmetric threshold for reporting genuine wins.
+    A query is a REGRESSION only when its delta exceeds ``tol`` BOTH
+    raw and canary-normalized AND either side's time reaches ``floor``
+    seconds; the suite total applies the same rule at ``suite_tol``
+    (see module docstring for the calibration evidence).
+    ``improve``: threshold for reporting genuine wins (informational).
     """
     old, new = _unwrap(old), _unwrap(new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     canaries = None
-    have = all(k in old and k in new and old[k] > 0
+    # both files need both canaries NONZERO: round(...,3) can floor a
+    # sub-ms canary to 0.0, and a zero on either side would either
+    # divide by zero here or empty the norm dict downstream (ADVICE r6)
+    have = all(k in old and k in new and old[k] > 0 and new[k] > 0
                for k in ("canary_jvm_sec", "canary_udf_sec"))
     if have:
         canaries = {
@@ -69,38 +121,63 @@ def compare(old: dict, new: dict, *, tol: float = 1.3,
             "udf": new["canary_udf_sec"] / old["canary_udf_sec"],
         }
     rows, regressions, improvements = [], [], []
+    tot_old = tot_new = 0.0
     for q in sorted(set(oq) & set(nq)):
         if not oq[q]:
             continue
+        tot_old += oq[q]
+        tot_new += nq[q]
         raw = nq[q] / oq[q]
         row = {"query": q, "old_sec": oq[q], "new_sec": nq[q],
                "raw_ratio": round(raw, 3)}
+        min_norm = None
         if canaries:
-            norm = {k: raw / r for k, r in canaries.items() if r > 0}
+            norm = {k: raw / r for k, r in canaries.items()}
             row.update({f"norm_{k}": round(v, 3) for k, v in norm.items()})
-            basis = min(norm.values())
-            row["min_norm"] = round(basis, 3)
-        else:
-            basis = raw
-        if basis > tol:
+            min_norm = min(norm.values())
+            row["min_norm"] = round(min_norm, 3)
+        sub_floor = max(oq[q], nq[q]) < floor
+        row["verdict"] = _classify(raw, min_norm, tol=tol,
+                                   improve=improve, sub_floor=sub_floor)
+        if row["verdict"] == "REGRESSION":
             regressions.append(q)
-            row["verdict"] = "REGRESSION"
-        elif basis < improve:
+        elif row["verdict"] == "improved":
             improvements.append(q)
-            row["verdict"] = "improved"
-        else:
-            row["verdict"] = "noise"
         rows.append(row)
+    suite = None
+    if tot_old > 0:
+        s_raw = tot_new / tot_old
+        s_norm = (min(s_raw / r for r in canaries.values())
+                  if canaries else None)
+        suite = {"old_sec": round(tot_old, 3),
+                 "new_sec": round(tot_new, 3),
+                 "raw_ratio": round(s_raw, 3),
+                 "verdict": _classify(s_raw, s_norm, tol=suite_tol,
+                                      improve=improve, sub_floor=False)}
+        if s_norm is not None:
+            suite["min_norm"] = round(s_norm, 3)
+        if suite["verdict"] == "REGRESSION":
+            regressions.append("<suite-total>")
     return {"rows": rows, "regressions": regressions,
-            "improvements": improvements, "canary_ratios": canaries}
+            "improvements": improvements, "suite": suite,
+            "canary_ratios": canaries}
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("old_file")
     ap.add_argument("new_file")
-    ap.add_argument("--tol", type=float, default=1.3,
-                    help="normalized ratio above this = regression")
+    ap.add_argument("--tol", type=float, default=2.5,
+                    help="per-query regression threshold (raw AND "
+                         "normalized must exceed it; default 2.5 = the "
+                         "measured identical-tree residual)")
+    ap.add_argument("--suite-tol", type=float, default=1.5,
+                    help="suite-total regression threshold (totals "
+                         "average out per-query jitter)")
+    ap.add_argument("--floor", type=float, default=1.5,
+                    help="queries under this many seconds on both sides "
+                         "never gate (sub-floor jitter is +/-2x even "
+                         "normalized)")
     ap.add_argument("--improve", type=float, default=1.0 / 1.3,
                     help="normalized ratio below this = improvement")
     args = ap.parse_args(argv)
@@ -108,10 +185,12 @@ def main(argv: list[str] | None = None) -> int:
         old = json.load(f)
     with open(args.new_file) as f:
         new = json.load(f)
-    out = compare(old, new, tol=args.tol, improve=args.improve)
+    out = compare(old, new, tol=args.tol, suite_tol=args.suite_tol,
+                  floor=args.floor, improve=args.improve)
     if out["canary_ratios"] is None:
-        print("WARNING: canaries missing in one file — raw ratios only "
-              "(pre-r6 BENCH files have no canary pair)", file=sys.stderr)
+        print("WARNING: canaries missing/zero in one file — raw ratios "
+              "only (pre-r6 BENCH files have no canary pair)",
+              file=sys.stderr)
     else:
         c = out["canary_ratios"]
         print(f"canary ratios new/old: jvm {c['jvm']:.3f}  "
@@ -123,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  {r['query']:<{width}}  {r['old_sec']:7.3f} -> "
               f"{r['new_sec']:7.3f}  raw {r['raw_ratio']:6.3f}{norm}"
               f"  {r['verdict']}")
+    if out["suite"]:
+        s = out["suite"]
+        norm = (f"  min_norm {s['min_norm']:6.3f}"
+                if "min_norm" in s else "")
+        print(f"  {'<suite-total>':<{width}}  {s['old_sec']:7.3f} -> "
+              f"{s['new_sec']:7.3f}  raw {s['raw_ratio']:6.3f}{norm}"
+              f"  {s['verdict']}")
     print(f"== {len(out['regressions'])} regression(s), "
           f"{len(out['improvements'])} improvement(s), "
           f"{len(out['rows'])} compared")
