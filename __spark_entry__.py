@@ -294,9 +294,18 @@ def _ml_scores_oracle_sql() -> str:
 
 def _redact_oracle_sql() -> str:
     """redact_entities mirror: RE2 re-derives each field's first-match
-    value (the core/entities patterns verbatim), then the identical
-    nested-replace chain in REDACT_FIELDS order; absent/empty values
-    become chr(0) needles (replace is then an identity)."""
+    value (the core/entities patterns verbatim), then BOTH redaction
+    forms in REDACT_FIELDS order — the default all-substrings
+    nested-replace chain, and (r7, VERDICT r6 #3) the bounded
+    ``word_boundary=True`` chain: chained-replace regex escaping +
+    conditional RE2 ``\\b`` guards at word-char edges, replayed via
+    global ``regexp_replace``. RE2's ``\\b`` is ASCII-only, which is the
+    pinned three-engine boundary (core ``\\b``+re.ASCII, Spark ASCII
+    lookarounds). Absent/empty values become chr(0) needles/patterns
+    (both chains are then identities — chr(0) never occurs in text and
+    is a non-word char, so no guard inverts)."""
+    from documentai_spark.core.redact import REGEX_SPECIALS
+
     specs = [
         ("po_number", r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)", 1, "i"),
         ("pi_number", r"PI\s+No[.:\s]+([A-Z0-9/\-]+)", 1, "i"),
@@ -311,19 +320,36 @@ def _redact_oracle_sql() -> str:
     for name, pat, grp, opt in specs:
         o = f", '{opt}'" if opt else ""
         cols.append(f"regexp_extract(text, '{pat}', {grp}{o}) AS {name}")
+    # sentinel CTE: absent/empty -> chr(0) once, shared by both chains
+    sent = ", ".join(f"coalesce(nullif({name}, ''), chr(0)) AS {name}"
+                     for name, *_ in specs)
     expr = "text"
+    bexpr = "text"
     for name, *_ in specs:
-        expr = (f"replace({expr}, coalesce(nullif({name}, ''), chr(0)), "
-                f"'[{name.upper()}]')")
+        expr = f"replace({expr}, {name}, '[{name.upper()}]')"
+        esc = name
+        for ch in REGEX_SPECIALS:
+            esc = f"replace({esc}, '{ch}', '\\' || '{ch}')"
+        pat = (
+            f"(CASE WHEN regexp_matches(substr({name}, 1, 1), "
+            f"'^[A-Za-z0-9_]$') THEN '\\b' ELSE '' END) || {esc} || "
+            f"(CASE WHEN regexp_matches(substr({name}, length({name}), 1),"
+            f" '^[A-Za-z0-9_]$') THEN '\\b' ELSE '' END)")
+        bexpr = (f"regexp_replace({bexpr}, {pat}, "
+                 f"'[{name.upper()}]', 'g')")
     return f"""
         WITH vals AS (
           SELECT conv_id, turn_idx, text,
                  {', '.join(cols)}
           FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
+        ), sent AS (
+          SELECT conv_id, turn_idx, text, {sent}
+          FROM vals
         )
         SELECT conv_id, turn_idx,
-               {expr} AS redacted_text
-        FROM vals ORDER BY conv_id, turn_idx
+               {expr} AS redacted_text,
+               {bexpr} AS redacted_text_bounded
+        FROM sent ORDER BY conv_id, turn_idx
     """
 
 
@@ -1178,15 +1204,23 @@ def q_redact_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity redaction (functions/redact): every extracted sensitive
     entity value (PO/PI numbers, dates, currency amounts, emails,
     phones) replaced with its [FIELD] tag — the privacy scrub before a
-    corpus release. First-match values, replaced at every identical
-    occurrence, fields in the fixed REDACT_FIELDS order; the oracle
-    re-derives the values with RE2 and replays the identical
-    nested-replace chain."""
+    corpus release. TWO columns, both hash-checked (VERDICT r6 #3):
+    ``redacted_text`` is the default all-substrings chain (first-match
+    values replaced at every identical occurrence, fields in the fixed
+    REDACT_FIELDS order); ``redacted_text_bounded`` is the
+    ``word_boundary=True`` variant (ASCII boundary guards at word-char
+    edges — short values no longer fire inside unrelated tokens). The
+    oracle re-derives the values with RE2 and replays the plain chain
+    with nested replace and the bounded chain with escaped-literal
+    RE2 ``\\b`` patterns."""
     from documentai_spark.functions.redact import with_redaction
     from documentai_spark.operators.extraction import with_entities
     out = with_redaction(
         with_entities(_transcripts(spark), extracted_col="text"))
-    return out.select("conv_id", "turn_idx", "redacted_text") \
+    out = with_redaction(out, out_col="redacted_text_bounded",
+                         word_boundary=True)
+    return out.select("conv_id", "turn_idx", "redacted_text",
+                      "redacted_text_bounded") \
               .orderBy("conv_id", "turn_idx")
 
 
