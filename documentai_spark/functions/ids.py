@@ -1,0 +1,47 @@
+"""Checked id-domain casts for the long-label surfaces.
+
+The near-dedup closure, the exact-dup winner window under it, and the
+packing shard key all operate in the LONG domain (``cluster_pairs``
+labels, ``pack_sequences``'s ``doc_id % n_shards``). A non-long-castable
+id reaching those casts used to fail only as an opaque ANSI
+``CAST_INVALID_INPUT`` deep inside the LSH chain (VERDICT r6 #4) — or,
+worse, a fractional DOUBLE id would TRUNCATE silently and two distinct
+ids could collapse onto one label. ``checked_long`` wraps the cast in an
+executor-side ``assert_true`` that names the operator and the fix, costs
+zero extra jobs (no driver-side probe scan — the check rides the pass
+that needed the cast anyway), and rejects NULL ids and truncating
+numerics alongside malformed strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_FIX = (" — these surfaces label rows in the long domain; use a "
+        "numeric id column, or derive a long surrogate first (e.g. "
+        "xxhash64(id), collision-checked, or a dictionary join)")
+
+
+def checked_long(col: Column, context: str) -> Column:
+    """``col`` cast to long, failing fast with a named error when any
+    value is NULL, malformed, or would truncate.
+
+    ``try_cast`` turns ANSI's throw into NULL so the ``assert_true``
+    message (which names ``context``, the offending value, and the fix)
+    is what the user sees. The double round-trip catches lossy casts
+    without type introspection: a fractional value (3.5 -> long 3)
+    disagrees with its own long image in the double domain, while
+    string ids ('007' -> 7) and past-2^53 longs (both sides lose the
+    SAME low bits) agree. Zero extra jobs — the check is an expression
+    riding whichever pass needed the cast.
+    """
+    lng = col.try_cast("long")
+    ok = (col.isNotNull() & lng.isNotNull()
+          & col.try_cast("double").eqNullSafe(lng.cast("double")))
+    msg = F.concat(
+        F.lit(f"{context}: id value "),
+        F.coalesce(F.concat(F.lit("'"), col.cast("string"), F.lit("'")),
+                   F.lit("NULL")),
+        F.lit(" is not losslessly long-castable" + _FIX))
+    return F.when(F.assert_true(ok, msg).isNull(), lng)

@@ -69,7 +69,9 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     representative *and* is not already an exact duplicate, so drop
     accounting attributes near-dup kills separately from exact ones.
     ``keep`` then requires the row to be its cluster representative.
-    Requires a long-castable ``id_col`` (the closure's label domain).
+    Requires a losslessly long-castable ``id_col`` (the closure's label
+    domain) — a NULL / malformed / truncating id fails fast with a
+    named error (``functions.ids.checked_long``, VERDICT r6 #4).
     """
     reserved = {"_ct_fp", "keep", "is_dup", "bad_lang", "bad_len",
                 "low_conf"}
@@ -88,8 +90,13 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     # exact-dup winner must be picked there too: with string ids whose
     # native and numeric orderings disagree ('9' vs '10'), a cluster
     # could otherwise lose EVERY member (exact window drops one, the
-    # closure rep drops the other).
-    dup_id = F.col(id_col).cast("long") if near_dedup else F.col(id_col)
+    # closure rep drops the other). checked_long fails fast on any id
+    # outside the long domain with an error naming the fix.
+    if near_dedup:
+        from documentai_spark.functions.ids import checked_long
+        dup_id = checked_long(F.col(id_col), "with_curation_flags")
+    else:
+        dup_id = F.col(id_col)
     out = (df.withColumn("_ct_fp", fingerprint_col(text))
              .withColumn("is_dup",
                          dup_id > F.min(dup_id).over(
@@ -106,13 +113,14 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
         reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
                              b_col="id_b", id_col=id_col,
                              max_iter=max_iter)
+        # try_cast here: the same rows already pass dup_id's checked
+        # cast in this projection, so a second assert would be noise
+        lid = F.col(id_col).try_cast("long")
         out = (out.join(reps.withColumnRenamed("cluster_rep", "_ct_rep"),
                         id_col, "left")
                   .withColumn(
                       "is_near_dup",
-                      (F.col(id_col).cast("long")
-                       != F.coalesce(F.col("_ct_rep"),
-                                     F.col(id_col).cast("long")))
+                      (lid != F.coalesce(F.col("_ct_rep"), lid))
                       & ~F.col("is_dup"))
                   .drop("_ct_rep"))
     return with_stateless_flags(
@@ -303,9 +311,10 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
     if exact_window:
         return (df.withColumn("_sr", F.row_number().over(w))
                   .filter(F.col("_sr") <= k).drop("_sr"))
-    if {"_sn", "_shf"} & set(df.columns):
-        raise ValueError("input columns '_sn'/'_shf' collide with "
-                         "stratified_sample internals")
+    gc_alias = [f"_sg{i}" for i in range(len(group_cols))]
+    if ({"_sn", "_shf"} | set(gc_alias)) & set(df.columns):
+        raise ValueError("input columns '_sn'/'_shf'/'_sgN' collide "
+                         "with stratified_sample internals")
     # hash as a uniform fraction of [0, 1): first 8 hex digits / 16^8.
     # Ordering by (frac, id) == ordering by (md5, id) for the survivor
     # set because frac is a monotone prefix of the full digest and the
@@ -313,13 +322,35 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
     frac = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
             / F.lit(float(16 ** 8)))
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_sn"))
+
+    # ALL prefilter joins are NULL-SAFE on the group keys (ADVICE r6):
+    # groupBy treats NULL as its own group (as does the exact form's
+    # window), but a plain equi-join drops NULL-keyed rows — the NULL
+    # group's documents would vanish from the sample while the
+    # coverage check (whose left side is the counts table) would see
+    # the group as permanently short and burn all 8 doubled-margin
+    # retries before raising a misleading corrupt-id error.
+    def _null_safe(left: DataFrame, right: DataFrame,
+                   how: str = "inner", broadcast: bool = False) -> DataFrame:
+        r = right.select(*[F.col(c).alias(a)
+                           for c, a in zip(group_cols, gc_alias)],
+                         *[c for c in right.columns
+                           if c not in group_cols])
+        if broadcast:
+            r = F.broadcast(r)
+        cond = None
+        for c, a in zip(group_cols, gc_alias):
+            eq = left[c].eqNullSafe(r[a])
+            cond = eq if cond is None else cond & eq
+        return left.join(r, cond, how).drop(*gc_alias)
+
     margin = 8.0
     for _ in range(8):  # P(retry) < ~e^-margin per group; 8 doublings
         thr = F.least(F.lit(1.0), F.lit(margin) * F.lit(float(k))
                       / F.col("_sn"))
-        surv = (df.join(F.broadcast(counts), group_cols)
-                  .withColumn("_shf", frac)
-                  .filter(F.col("_shf") < thr))
+        surv = (_null_safe(df, counts, broadcast=True)
+                .withColumn("_shf", frac)
+                .filter(F.col("_shf") < thr))
         # verify the prefilter kept at least min(k, n) rows per group.
         # Anchor the check on the per-group COUNTS table: a group whose
         # rows ALL miss the prefilter contributes no survivor row, so
@@ -328,10 +359,10 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         # (one row per group); the survivor agg is ~margin*k per group.
         kept = (surv.groupBy(*group_cols)
                     .agg(F.count(F.lit(1)).alias("_kept")))
-        short = (counts.join(kept, group_cols, "left")
-                       .filter(F.coalesce(F.col("_kept"), F.lit(0))
-                               < F.least(F.lit(k), F.col("_sn")))
-                       .limit(1).count())
+        short = (_null_safe(counts, kept, "left")
+                 .filter(F.coalesce(F.col("_kept"), F.lit(0))
+                         < F.least(F.lit(k), F.col("_sn")))
+                 .limit(1).count())
         if short == 0:
             return (surv.withColumn("_sr", F.row_number().over(w))
                         .filter(F.col("_sr") <= k)

@@ -380,14 +380,24 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
     growing lineage so round N's plan does not replay rounds 1..N-1.
     Raises if max_iter rounds pass without convergence (pathological
     chain-shaped graphs; raise max_iter for those).
+
+    Ids must be losslessly long-castable (the label domain); a NULL /
+    malformed / truncating id fails fast with a named error during the
+    eager edge/label materialization below (``checked_long``,
+    VERDICT r6 #4) instead of an opaque mid-chain ANSI cast error.
     """
-    edges = (pairs.select(F.col(a_col).cast("long").alias("src"),
-                          F.col(b_col).cast("long").alias("dst"))
-             .union(pairs.select(F.col(b_col).cast("long").alias("src"),
-                                 F.col(a_col).cast("long").alias("dst")))
+    from documentai_spark.functions.ids import checked_long
+
+    def _src_dst(a: str, b: str) -> DataFrame:
+        return pairs.select(
+            checked_long(F.col(a), "cluster_pairs").alias("src"),
+            checked_long(F.col(b), "cluster_pairs").alias("dst"))
+
+    edges = (_src_dst(a_col, b_col).union(_src_dst(b_col, a_col))
              .distinct()
              .localCheckpoint(eager=True))   # reused every round
-    labels = (nodes.select(F.col(id_col).cast("long").alias("node"))
+    labels = (nodes.select(checked_long(F.col(id_col), "cluster_pairs")
+                           .alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))

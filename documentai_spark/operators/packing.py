@@ -100,10 +100,15 @@ def pack_sequences(docs: DataFrame, *, budget: int,
         raise ValueError(
             f"group_cols collide with packing output columns: "
             f"{sorted(clash)}")
+    # checked cast (VERDICT r6 #4): a NULL / malformed / truncating id
+    # fails fast with a named error instead of an opaque ANSI cast
+    # error (or a silently-truncated shard key on fractional ids)
+    from documentai_spark.functions.ids import checked_long
+    lid = checked_long(F.col(id_col), "pack_sequences")
     narrow = docs.select(
         *group_cols,
-        F.col(id_col).cast("long").alias("doc_id"),
-        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        lid.alias("doc_id"),
+        (lid % n_shards).cast("int").alias("shard"),
         token_count_col(F.col(text_col)).cast("int").alias("n_tokens"))
     schema = PACK_SCHEMA
     if group_cols:

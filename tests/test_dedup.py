@@ -206,3 +206,19 @@ def test_near_dedup_end_to_end(spark):
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [10, 20, 21]
     assert all(r.cluster_rep == r.doc_id for r in out.collect())
+
+
+def test_cluster_pairs_rejects_non_long_ids(spark):
+    """VERDICT r6 #4: a non-numeric id must fail FAST with an error
+    naming the fix (long surrogate), not an opaque mid-chain ANSI cast
+    error — the guard fires during the eager edge/label
+    materialization, i.e. inside the cluster_pairs call itself."""
+    import pytest
+
+    from documentai_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame([("doc-a", "doc-b")],
+                                  ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([("doc-a",), ("doc-b",)], ["doc_id"])
+    with pytest.raises(Exception, match="long-castable.*xxhash64"):
+        cluster_pairs(pairs, nodes)

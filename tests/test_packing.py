@@ -119,3 +119,23 @@ def test_shard_size_guards(spark):
     with pytest.raises(Exception, match="max_rows_per_shard"):
         pack_sequences(df, budget=10, n_shards=1,
                        max_rows_per_shard=4).collect()
+
+
+def test_pack_rejects_non_long_and_truncating_ids(spark):
+    """VERDICT r6 #4: the shard key lives in the long domain — a
+    malformed string id or a fractional double id (which would
+    silently truncate onto another doc's label) fails fast with the
+    named fix; integral doubles still pack fine."""
+    import pytest
+
+    docs = spark.createDataFrame([("doc-abc", "a b c")],
+                                 ["doc_id", "text"])
+    with pytest.raises(Exception, match="long-castable.*xxhash64"):
+        pack_sequences(docs, budget=8).collect()
+    frac = spark.createDataFrame([(3.5, "a b c")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="'3.5' is not losslessly"):
+        pack_sequences(frac, budget=8).collect()
+    ok = spark.createDataFrame([(3.0, "a b c"), (4.0, "d e")],
+                               ["doc_id", "text"])
+    got = {r.doc_id for r in pack_sequences(ok, budget=8).collect()}
+    assert got == {3, 4}
