@@ -53,6 +53,7 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                         min_confidence: float = 0.6,
                         min_stopword_ratio: float = 0.04,
                         near_dedup: bool = False,
+                        near_reps: DataFrame | None = None,
                         jaccard_threshold: float = 0.8,
                         num_hashes: int = 64, bands: int = 16,
                         max_iter: int = 50) -> DataFrame:
@@ -72,10 +73,28 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     Requires a losslessly long-castable ``id_col`` (the closure's label
     domain) — a NULL / malformed / truncating id fails fast with a
     named error (``functions.ids.checked_long``, VERDICT r6 #4).
+
+    ``near_reps`` (r7, VERDICT r6 #2): a PRECOMPUTED representatives
+    table ``(id_col, cluster_rep long)`` — the exact frame
+    ``dedup.cluster_pairs`` returns — to join instead of running the
+    chain. This is the resumable-checkpoint shape: the closure labels
+    GLOBALLY, so a per-bucket loop cannot recompute it per bucket;
+    ``plans.checkpoint.run_checkpointed_curation(near_dedup=True)``
+    computes pairs+closure ONCE as its own manifest-committed stage and
+    passes the written reps here. Flags are identical to
+    ``near_dedup=True`` by construction (the same join, the same
+    long-domain exact-dup winner). Mutually exclusive with
+    ``near_dedup=True``.
     """
+    if near_dedup and near_reps is not None:
+        raise ValueError("pass near_dedup=True OR near_reps, not both")
+    use_near = near_dedup or near_reps is not None
+    if near_reps is not None and "cluster_rep" not in near_reps.columns:
+        raise ValueError("near_reps must be a (id, cluster_rep) table "
+                         "(dedup.cluster_pairs output)")
     reserved = {"_ct_fp", "keep", "is_dup", "bad_lang", "bad_len",
                 "low_conf"}
-    if near_dedup:
+    if use_near:
         reserved |= {"is_near_dup", "_ct_rep"}
     clash = reserved & set(df.columns)
     if clash:
@@ -86,13 +105,13 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
             f"input columns collide with with_curation_flags outputs: "
             f"{sorted(clash)}")
     text = F.col(text_col)
-    # near_dedup's closure labels live in the LONG domain, so the
+    # near dedup's closure labels live in the LONG domain, so the
     # exact-dup winner must be picked there too: with string ids whose
     # native and numeric orderings disagree ('9' vs '10'), a cluster
     # could otherwise lose EVERY member (exact window drops one, the
     # closure rep drops the other). checked_long fails fast on any id
     # outside the long domain with an error naming the fix.
-    if near_dedup:
+    if use_near:
         from documentai_spark.functions.ids import checked_long
         dup_id = checked_long(F.col(id_col), "with_curation_flags")
     else:
@@ -102,17 +121,20 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                          dup_id > F.min(dup_id).over(
                              Window.partitionBy("_ct_fp")))
              .drop("_ct_fp"))
-    if near_dedup:
-        from documentai_spark.operators.dedup import (
-            cluster_pairs, minhash_dedup_pairs,
-        )
-        pairs = minhash_dedup_pairs(
-            df.select(id_col, text_col), text_col=text_col,
-            id_col=id_col, num_hashes=num_hashes, bands=bands,
-            jaccard_threshold=jaccard_threshold)
-        reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
-                             b_col="id_b", id_col=id_col,
-                             max_iter=max_iter)
+    if use_near:
+        if near_reps is None:
+            from documentai_spark.operators.dedup import (
+                cluster_pairs, minhash_dedup_pairs,
+            )
+            pairs = minhash_dedup_pairs(
+                df.select(id_col, text_col), text_col=text_col,
+                id_col=id_col, num_hashes=num_hashes, bands=bands,
+                jaccard_threshold=jaccard_threshold)
+            reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
+                                 b_col="id_b", id_col=id_col,
+                                 max_iter=max_iter)
+        else:
+            reps = near_reps.select(id_col, "cluster_rep")
         # try_cast here: the same rows already pass dup_id's checked
         # cast in this projection, so a second assert would be noise
         lid = F.col(id_col).try_cast("long")

@@ -69,6 +69,31 @@ def _commit_manifest(out_path: str, rec: dict) -> None:
     os.replace(tmp, path)
 
 
+def _stage_manifest_path(out_path: str, name: str) -> str:
+    return os.path.join(out_path, MANIFEST_DIR, f"stage-{name}.json")
+
+
+def read_stage_manifest(out_path: str, name: str) -> dict | None:
+    """A named (non-bucket) stage's committed manifest, or None."""
+    path = _stage_manifest_path(out_path, name)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_stage_manifest(out_path: str, name: str, rec: dict) -> None:
+    """Same atomic tmp+rename protocol for named pipeline stages (the
+    near-dedup reps table); committed only AFTER the stage's data write
+    succeeded, so a kill mid-stage re-runs it from scratch."""
+    path = _stage_manifest_path(out_path, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+
+
 def lineage_table(spark: SparkSession, out_path: str):
     """The `_lineage` table view: committed manifests as a DataFrame
     (the Iceberg commit-metadata analog; SURVEY §1.1 lineage record)."""
@@ -161,8 +186,62 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
     return stats
 
 
+NEAR_REPS_DIR = "_near_reps"
+NEAR_REPS_STAGE = "near-reps"
+
+
+def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
+                     *, log=print, **curate_kw):
+    """Stage 0 of the near-dedup resume protocol (VERDICT r6 #2): the
+    cluster closure labels GLOBALLY, so the per-bucket loop cannot
+    recompute it bucket-by-bucket — instead LSH pairs + closure run
+    ONCE over the whole input and the representatives table is written
+    under the same manifest protocol as the buckets (data write first,
+    atomic tmp+rename manifest after; a kill mid-stage leaves no
+    manifest and the stage re-runs from scratch). Resume skips straight
+    to reading the written reps. Returns the reps DataFrame."""
+    from pyspark.sql.observation import Observation
+
+    from documentai_spark.operators.dedup import (
+        cluster_pairs, minhash_dedup_pairs,
+    )
+
+    reps_dir = os.path.join(out_path, NEAR_REPS_DIR)
+    prior = read_stage_manifest(out_path, NEAR_REPS_STAGE)
+    if prior and prior.get("status") == "done":
+        log(f"[curate-checkpoint] reps stage: skipped "
+            f"({prior['rows_out']} reps committed)")
+        return spark.read.parquet(reps_dir)
+    id_col = curate_kw.get("id_col", "doc_id")
+    text_col = curate_kw.get("text_col", "text")
+    started = time.time()
+    src = spark.read.parquet(in_path)
+    pairs = minhash_dedup_pairs(
+        src.select(id_col, text_col), text_col=text_col, id_col=id_col,
+        num_hashes=curate_kw.get("num_hashes", 64),
+        bands=curate_kw.get("bands", 16),
+        jaccard_threshold=curate_kw.get("jaccard_threshold", 0.8))
+    reps = cluster_pairs(pairs, src.select(id_col), a_col="id_a",
+                         b_col="id_b", id_col=id_col,
+                         max_iter=curate_kw.get("max_iter", 50))
+    obs = Observation("near_reps")
+    (reps.observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(reps_dir))
+    rec = {
+        "stage": NEAR_REPS_STAGE, "status": "done",
+        "rows_out": obs.get["n"], "bytes_out": _dir_bytes(reps_dir),
+        "started": started, "finished": time.time(),
+        "wall_sec": round(time.time() - started, 3),
+    }
+    _commit_stage_manifest(out_path, NEAR_REPS_STAGE, rec)
+    log(f"[curate-checkpoint] reps stage: {rec['rows_out']} reps, "
+        f"{rec['wall_sec']}s")
+    return spark.read.parquet(reps_dir)
+
+
 def run_checkpointed_curation(spark: SparkSession, in_path: str,
                               out_path: str, *, n_buckets: int = 16,
+                              near_dedup: bool = False,
                               max_buckets: int | None = None,
                               log=print, **curate_kw) -> dict:
     """Checkpointed corpus curation over a documents table.
@@ -175,6 +254,17 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
     a bucket(N, fingerprint) derived-column partition spec). The
     manifest additionally records ``kept``; both counts ride the write
     job via Observations.
+
+    ``near_dedup=True`` (r7): two-phase. Phase 0 computes LSH pairs +
+    the global cluster closure ONCE and commits the representatives
+    table under its own stage manifest (:func:`_near_reps_stage`);
+    the per-bucket loop then JOINS the written reps
+    (``with_curation_flags(near_reps=...)``) — every bucket sees the
+    same global labels, so the keep set byte-equals a single
+    non-resumed ``near_dedup=True`` run while both phases stay
+    idempotently resumable. Flag mode is recorded per bucket; resuming
+    an output directory with the OTHER mode raises (the schemas
+    differ — use a fresh output dir).
     """
     from pyspark.sql.observation import Observation
 
@@ -188,8 +278,21 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
         "_bucket", F.pmod(F.hash(fingerprint_col(F.col("text"))),
                           F.lit(n_buckets)))
     done = read_manifest(out_path)
-    stats = {"rows_in": 0, "rows_out": 0, "kept": 0, "bytes_out": 0,
-             "failures": 0, "buckets_done": 0, "buckets_skipped": 0}
+    mismatched = [b for b, rec in done.items()
+                  if bool(rec.get("near_dedup", False)) != near_dedup]
+    if mismatched:
+        raise ValueError(
+            f"output {out_path!r} holds buckets committed with "
+            f"near_dedup={not near_dedup} (e.g. bucket {mismatched[0]}); "
+            "resuming with a different flag mode would mix schemas — "
+            "use a fresh output directory")
+    reps = None
+    if near_dedup:
+        reps = _near_reps_stage(spark, in_path, out_path, log=log,
+                                **curate_kw)
+    stats = {"rows_in": 0, "rows_out": 0, "kept": 0, "near_dup": 0,
+             "bytes_out": 0, "failures": 0, "buckets_done": 0,
+             "buckets_skipped": 0}
     processed = 0
     for bucket in range(n_buckets):
         prior = done.get(bucket)
@@ -198,6 +301,7 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
             stats["rows_in"] += prior["rows_in"]
             stats["rows_out"] += prior["rows_out"]
             stats["kept"] += prior.get("kept", 0)
+            stats["near_dup"] += prior.get("near_dup", 0)
             stats["bytes_out"] += prior.get("bytes_out", 0)
             continue
         if max_buckets is not None and processed >= max_buckets:
@@ -206,27 +310,39 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
         part = (src.filter(F.col("_bucket") == bucket).drop("_bucket")
                    .repartition(bucket_partitions))
         obs = Observation(f"cur_{bucket}")
-        out = curate_documents(part, **curate_kw).observe(
-            obs, F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("keep").cast("long")).alias("kept"))
+        out = curate_documents(part, near_reps=reps, **curate_kw)
+        metrics = [F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("keep").cast("long")).alias("kept")]
+        if near_dedup:
+            metrics.append(F.sum(F.col("is_near_dup").cast("long"))
+                           .alias("near_dup"))
+        out = out.observe(obs, *metrics)
         bucket_dir = os.path.join(out_path, f"bucket={bucket}")
         out.write.mode("overwrite").parquet(bucket_dir)
-        n = obs.get["n"]
-        kept = int(obs.get["kept"] or 0)
+        acc = dict(obs.get)
+        n = acc["n"]
+        kept = int(acc["kept"] or 0)
+        near = int(acc.get("near_dup") or 0)
         rec = {
             "partition": bucket, "status": "done",
             "rows_in": n, "rows_out": n, "kept": kept,
+            "near_dedup": near_dedup,
             "bytes_out": _dir_bytes(bucket_dir), "failures": 0,
             "started": started, "finished": time.time(),
             "wall_sec": round(time.time() - started, 3),
         }
+        if near_dedup:
+            rec["near_dup"] = near
         _commit_manifest(out_path, rec)
         processed += 1
         stats["buckets_done"] += 1
         stats["rows_in"] += n
         stats["rows_out"] += n
         stats["kept"] += kept
+        stats["near_dup"] += near
         stats["bytes_out"] += rec["bytes_out"]
         log(f"[curate-checkpoint] bucket {bucket}/{n_buckets}: "
             f"{n} rows ({kept} kept), {rec['wall_sec']}s")
+    if not near_dedup:
+        del stats["near_dup"]
     return stats

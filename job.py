@@ -99,11 +99,15 @@ def main() -> None:
                          "keep/audit flags partitioned by keep, and "
                          "prints the drop accounting")
     ap.add_argument("--near-dedup", action="store_true",
-                    help="with --curate: also run the MinHash-LSH -> "
-                         "Jaccard-verify -> cluster-closure near-dup "
-                         "chain; non-representative near-duplicates are "
+                    help="with --curate/--prepare: also run the "
+                         "MinHash-LSH -> Jaccard-verify -> "
+                         "cluster-closure near-dup chain; "
+                         "non-representative near-duplicates are "
                          "dropped and accounted separately (near_dup) "
-                         "from exact fingerprint dups")
+                         "from exact fingerprint dups. With --curate "
+                         "--resume the global pairs+closure stage runs "
+                         "ONCE under its own checkpoint manifest and "
+                         "each bucket joins the written reps table")
     ap.add_argument("--prepare", action="store_true",
                     help="training-data export mode: --input is a "
                          "documents table; runs curate [-> decontaminate "
@@ -166,13 +170,8 @@ def main() -> None:
         ap.error(f"mutually exclusive modes: {' '.join(modes)}")
     if args.resume and modes and modes != ["--curate"]:
         ap.error(f"--resume cannot be combined with {modes[0]}")
-    if args.near_dedup and (not (args.curate or args.prepare)
-                            or args.resume):
-        # the closure labels globally; the per-bucket --resume loop
-        # processes partitions independently, so near-dedup there would
-        # silently miss cross-bucket near-duplicates
-        ap.error("--near-dedup requires --curate or --prepare "
-                 "(without --resume)")
+    if args.near_dedup and not (args.curate or args.prepare):
+        ap.error("--near-dedup requires --curate or --prepare")
     if (args.benchmark or args.mixture) and not args.prepare:
         ap.error("--benchmark/--mixture are --prepare options")
     if args.input_format != "parquet" and (modes or args.resume):
@@ -266,14 +265,18 @@ def main() -> None:
             run_checkpointed_curation,
         )
         t0 = time.time()
-        stats = run_checkpointed_curation(spark, args.input, args.output)
+        stats = run_checkpointed_curation(spark, args.input, args.output,
+                                          near_dedup=args.near_dedup)
         wall = time.time() - t0
-        print(json.dumps({"rows": stats["rows_out"],
-                          "kept": stats["kept"],
-                          "buckets_done": stats["buckets_done"],
-                          "buckets_skipped": stats["buckets_skipped"],
-                          "sec": round(wall, 2),
-                          "output": args.output}))
+        line = {"rows": stats["rows_out"],
+                "kept": stats["kept"],
+                "buckets_done": stats["buckets_done"],
+                "buckets_skipped": stats["buckets_skipped"],
+                "sec": round(wall, 2),
+                "output": args.output}
+        if args.near_dedup:
+            line["near_dup"] = stats["near_dup"]
+        print(json.dumps(line))
         spark.stop()
         return
 

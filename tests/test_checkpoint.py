@@ -155,3 +155,80 @@ def test_curation_checkpoint_resume_and_global_dedup(spark, tmp_path):
                                    log=lambda *_: None)
     assert s3["buckets_skipped"] == 4 and s3["rows_out"] == s2["rows_out"]
     assert s3["kept"] == s2["kept"]
+
+
+def test_near_dedup_checkpoint_resume_byte_equals_single_run(spark,
+                                                             tmp_path):
+    """VERDICT r6 #2: resumable near-dedup. Phase 0 commits the GLOBAL
+    pairs+closure reps table under its own stage manifest; the
+    per-bucket loop joins it. A killed run resumes (reps stage and done
+    buckets both skipped, not recomputed) and the final flag set
+    byte-equals the non-resumed near_dedup=True operator run —
+    including a near-dup cluster whose members land in DIFFERENT
+    fingerprint buckets (the case a per-bucket closure would miss)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import curate_documents
+    from documentai_spark.plans.checkpoint import (
+        read_stage_manifest, run_checkpointed_curation,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away into the deep woods where it was happy to "
+            "rest for a while before returning to the warm den")
+    other = ("completely different content about spark plans and "
+             "shuffles and broadcast joins in a distributed engine "
+             "that keeps the optimizer busy for a good long while")
+    rows = ([(1, base), (2, base),            # exact dups (co-bucket)
+             (3, base + " extra"),            # near dup, OWN fingerprint
+             (4, base + " extra tail"),       # transitive near dup
+             (5, other)]
+            + [(10 + i, " ".join(f"tok{i}a{j}" for j in range(25)))
+               for i in range(8)])   # disjoint vocab: no accidental dups
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    in_dir = str(tmp_path / "nd_in")
+    docs.write.parquet(in_dir)
+    out_dir = str(tmp_path / "nd_out")
+
+    kw = dict(jaccard_threshold=0.7, min_tokens=5, min_confidence=0.0,
+              min_stopword_ratio=0.0)
+
+    # partial run (kill analog): reps stage + 2 of 4 buckets commit
+    s1 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   near_dedup=True, max_buckets=2,
+                                   log=lambda *_: None, **kw)
+    assert s1["buckets_done"] == 2
+    rep_m = read_stage_manifest(out_dir, "near-reps")
+    assert rep_m and rep_m["status"] == "done"
+    assert rep_m["rows_out"] == len(rows)     # one label per doc
+
+    # resume: reps stage skipped (same manifest, not recomputed)
+    s2 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   near_dedup=True,
+                                   log=lambda *_: None, **kw)
+    assert s2["buckets_skipped"] == 2 and s2["buckets_done"] == 2
+    assert read_stage_manifest(out_dir, "near-reps")["finished"] == \
+        rep_m["finished"]
+
+    got = {r.doc_id: (r.keep, r.is_dup, r.is_near_dup) for r in
+           spark.read.parquet(out_dir + "/bucket=*").collect()}
+    want = {r.doc_id: (r.keep, r.is_dup, r.is_near_dup) for r in
+            curate_documents(docs, near_dedup=True, **kw).collect()}
+    assert got == want and len(got) == len(rows)
+    assert got[2] == (False, True, False)     # exact attribution
+    assert got[3][2] and got[4][2]            # cross-bucket near dups
+    assert s2["near_dup"] == 2
+    assert s2["kept"] == sum(1 for k, _, _ in got.values() if k)
+
+    # third run: everything skips, totals unchanged
+    s3 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                   near_dedup=True,
+                                   log=lambda *_: None, **kw)
+    assert s3["buckets_skipped"] == 4 and s3["near_dup"] == s2["near_dup"]
+
+    # mode-mismatch guard: resuming the same dir WITHOUT near-dedup
+    # would mix schemas — refuse loudly
+    with pytest.raises(ValueError, match="near_dedup"):
+        run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
+                                  log=lambda *_: None, **kw)

@@ -367,25 +367,24 @@ def test_near_dedup_curation_flags(spark):
 
 
 def test_near_dedup_job_flag_validation():
-    """--near-dedup refuses to run outside plain --curate (argparse
-    errors fire before any Spark session is built)."""
+    """--near-dedup refuses to run outside --curate/--prepare (argparse
+    errors fire before any Spark session is built). Since r7 the
+    --curate --resume --near-dedup combination is LEGAL (the
+    checkpointed reps-stage protocol) — only the bare form errors."""
     import sys
 
     import pytest
 
     import job
 
-    for argv in (["job.py", "--input", "x", "--output", "y",
-                  "--near-dedup"],
-                 ["job.py", "--input", "x", "--output", "y",
-                  "--curate", "--resume", "--near-dedup"]):
-        old = sys.argv
-        sys.argv = argv
-        try:
-            with pytest.raises(SystemExit):
-                job.main()
-        finally:
-            sys.argv = old
+    old = sys.argv
+    sys.argv = ["job.py", "--input", "x", "--output", "y",
+                "--near-dedup"]
+    try:
+        with pytest.raises(SystemExit):
+            job.main()
+    finally:
+        sys.argv = old
 
 
 def test_mixture_sample_rates_and_independence(spark):
