@@ -43,11 +43,16 @@ from documentai_spark.operators.curation import token_count_col
 PACK_SCHEMA = ("doc_id bigint, shard int, bin bigint, n_tokens int, "
                "oversize boolean")
 
+# the sizing-rule cap: one shard == one applyInPandas pandas frame
+# (~100 MB of narrow rows at this cap); callers size
+# n_shards >= ceil(corpus_rows / MAX_ROWS_PER_SHARD)
+MAX_ROWS_PER_SHARD = 5_000_000
+
 
 def pack_sequences(docs: DataFrame, *, budget: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    n_shards: int = 16,
-                   max_rows_per_shard: int = 5_000_000,
+                   max_rows_per_shard: int = MAX_ROWS_PER_SHARD,
                    est_rows: int | None = None,
                    group_cols: list[str] | None = None) -> DataFrame:
     """(doc_id, shard, bin, n_tokens, oversize) greedy packing

@@ -59,6 +59,22 @@ def check_driver_heap(heap_bytes: int,
             "apply after JVM start)", ResourceWarning, stacklevel=2)
 
 
+def auto_shards(requested: int, corpus_rows: int) -> int:
+    """Packing parallelism for --prepare stage 2 (VERDICT r6 #5): the
+    corpus row count is already OBSERVED by the time packing runs, so
+    the shard count self-sizes to the pack_sequences sizing rule —
+    ``max(requested, ceil(rows / MAX_ROWS_PER_SHARD))`` — instead of
+    packing a huge corpus at the requested value and relying on the
+    ResourceWarning."""
+    import math
+
+    from documentai_spark.operators.packing import MAX_ROWS_PER_SHARD
+
+    if corpus_rows <= 0:
+        return requested
+    return max(requested, math.ceil(corpus_rows / MAX_ROWS_PER_SHARD))
+
+
 def zero_nulls(metrics) -> dict:
     """Observation metrics with SQL-NULL sums coalesced to 0: SUM over
     zero observed rows is None, and the report arithmetic below
@@ -318,6 +334,14 @@ def main() -> None:
                 F.sum(surviving.cast("int")).alias("surviving"),
             ] + [F.sum(F.col(flag_col.get(r, r)).cast("int")).alias(r)
                  for r in reasons]
+            if mixture:
+                # per-source composition BEFORE thinning (VERDICT r6
+                # #6): indicator sums over the known rate keys ride the
+                # same Observation — no extra pass, no output re-read
+                metrics += [
+                    F.sum((surviving & (F.col("source") == s))
+                          .cast("int")).alias(f"src_before_{s}")
+                    for s in mixture]
             return df.observe(obs_flags, *metrics)
 
         prep = prepare_training_data(
@@ -336,6 +360,11 @@ def main() -> None:
         corpus_metrics = [F.count(F.lit(1)).alias("rows")] + [
             F.sum((F.col("split") == s).cast("int")).alias(f"split_{s}")
             for s in weights]
+        if mixture:
+            corpus_metrics += [
+                F.sum((F.col("source") == s).cast("int"))
+                 .alias(f"src_after_{s}")
+                for s in mixture]
         (prep.corpus.observe(obs_corpus, *corpus_metrics)
              .write.mode("overwrite").partitionBy("split")
              .parquet(corpus_path))
@@ -350,6 +379,7 @@ def main() -> None:
         # would die with UNABLE_TO_INFER_SCHEMA after the (empty)
         # corpus write already succeeded — report the empty export
         # instead.
+        n_shards = auto_shards(args.pack_shards, acc_c["rows"])
         if acc_c["rows"] == 0:
             acc_p = {"rows": 0, "oversize": 0}
             seqs = {}
@@ -357,7 +387,7 @@ def main() -> None:
             obs_pack = Observation("prepare_pack")
             assign = pack_corpus(
                 spark.read.parquet(corpus_path), budget=args.budget,
-                n_shards=args.pack_shards, est_rows=acc_c["rows"])
+                n_shards=n_shards, est_rows=acc_c["rows"])
             (assign.observe(
                     obs_pack, F.count(F.lit(1)).alias("rows"),
                     F.sum(F.col("oversize").cast("int")).alias("oversize"))
@@ -373,7 +403,7 @@ def main() -> None:
                                    .alias("n"))
                               .collect())}
         wall = time.time() - t0
-        print(json.dumps({
+        line = {
             "rows": acc["rows"], "kept": acc["kept"],
             "dropped": acc["rows"] - acc["surviving"],
             "by_reason": {k: acc[k] for k in reasons},
@@ -381,8 +411,20 @@ def main() -> None:
             "splits": {s: acc_c[f"split_{s}"] for s in weights},
             "packed_docs": acc_p["rows"], "oversize": acc_p["oversize"],
             "sequences": seqs, "budget": args.budget,
+            "pack_shards": n_shards,
             "sec": round(wall, 2),
-            "corpus": corpus_path, "assignment": assign_path}))
+            "corpus": corpus_path, "assignment": assign_path}
+        if mixture:
+            # {source: [surviving_before_thinning, in_corpus_after]};
+            # '*' aggregates sources outside the rate map (kept at
+            # default_rate=1.0, so before == after there)
+            by_src = {s: [acc[f"src_before_{s}"], acc_c[f"src_after_{s}"]]
+                      for s in mixture}
+            by_src["*"] = [
+                acc["surviving"] - sum(v[0] for v in by_src.values()),
+                acc_c["rows"] - sum(v[1] for v in by_src.values())]
+            line["mixture_by_source"] = by_src
+        print(json.dumps(line))
         spark.stop()
         return
 
