@@ -56,7 +56,8 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                         near_reps: DataFrame | None = None,
                         jaccard_threshold: float = 0.8,
                         num_hashes: int = 64, bands: int = 16,
-                        max_iter: int = 50) -> DataFrame:
+                        max_iter: int = 50,
+                        near_stats: dict | None = None) -> DataFrame:
     """Adds keep / is_dup / bad_lang / bad_len / low_conf.
 
     ``df`` must already carry the quality ``confidence`` column (run
@@ -132,7 +133,7 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                 jaccard_threshold=jaccard_threshold)
             reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
                                  b_col="id_b", id_col=id_col,
-                                 max_iter=max_iter)
+                                 max_iter=max_iter, stats=near_stats)
         else:
             reps = near_reps.select(id_col, "cluster_rep")
         # try_cast here: the same rows already pass dup_id's checked

@@ -357,7 +357,8 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
                   a_col: str = "doc_a", b_col: str = "doc_b",
                   id_col: str = "doc_id",
-                  max_iter: int = 50) -> DataFrame:
+                  max_iter: int = 50,
+                  stats: dict | None = None) -> DataFrame:
     """Near-dup PAIRS -> clusters: connected components by iterative
     min-label propagation. Returns ``(id_col, cluster_rep)`` where
     ``cluster_rep`` is the smallest id in the component — the canonical
@@ -402,7 +403,7 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
     prev_cp = labels  # the round's eagerly-checkpointed label table
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nbr_min = (edges
                    .join(labels.select(F.col("node").alias("dst"),
                                        F.col("label").alias("dlab")),
@@ -430,6 +431,10 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
         if changed == 0:
             # the result depends only on the final label table
             _free_local_checkpoint(edges)
+            if stats is not None:
+                # observability hook (the sf1 export evidence records
+                # the round count); rounds ~ component diameter + 1
+                stats["rounds"] = round_no
             return labels.select(F.col("node").alias(id_col),
                                  F.col("label").alias("cluster_rep"))
     _free_local_checkpoint(edges)

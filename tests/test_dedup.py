@@ -137,11 +137,16 @@ def test_cluster_pairs_transitive_closure(spark):
     nodes = spark.createDataFrame([(i,) for i in
                                    (1, 5, 9, 20, 21, 30, 40)],
                                   ["doc_id"])
+    stats = {}
     got = {r.doc_id: r.cluster_rep
-           for r in cluster_pairs(pairs, nodes).collect()}
+           for r in cluster_pairs(pairs, nodes, stats=stats).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 30: 1,      # chain 1-5-9-30
                    20: 20, 21: 20,               # separate component
                    40: 40}                       # singleton
+    # observability hook (sf1 export evidence): rounds recorded; label
+    # 1 travels 1->5->9->30 one hop per synchronous round (3 lowering
+    # rounds), +1 round to detect convergence
+    assert stats["rounds"] == 4
 
 
 def test_cluster_pairs_convergence_guard(spark):
