@@ -49,6 +49,19 @@ PACK_SCHEMA = ("doc_id bigint, shard int, bin bigint, n_tokens int, "
 MAX_ROWS_PER_SHARD = 5_000_000
 
 
+def auto_shards(requested: int, corpus_rows: int) -> int:
+    """Self-sizing packing parallelism (VERDICT r6 #5): when the corpus
+    row count is known (the --prepare job observes it before packing),
+    the shard count is ``max(requested, ceil(rows /
+    MAX_ROWS_PER_SHARD))`` — the sizing rule made self-enforcing
+    instead of relying on the ResourceWarning."""
+    import math
+
+    if corpus_rows <= 0:
+        return requested
+    return max(requested, math.ceil(corpus_rows / MAX_ROWS_PER_SHARD))
+
+
 def pack_sequences(docs: DataFrame, *, budget: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    n_shards: int = 16,

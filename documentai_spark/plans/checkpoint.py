@@ -186,6 +186,14 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
     return stats
 
 
+def zero_nulls(metrics) -> dict:
+    """Observation metrics with SQL-NULL sums coalesced to 0: SUM over
+    zero observed rows is None, and the accounting arithmetic
+    (``rows - surviving`` etc.) would raise TypeError on an empty input
+    or an all-dropped filter AFTER the writes already succeeded."""
+    return {k: (0 if v is None else v) for k, v in dict(metrics).items()}
+
+
 NEAR_REPS_DIR = "_near_reps"
 NEAR_REPS_STAGE = "near-reps"
 
@@ -346,3 +354,228 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
     if not near_dedup:
         del stats["near_dup"]
     return stats
+
+
+PREPARE_CORPUS_STAGE = "prepare-corpus"
+PREPARE_ASSIGN_STAGE = "prepare-assignment"
+
+
+def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
+                       *, benchmark=None, near_dedup: bool = False,
+                       split_weights: dict[str, float] | None = None,
+                       mixture_rates: dict[str, float] | None = None,
+                       budget: int = 2048, pack_shards: int = 16,
+                       seed: int = 42, resume: bool = False,
+                       max_stages: int | None = None,
+                       log=print) -> dict:
+    """The --prepare job body as manifest-committed stages (r7): the
+    export a 100 TB pipeline actually runs is hours long, and a crash
+    between the corpus and assignment writes used to redo everything.
+    Both stages now commit under the checkpoint manifest protocol
+    (data write first, atomic tmp+rename manifest after — a kill
+    mid-stage leaves no manifest and the stage re-runs via its
+    idempotent overwrite):
+
+    - ``prepare-corpus``: flag stack [+ near-dedup + decontamination +
+      mixture] -> split -> partitioned corpus write; the manifest
+      stores BOTH Observation accountings (flags + corpus) so a resumed
+      run reprints the full report without recomputing anything.
+    - ``prepare-assignment``: pack from the written corpus (auto-sized
+      shards) -> partitioned assignment write; manifest stores the
+      packing accounting and per-split sequence counts.
+
+    ``resume=True`` skips committed stages; with ``near_dedup`` the
+    global pairs+closure additionally stages through
+    :func:`_near_reps_stage` (so a crash mid-export resumes past the
+    LSH chain too). ``resume=False`` ignores existing manifests and
+    recomputes both stages (manifests are rewritten). The stage
+    manifests record the job CONFIG (splits/mixture/budget/seed/
+    near-dedup/benchmark presence); resuming with a different config
+    raises instead of silently mixing exports. Resume assumes the
+    input (and benchmark) tables are unchanged — the same contract as
+    every resume mode here.
+
+    ``max_stages`` limits how many stages EXECUTE this call (the
+    kill-analog test hook); a partial run returns ``incomplete: True``.
+    Returns the accounting line ``job.py --prepare`` prints.
+    """
+    import time as _time
+
+    from pyspark.sql.observation import Observation
+
+    from documentai_spark.operators.packing import auto_shards
+    from documentai_spark.plans.prepare import (
+        pack_corpus, prepare_training_data,
+    )
+
+    weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    config = {"splits": weights, "mixture": mixture_rates,
+              "budget": budget, "seed": seed, "near_dedup": near_dedup,
+              "benchmark": benchmark is not None}
+
+    def _check_config(rec: dict, stage: str) -> None:
+        if rec.get("config") != config:
+            raise ValueError(
+                f"stage {stage!r} in {out_path!r} was committed with a "
+                f"different configuration ({rec.get('config')} vs "
+                f"{config}); resuming would mix exports — use a fresh "
+                "output directory or matching arguments")
+
+    corpus_path = os.path.join(out_path, "corpus")
+    assign_path = os.path.join(out_path, "assignment")
+    reasons = ["dup", "bad_lang", "bad_len", "low_conf"]
+    if near_dedup:
+        reasons.insert(1, "near_dup")
+    if benchmark is not None:
+        reasons.append("contaminated")
+    flag_col = {"dup": "is_dup", "near_dup": "is_near_dup"}
+
+    t0 = _time.time()
+    executed = 0
+    skipped: list[str] = []
+
+    # ---- stage 1: corpus ----
+    prior = read_stage_manifest(out_path, PREPARE_CORPUS_STAGE) \
+        if resume else None
+    if prior and prior.get("status") == "done":
+        _check_config(prior, PREPARE_CORPUS_STAGE)
+        acc, acc_c = prior["acc"], prior["acc_c"]
+        skipped.append("corpus")
+        log(f"[prepare] corpus stage: skipped "
+            f"({acc_c['rows']} rows committed)")
+    else:
+        near_reps = None
+        if near_dedup and resume:
+            # the closure is the longest sub-stage — under resume it
+            # commits separately so a crash after it never re-runs LSH
+            near_reps = _near_reps_stage(spark, in_path, out_path,
+                                         log=log)
+            executed += 1  # counts toward max_stages as real work
+        obs_flags = Observation("prepare_flags")
+
+        def observe_flags(df):
+            surviving = F.col("keep")
+            if benchmark is not None:
+                surviving = surviving & ~F.col("contaminated")
+            metrics = [
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("int")).alias("kept"),
+                F.sum(surviving.cast("int")).alias("surviving"),
+            ] + [F.sum(F.col(flag_col.get(r, r)).cast("int")).alias(r)
+                 for r in reasons]
+            if mixture_rates:
+                # per-source composition BEFORE thinning: indicator
+                # sums over the known rate keys ride the same
+                # Observation — no extra pass, no output re-read
+                metrics += [
+                    F.sum((surviving & (F.col("source") == s))
+                          .cast("int")).alias(f"src_before_{s}")
+                    for s in mixture_rates]
+            return df.observe(obs_flags, *metrics)
+
+        started = _time.time()
+        prep = prepare_training_data(
+            spark.read.parquet(in_path), benchmark=benchmark,
+            near_dedup=near_dedup and near_reps is None,
+            near_reps=near_reps, split_weights=weights,
+            mixture_rates=mixture_rates, budget=budget,
+            n_shards=pack_shards, seed=seed, observer=observe_flags)
+        obs_corpus = Observation("prepare_corpus")
+        corpus_metrics = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum((F.col("split") == s).cast("int")).alias(f"split_{s}")
+            for s in weights]
+        if mixture_rates:
+            corpus_metrics += [
+                F.sum((F.col("source") == s).cast("int"))
+                 .alias(f"src_after_{s}")
+                for s in mixture_rates]
+        (prep.corpus.observe(obs_corpus, *corpus_metrics)
+             .write.mode("overwrite").partitionBy("split")
+             .parquet(corpus_path))
+        acc = zero_nulls(obs_flags.get)
+        acc_c = zero_nulls(obs_corpus.get)
+        _commit_stage_manifest(out_path, PREPARE_CORPUS_STAGE, {
+            "stage": PREPARE_CORPUS_STAGE, "status": "done",
+            "acc": acc, "acc_c": acc_c, "config": config,
+            "bytes_out": _dir_bytes(corpus_path),
+            "started": started, "finished": _time.time(),
+            "wall_sec": round(_time.time() - started, 3)})
+        executed += 1
+        log(f"[prepare] corpus stage: {acc_c['rows']} rows, "
+            f"{round(_time.time() - started, 1)}s")
+
+    n_shards = auto_shards(pack_shards, acc_c["rows"])
+
+    def _line(acc_p: dict, seqs: dict, incomplete: bool = False) -> dict:
+        line = {
+            "rows": acc["rows"], "kept": acc["kept"],
+            "dropped": acc["rows"] - acc["surviving"],
+            "by_reason": {k: acc[k] for k in reasons},
+            "mixture_dropped": acc["surviving"] - acc_c["rows"],
+            "splits": {s: acc_c[f"split_{s}"] for s in weights},
+            "packed_docs": acc_p["rows"], "oversize": acc_p["oversize"],
+            "sequences": seqs, "budget": budget,
+            "pack_shards": n_shards,
+            "sec": round(_time.time() - t0, 2),
+            "stages_skipped": skipped,
+            "corpus": corpus_path, "assignment": assign_path}
+        if mixture_rates:
+            # {source: [surviving_before_thinning, in_corpus_after]};
+            # '*' aggregates sources outside the rate map (kept at
+            # default_rate=1.0, so before == after there)
+            by_src = {s: [acc[f"src_before_{s}"],
+                          acc_c[f"src_after_{s}"]]
+                      for s in mixture_rates}
+            by_src["*"] = [
+                acc["surviving"] - sum(v[0] for v in by_src.values()),
+                acc_c["rows"] - sum(v[1] for v in by_src.values())]
+            line["mixture_by_source"] = by_src
+        if incomplete:
+            line["incomplete"] = True
+        return line
+
+    # ---- stage 2: assignment ----
+    prior = read_stage_manifest(out_path, PREPARE_ASSIGN_STAGE) \
+        if resume else None
+    if prior and prior.get("status") == "done":
+        _check_config(prior, PREPARE_ASSIGN_STAGE)
+        skipped.append("assignment")
+        log("[prepare] assignment stage: skipped")
+        return _line(prior["acc_p"], prior["seqs"])
+    if max_stages is not None and executed >= max_stages:
+        return _line({"rows": 0, "oversize": 0}, {}, incomplete=True)
+    started = _time.time()
+    if acc_c["rows"] == 0:
+        # a partitioned write of nothing leaves no parquet files, so
+        # the re-read would die with UNABLE_TO_INFER_SCHEMA after the
+        # (empty) corpus write already succeeded — report the empty
+        # export instead
+        acc_p = {"rows": 0, "oversize": 0}
+        seqs: dict = {}
+    else:
+        obs_pack = Observation("prepare_pack")
+        assign = pack_corpus(
+            spark.read.parquet(corpus_path), budget=budget,
+            n_shards=n_shards, est_rows=acc_c["rows"])
+        (assign.observe(
+                obs_pack, F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("oversize").cast("int")).alias("oversize"))
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(assign_path))
+        acc_p = zero_nulls(obs_pack.get)
+        # sequences per split: one tiny agg over the narrow written
+        # assignment (end-of-job reporting)
+        seqs = {r["split"]: r["n"]
+                for r in (spark.read.parquet(assign_path)
+                          .groupBy("split")
+                          .agg(F.countDistinct("shard", "bin")
+                               .alias("n"))
+                          .collect())}
+    _commit_stage_manifest(out_path, PREPARE_ASSIGN_STAGE, {
+        "stage": PREPARE_ASSIGN_STAGE, "status": "done",
+        "acc_p": acc_p, "seqs": seqs, "config": config,
+        "started": started, "finished": _time.time(),
+        "wall_sec": round(_time.time() - started, 3)})
+    log(f"[prepare] assignment stage: {acc_p['rows']} docs packed, "
+        f"{round(_time.time() - started, 1)}s")
+    return _line(acc_p, seqs)

@@ -59,28 +59,11 @@ def check_driver_heap(heap_bytes: int,
             "apply after JVM start)", ResourceWarning, stacklevel=2)
 
 
-def auto_shards(requested: int, corpus_rows: int) -> int:
-    """Packing parallelism for --prepare stage 2 (VERDICT r6 #5): the
-    corpus row count is already OBSERVED by the time packing runs, so
-    the shard count self-sizes to the pack_sequences sizing rule —
-    ``max(requested, ceil(rows / MAX_ROWS_PER_SHARD))`` — instead of
-    packing a huge corpus at the requested value and relying on the
-    ResourceWarning."""
-    import math
-
-    from documentai_spark.operators.packing import MAX_ROWS_PER_SHARD
-
-    if corpus_rows <= 0:
-        return requested
-    return max(requested, math.ceil(corpus_rows / MAX_ROWS_PER_SHARD))
-
-
-def zero_nulls(metrics) -> dict:
-    """Observation metrics with SQL-NULL sums coalesced to 0: SUM over
-    zero observed rows is None, and the report arithmetic below
-    (``rows - surviving`` etc.) would raise TypeError on an empty input
-    or an all-dropped filter AFTER the writes already succeeded."""
-    return {k: (0 if v is None else v) for k, v in dict(metrics).items()}
+# re-exports: auto_shards lives with the sizing rule it enforces,
+# zero_nulls with the stage runner that consumes it (both moved r7 when
+# the --prepare body became the resumable plans.checkpoint stage runner)
+from documentai_spark.operators.packing import auto_shards  # noqa: E402,F401
+from documentai_spark.plans.checkpoint import zero_nulls  # noqa: E402,F401
 
 
 _DEMO_CLASSIFY_CONFIG = {
@@ -130,8 +113,11 @@ def main() -> None:
                          "-> mixture] -> split -> per-split sequence "
                          "packing, writes <output>/corpus and "
                          "<output>/assignment partitioned by split, and "
-                         "prints the full drop accounting "
-                         "(combines with --near-dedup)")
+                         "prints the full drop accounting (combines "
+                         "with --near-dedup; with --resume both stages "
+                         "— and the near-dedup reps stage — commit "
+                         "under checkpoint manifests and committed "
+                         "stages are skipped on re-run)")
     ap.add_argument("--benchmark", default=None, metavar="PARQUET_DIR",
                     help="with --prepare: eval-set parquet whose 8-gram "
                          "overlaps disqualify training documents")
@@ -184,7 +170,8 @@ def main() -> None:
              if on]
     if len(modes) > 1:
         ap.error(f"mutually exclusive modes: {' '.join(modes)}")
-    if args.resume and modes and modes != ["--curate"]:
+    if args.resume and modes and modes[0] not in ("--curate",
+                                                  "--prepare"):
         ap.error(f"--resume cannot be combined with {modes[0]}")
     if args.near_dedup and not (args.curate or args.prepare):
         ap.error("--near-dedup requires --curate or --prepare")
@@ -297,12 +284,10 @@ def main() -> None:
         return
 
     if args.prepare:
-        from pyspark.sql import functions as F
-        from pyspark.sql.observation import Observation
-
-        from documentai_spark.plans.prepare import (
-            pack_corpus, prepare_training_data,
-        )
+        # the two-stage export body lives in plans.checkpoint as
+        # manifest-committed stages (r7) so --prepare --resume skips
+        # committed work; resume=False recomputes both stages
+        from documentai_spark.plans.checkpoint import run_prepare_stages
 
         def _rates(spec: str) -> dict[str, float]:
             out = {}
@@ -315,115 +300,13 @@ def main() -> None:
         mixture = _rates(args.mixture) if args.mixture else None
         bench_df = (spark.read.parquet(args.benchmark)
                     if args.benchmark else None)
-        t0 = time.time()
-        reasons = ["dup", "bad_lang", "bad_len", "low_conf"]
-        if args.near_dedup:
-            reasons.insert(1, "near_dup")
-        if bench_df is not None:
-            reasons.append("contaminated")
-        flag_col = {"dup": "is_dup", "near_dup": "is_near_dup"}
-        obs_flags = Observation("prepare_flags")
-
-        def observe_flags(df):
-            surviving = F.col("keep")
-            if bench_df is not None:
-                surviving = surviving & ~F.col("contaminated")
-            metrics = [
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("keep").cast("int")).alias("kept"),
-                F.sum(surviving.cast("int")).alias("surviving"),
-            ] + [F.sum(F.col(flag_col.get(r, r)).cast("int")).alias(r)
-                 for r in reasons]
-            if mixture:
-                # per-source composition BEFORE thinning (VERDICT r6
-                # #6): indicator sums over the known rate keys ride the
-                # same Observation — no extra pass, no output re-read
-                metrics += [
-                    F.sum((surviving & (F.col("source") == s))
-                          .cast("int")).alias(f"src_before_{s}")
-                    for s in mixture]
-            return df.observe(obs_flags, *metrics)
-
-        prep = prepare_training_data(
-            spark.read.parquet(args.input), benchmark=bench_df,
+        line = run_prepare_stages(
+            spark, args.input, args.output, benchmark=bench_df,
             near_dedup=args.near_dedup, split_weights=weights,
             mixture_rates=mixture, budget=args.budget,
-            n_shards=args.pack_shards, seed=args.seed,
-            observer=observe_flags)
-
-        # stage 1: flag + filter + split, written partitioned by split;
-        # ALL drop accounting rides this one write (Observation — no
-        # output re-read, single-counted)
-        corpus_path = os.path.join(args.output, "corpus")
-        assign_path = os.path.join(args.output, "assignment")
-        obs_corpus = Observation("prepare_corpus")
-        corpus_metrics = [F.count(F.lit(1)).alias("rows")] + [
-            F.sum((F.col("split") == s).cast("int")).alias(f"split_{s}")
-            for s in weights]
-        if mixture:
-            corpus_metrics += [
-                F.sum((F.col("source") == s).cast("int"))
-                 .alias(f"src_after_{s}")
-                for s in mixture]
-        (prep.corpus.observe(obs_corpus, *corpus_metrics)
-             .write.mode("overwrite").partitionBy("split")
-             .parquet(corpus_path))
-        acc = zero_nulls(obs_flags.get)
-        acc_c = zero_nulls(obs_corpus.get)
-
-        # stage 2: pack from the WRITTEN corpus (staging re-read — the
-        # flag stack is not recomputed under the packing shuffle) with
-        # the observed corpus size driving the shard-sizing guard.
-        # Skipped when the corpus observed ZERO rows: a partitioned
-        # write of nothing leaves no parquet files, so the re-read
-        # would die with UNABLE_TO_INFER_SCHEMA after the (empty)
-        # corpus write already succeeded — report the empty export
-        # instead.
-        n_shards = auto_shards(args.pack_shards, acc_c["rows"])
-        if acc_c["rows"] == 0:
-            acc_p = {"rows": 0, "oversize": 0}
-            seqs = {}
-        else:
-            obs_pack = Observation("prepare_pack")
-            assign = pack_corpus(
-                spark.read.parquet(corpus_path), budget=args.budget,
-                n_shards=n_shards, est_rows=acc_c["rows"])
-            (assign.observe(
-                    obs_pack, F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("oversize").cast("int")).alias("oversize"))
-                .write.mode("overwrite").partitionBy("split")
-                .parquet(assign_path))
-            acc_p = zero_nulls(obs_pack.get)
-            # sequences per split: one tiny agg over the narrow written
-            # assignment (end-of-job reporting)
-            seqs = {r["split"]: r["n"]
-                    for r in (spark.read.parquet(assign_path)
-                              .groupBy("split")
-                              .agg(F.countDistinct("shard", "bin")
-                                   .alias("n"))
-                              .collect())}
-        wall = time.time() - t0
-        line = {
-            "rows": acc["rows"], "kept": acc["kept"],
-            "dropped": acc["rows"] - acc["surviving"],
-            "by_reason": {k: acc[k] for k in reasons},
-            "mixture_dropped": acc["surviving"] - acc_c["rows"],
-            "splits": {s: acc_c[f"split_{s}"] for s in weights},
-            "packed_docs": acc_p["rows"], "oversize": acc_p["oversize"],
-            "sequences": seqs, "budget": args.budget,
-            "pack_shards": n_shards,
-            "sec": round(wall, 2),
-            "corpus": corpus_path, "assignment": assign_path}
-        if mixture:
-            # {source: [surviving_before_thinning, in_corpus_after]};
-            # '*' aggregates sources outside the rate map (kept at
-            # default_rate=1.0, so before == after there)
-            by_src = {s: [acc[f"src_before_{s}"], acc_c[f"src_after_{s}"]]
-                      for s in mixture}
-            by_src["*"] = [
-                acc["surviving"] - sum(v[0] for v in by_src.values()),
-                acc_c["rows"] - sum(v[1] for v in by_src.values())]
-            line["mixture_by_source"] = by_src
+            pack_shards=args.pack_shards, seed=args.seed,
+            resume=args.resume,
+            log=lambda *a: print(*a, file=sys.stderr))
         print(json.dumps(line))
         spark.stop()
         return

@@ -232,3 +232,58 @@ def test_near_dedup_checkpoint_resume_byte_equals_single_run(spark,
     with pytest.raises(ValueError, match="near_dedup"):
         run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,
                                   log=lambda *_: None, **kw)
+
+
+def test_prepare_stage_resume(spark, tmp_path):
+    """r7: the --prepare export body is manifest-committed stages. A
+    kill after stage 1 (max_stages hook) resumes into stage 2 only;
+    a fully-committed export resumes as a pure report replay (both
+    stages skipped, line equals the original); a config change on
+    resume refuses; resume=False recomputes ignoring manifests."""
+    import pytest
+
+    from documentai_spark.plans.checkpoint import (
+        read_stage_manifest, run_prepare_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "prep_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "prep_out")
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+
+    # kill analog: stage 1 commits, stage 2 never runs
+    r1 = run_prepare_stages(spark, in_dir, out, resume=True,
+                            max_stages=1, **kw)
+    assert r1["incomplete"] and r1["stages_skipped"] == []
+    assert read_stage_manifest(out, "prepare-corpus")["status"] == "done"
+    assert read_stage_manifest(out, "prepare-assignment") is None
+
+    # resume: corpus skipped, assignment runs; line is complete
+    r2 = run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+    assert r2["stages_skipped"] == ["corpus"]
+    assert "incomplete" not in r2 and r2["packed_docs"] > 0
+
+    # non-resumed reference run in a fresh dir: identical accounting
+    ref = run_prepare_stages(spark, in_dir, str(tmp_path / "ref_out"),
+                             resume=False, **kw)
+    for k in ("rows", "kept", "dropped", "by_reason", "splits",
+              "packed_docs", "oversize", "sequences", "pack_shards"):
+        assert r2[k] == ref[k], k
+
+    # full replay: both stages skip, same accounting, no recompute
+    r3 = run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+    assert r3["stages_skipped"] == ["corpus", "assignment"]
+    assert r3["sequences"] == r2["sequences"]
+    assert r3["sec"] < 1.0           # pure manifest read
+
+    # config mismatch refuses instead of mixing exports
+    with pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True, budget=999,
+                           pack_shards=4, log=lambda *_: None)
+
+    # resume=False ignores manifests and recomputes (manifests rewritten)
+    before = read_stage_manifest(out, "prepare-assignment")["finished"]
+    r4 = run_prepare_stages(spark, in_dir, out, resume=False, **kw)
+    assert r4["stages_skipped"] == [] and r4["sequences"] == r2["sequences"]
+    assert read_stage_manifest(out, "prepare-assignment")["finished"] > before

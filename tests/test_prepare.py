@@ -176,9 +176,10 @@ def test_job_accounting_survives_zero_rows(spark, tmp_path):
 
 
 def test_prepare_job_flag_validation():
-    """--benchmark/--mixture require --prepare; --prepare excludes
-    --resume and the other modes (argparse errors fire before any
-    Spark session is built)."""
+    """--benchmark/--mixture require --prepare; --prepare excludes the
+    other modes (argparse errors fire before any Spark session is
+    built). Since r7 --prepare --resume is LEGAL (the stage-manifest
+    protocol), so only genuinely invalid combos error."""
     import sys
 
     import job
@@ -188,7 +189,7 @@ def test_prepare_job_flag_validation():
                  ["job.py", "--input", "x", "--output", "y",
                   "--mixture", "web:0.5"],
                  ["job.py", "--input", "x", "--output", "y",
-                  "--prepare", "--resume"],
+                  "--classified", "--resume"],
                  ["job.py", "--input", "x", "--output", "y",
                   "--prepare", "--curate"]):
         old = sys.argv
