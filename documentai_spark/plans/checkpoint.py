@@ -447,10 +447,12 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         near_reps = None
         if near_dedup and resume:
             # the closure is the longest sub-stage — under resume it
-            # commits separately so a crash after it never re-runs LSH
+            # commits separately so a crash after it never re-runs the
+            # LSH chain (max_stages counts only the two named stages;
+            # a real kill between reps and corpus resumes past reps
+            # via its own manifest)
             near_reps = _near_reps_stage(spark, in_path, out_path,
                                          log=log)
-            executed += 1  # counts toward max_stages as real work
         obs_flags = Observation("prepare_flags")
 
         def observe_flags(df):

@@ -287,3 +287,39 @@ def test_prepare_stage_resume(spark, tmp_path):
     r4 = run_prepare_stages(spark, in_dir, out, resume=False, **kw)
     assert r4["stages_skipped"] == [] and r4["sequences"] == r2["sequences"]
     assert read_stage_manifest(out, "prepare-assignment")["finished"] > before
+
+
+def test_prepare_stage_resume_with_near_dedup_reps(spark, tmp_path):
+    """--prepare --resume --near-dedup: the global pairs+closure stage
+    commits under its own manifest, so a kill AFTER the reps stage but
+    BEFORE the corpus write resumes without re-running the LSH chain,
+    and the final accounting equals the non-resumed near-dedup export."""
+    from documentai_spark.plans.checkpoint import (
+        _near_reps_stage, read_stage_manifest, run_prepare_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "ndp_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "ndp_out")
+
+    # kill analog: only the reps stage committed
+    _near_reps_stage(spark, in_dir, out, log=lambda *_: None)
+    rep_m = read_stage_manifest(out, "near-reps")
+    assert rep_m["status"] == "done"
+
+    r = run_prepare_stages(spark, in_dir, out, near_dedup=True,
+                           resume=True, budget=120, pack_shards=4,
+                           log=lambda *_: None)
+    # reps NOT recomputed (same manifest), both stages ran fresh
+    assert read_stage_manifest(out, "near-reps")["finished"] == \
+        rep_m["finished"]
+    assert r["stages_skipped"] == []
+
+    ref = run_prepare_stages(spark, in_dir, str(tmp_path / "ndp_ref"),
+                             near_dedup=True, resume=False, budget=120,
+                             pack_shards=4, log=lambda *_: None)
+    for k in ("rows", "kept", "by_reason", "splits", "packed_docs",
+              "sequences"):
+        assert r[k] == ref[k], k
+    assert r["by_reason"]["near_dup"] == ref["by_reason"]["near_dup"]
