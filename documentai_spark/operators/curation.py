@@ -136,9 +136,13 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                                  max_iter=max_iter, stats=near_stats)
         else:
             reps = near_reps.select(id_col, "cluster_rep")
-        # try_cast here: the same rows already pass dup_id's checked
-        # cast in this projection, so a second assert would be noise
-        lid = F.col(id_col).try_cast("long")
+        # checked here TOO (r7 review): relying on dup_id's assert
+        # assumes is_dup survives column pruning — a caller selecting
+        # only is_near_dup lets Spark prune the window and its guard,
+        # and a bad id would silently NULL the dedup decision. The
+        # duplicate assert costs nothing (same expression, one codegen
+        # projection) and holds under ANY pruning.
+        lid = checked_long(F.col(id_col), "with_curation_flags")
         out = (out.join(reps.withColumnRenamed("cluster_rep", "_ct_rep"),
                         id_col, "left")
                   .withColumn(

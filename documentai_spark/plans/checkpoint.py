@@ -59,14 +59,19 @@ def read_manifest(out_path: str) -> dict[int, dict]:
     return out
 
 
-def _commit_manifest(out_path: str, rec: dict) -> None:
-    """Atomic commit: tmp + rename (a crash never leaves a half manifest)."""
-    path = _manifest_path(out_path, rec["partition"])
+def _atomic_write_json(path: str, rec: dict) -> None:
+    """Atomic commit: tmp + rename (a crash never leaves a half
+    manifest) — the ONE commit protocol shared by bucket and stage
+    manifests, so protocol changes (fsync, versioning) cannot diverge."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, path)
+
+
+def _commit_manifest(out_path: str, rec: dict) -> None:
+    _atomic_write_json(_manifest_path(out_path, rec["partition"]), rec)
 
 
 def _stage_manifest_path(out_path: str, name: str) -> str:
@@ -83,15 +88,24 @@ def read_stage_manifest(out_path: str, name: str) -> dict | None:
 
 
 def _commit_stage_manifest(out_path: str, name: str, rec: dict) -> None:
-    """Same atomic tmp+rename protocol for named pipeline stages (the
-    near-dedup reps table); committed only AFTER the stage's data write
-    succeeded, so a kill mid-stage re-runs it from scratch."""
-    path = _stage_manifest_path(out_path, name)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, path)
+    """Stage commit under the shared atomic protocol; committed only
+    AFTER the stage's data write succeeded, so a kill mid-stage leaves
+    no manifest and the stage re-runs from scratch."""
+    _atomic_write_json(_stage_manifest_path(out_path, name), rec)
+
+
+def _clear_stage_manifest(out_path: str, name: str) -> None:
+    """Invalidate a stage BEFORE re-executing it (r7 review): without
+    this, a recompute (``resume=False``, or a config-changed re-run)
+    that crashes mid-write leaves the PRIOR run's ``done`` manifest
+    standing over a half-overwritten data directory, and a later
+    ``--resume`` would skip the stage and serve the corruption. The
+    kill-mid-stage invariant ('no manifest -> stage re-runs') must hold
+    for re-executions, not just fresh output directories."""
+    try:
+        os.remove(_stage_manifest_path(out_path, name))
+    except FileNotFoundError:
+        pass
 
 
 def lineage_table(spark: SparkSession, out_path: str):
@@ -215,13 +229,31 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
     )
 
     reps_dir = os.path.join(out_path, NEAR_REPS_DIR)
+    id_col = curate_kw.get("id_col", "doc_id")
+    text_col = curate_kw.get("text_col", "text")
+    # the reps are only valid for the LSH parameters that built them —
+    # record them and refuse a resume under different ones (r7 review:
+    # silently reusing 0.7-threshold reps on a 0.9-threshold resume
+    # would flag every remaining bucket with the wrong clusters)
+    config = {"id_col": id_col, "text_col": text_col,
+              "num_hashes": curate_kw.get("num_hashes", 64),
+              "bands": curate_kw.get("bands", 16),
+              "jaccard_threshold": curate_kw.get("jaccard_threshold",
+                                                 0.8),
+              "max_iter": curate_kw.get("max_iter", 50)}
     prior = read_stage_manifest(out_path, NEAR_REPS_STAGE)
     if prior and prior.get("status") == "done":
+        if prior.get("config") != config:
+            raise ValueError(
+                f"near-reps stage in {out_path!r} was committed with "
+                f"different parameters ({prior.get('config')} vs "
+                f"{config}); resuming would reuse representatives from "
+                "the wrong clustering — use a fresh output directory "
+                "or matching parameters")
         log(f"[curate-checkpoint] reps stage: skipped "
             f"({prior['rows_out']} reps committed)")
         return spark.read.parquet(reps_dir)
-    id_col = curate_kw.get("id_col", "doc_id")
-    text_col = curate_kw.get("text_col", "text")
+    _clear_stage_manifest(out_path, NEAR_REPS_STAGE)
     started = time.time()
     src = spark.read.parquet(in_path)
     pairs = minhash_dedup_pairs(
@@ -238,6 +270,7 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
     rec = {
         "stage": NEAR_REPS_STAGE, "status": "done",
         "rows_out": obs.get["n"], "bytes_out": _dir_bytes(reps_dir),
+        "config": config,
         "started": started, "finished": time.time(),
         "wall_sec": round(time.time() - started, 3),
     }
@@ -395,9 +428,11 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     input (and benchmark) tables are unchanged — the same contract as
     every resume mode here.
 
-    ``max_stages`` limits how many stages EXECUTE this call (the
-    kill-analog test hook); a partial run returns ``incomplete: True``.
-    Returns the accounting line ``job.py --prepare`` prints.
+    ``max_stages`` limits how many of the two NAMED stages execute
+    this call (the kill-analog test hook; minimum 1 — the first
+    pending stage always executes); a partial run returns
+    ``incomplete: True``. Returns the accounting line ``job.py
+    --prepare`` prints.
     """
     import time as _time
 
@@ -407,6 +442,11 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     from documentai_spark.plans.prepare import (
         pack_corpus, prepare_training_data,
     )
+
+    if max_stages is not None and max_stages < 1:
+        raise ValueError("max_stages must be >= 1: it bounds the two "
+                         "named stages and the first pending stage "
+                         "always executes")
 
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     config = {"splits": weights, "mixture": mixture_rates,
@@ -444,6 +484,13 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         log(f"[prepare] corpus stage: skipped "
             f"({acc_c['rows']} rows committed)")
     else:
+        # invalidate BOTH manifests before re-executing the corpus
+        # stage (r7 review): a crash mid-recompute must not leave a
+        # prior run's 'done' corpus manifest over half-overwritten
+        # data, and any corpus re-execution makes a prior assignment
+        # (packed from the OLD corpus) stale too
+        _clear_stage_manifest(out_path, PREPARE_CORPUS_STAGE)
+        _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
         near_reps = None
         if near_dedup and resume:
             # the closure is the longest sub-stage — under resume it
@@ -546,6 +593,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         return _line(prior["acc_p"], prior["seqs"])
     if max_stages is not None and executed >= max_stages:
         return _line({"rows": 0, "oversize": 0}, {}, incomplete=True)
+    _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
     started = _time.time()
     if acc_c["rows"] == 0:
         # a partitioned write of nothing leaves no parquet files, so

@@ -323,3 +323,66 @@ def test_prepare_stage_resume_with_near_dedup_reps(spark, tmp_path):
               "sequences"):
         assert r[k] == ref[k], k
     assert r["by_reason"]["near_dup"] == ref["by_reason"]["near_dup"]
+
+
+def test_prepare_recompute_invalidates_manifests_first(spark, tmp_path,
+                                                       monkeypatch):
+    """r7 review: a resume=False recompute (or any stage re-execution)
+    must remove the prior 'done' manifests BEFORE touching data — a
+    crash mid-recompute otherwise leaves a stale manifest standing over
+    half-overwritten output, and a later --resume would serve the
+    corruption. Also: max_stages=0 is rejected (the first pending stage
+    always executes)."""
+    import pytest
+
+    import documentai_spark.plans.prepare as prep_mod
+    from documentai_spark.plans.checkpoint import (
+        read_stage_manifest, run_prepare_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "inv_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "inv_out")
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+
+    run_prepare_stages(spark, in_dir, out, resume=False, **kw)
+    assert read_stage_manifest(out, "prepare-corpus")["status"] == "done"
+
+    # crash analog: the recompute dies inside stage 1
+    def boom(*a, **k):
+        raise RuntimeError("killed mid-recompute")
+    monkeypatch.setattr(prep_mod, "prepare_training_data", boom)
+    with pytest.raises(RuntimeError, match="killed"):
+        run_prepare_stages(spark, in_dir, out, resume=False, **kw)
+    # BOTH manifests are gone: a later --resume re-runs both stages
+    # instead of skipping over possibly-corrupt data
+    assert read_stage_manifest(out, "prepare-corpus") is None
+    assert read_stage_manifest(out, "prepare-assignment") is None
+
+    with pytest.raises(ValueError, match="max_stages"):
+        run_prepare_stages(spark, in_dir, out, resume=True,
+                           max_stages=0, **kw)
+
+
+def test_near_reps_stage_config_mismatch_refuses(spark, tmp_path):
+    """r7 review: reps are only valid for the LSH parameters that built
+    them — resuming the curation loop with a different threshold must
+    refuse instead of silently reusing the wrong clustering."""
+    import pytest
+
+    from documentai_spark.plans.checkpoint import _near_reps_stage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "cfg_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "cfg_out")
+
+    _near_reps_stage(spark, in_dir, out, log=lambda *_: None,
+                     jaccard_threshold=0.7)
+    # same params: skips cleanly
+    _near_reps_stage(spark, in_dir, out, log=lambda *_: None,
+                     jaccard_threshold=0.7)
+    with pytest.raises(ValueError, match="different parameters"):
+        _near_reps_stage(spark, in_dir, out, log=lambda *_: None,
+                         jaccard_threshold=0.9)

@@ -464,3 +464,22 @@ def test_stratified_sample_null_group_keys(spark):
                                   exact_window=False).collect()}
         assert fast == exact, f"k={k}"
         assert sum(1 for g, _ in fast if g is None) == k
+
+
+def test_near_reps_id_guard_survives_column_pruning(spark):
+    """r7 review: the is_near_dup cast carries its OWN checked guard —
+    a projection keeping only is_near_dup prunes the exact-dup window
+    (and its assert), and a malformed id must still fail fast, not
+    silently NULL the dedup decision."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import with_curation_flags
+
+    reps = spark.createDataFrame([(1, 1)], "doc_id long, cluster_rep long")
+    df = spark.createDataFrame(
+        [("doc-abc", "some text body here")],
+        ["doc_id", "text"]).withColumn("confidence", F.lit(1.0))
+    out = with_curation_flags(df, near_reps=reps)
+    with pytest.raises(Exception, match="long-castable"):
+        out.select("is_near_dup").collect()

@@ -176,3 +176,30 @@ def test_cli_exit_codes(tmp_path):
                        text=True)
     assert r.returncode == 1
     assert "REGRESSIONS: a" in r.stdout
+
+
+def test_all_sub_floor_suite_never_gates():
+    # r7 review: a comparison made entirely of sub-floor queries (a
+    # partial/quick bench file) has nothing to average — its total is
+    # the same jitter and must not trip the suite gate.
+    old = {"queries": {"a": 0.1, "b": 0.1},
+           "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    new = {"queries": {"a": 1.0, "b": 1.0},
+           "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    out = compare(old, new)
+    assert out["regressions"] == []
+    assert out["suite"]["verdict"] == "sub-floor"
+
+
+def test_slow_canary_window_cannot_fake_an_improvement():
+    # r7 review: the raw veto is symmetric — a query that got 3x
+    # SLOWER raw must not be advertised as 'improved' just because a
+    # canary's window was slower still (min_norm 0.6).
+    old = {"queries": {"a": 4.0, "b": 4.0},
+           "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    new = {"queries": {"a": 12.0, "b": 4.0},
+           "canary_jvm_sec": 1.0, "canary_udf_sec": 4.0}
+    out = compare(old, new)
+    assert out["improvements"] == []
+    row = next(r for r in out["rows"] if r["query"] == "a")
+    assert row["verdict"] != "improved"

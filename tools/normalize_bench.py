@@ -74,17 +74,20 @@ def _unwrap(d: dict) -> dict:
 def _classify(raw: float, min_norm: float | None, *, tol: float,
               improve: float, sub_floor: bool) -> str:
     """One (query or suite-total) verdict under the r7 rule."""
-    basis = raw if min_norm is None else min(raw, min_norm)
     hot = raw > SUSPECT and (min_norm is None or min_norm > SUSPECT)
+    # the raw veto is SYMMETRIC: just as a canary-corrected delta can
+    # never flag what the raw delta does not show, a slow canary window
+    # can never turn a raw slowdown into an advertised win
+    win = raw < improve and (min_norm is None or min_norm < improve)
     if sub_floor:
         # any material delta on a sub-floor query is labeled, never
         # gated — sub-1.5 s runs jitter +/-2x even after normalization
-        return "sub-floor" if (hot or basis < improve) else "noise"
+        return "sub-floor" if (hot or win) else "noise"
     if raw > tol and (min_norm is None or min_norm > tol):
         return "REGRESSION"
     if hot:
         return "suspect"
-    if basis < improve:
+    if win:
         return "improved"
     return "noise"
 
@@ -149,11 +152,18 @@ def compare(old: dict, new: dict, *, tol: float = 2.5,
         s_raw = tot_new / tot_old
         s_norm = (min(s_raw / r for r in canaries.values())
                   if canaries else None)
+        # the suite gate exists because totals AVERAGE OUT per-query
+        # jitter — but only when some constituent is above the floor.
+        # A comparison made entirely of sub-floor queries (a partial /
+        # quick bench file) has nothing to average; its total is the
+        # same jitter and must not gate.
+        s_sub = all(max(r["old_sec"], r["new_sec"]) < floor
+                    for r in rows)
         suite = {"old_sec": round(tot_old, 3),
                  "new_sec": round(tot_new, 3),
                  "raw_ratio": round(s_raw, 3),
                  "verdict": _classify(s_raw, s_norm, tol=suite_tol,
-                                      improve=improve, sub_floor=False)}
+                                      improve=improve, sub_floor=s_sub)}
         if s_norm is not None:
             suite["min_norm"] = round(s_norm, 3)
         if suite["verdict"] == "REGRESSION":
