@@ -51,9 +51,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return (fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp"))
 
 
-def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh",
-                  id_col: str = "doc_id", w: int = 3) -> DataFrame:
-    """(id, distinct w-token shingles) via an Arrow-batched shingler.
+def shingle_udf(w: int = 3):
+    """The Arrow-batched shingler over PRE-NORMALIZED text, shared by
+    :func:`with_shingles` (batch) and
+    :func:`with_minhash_signature_local` (the streaming signature
+    projection) so both paths shingle bit-identically.
 
     Why a pandas UDF and not the ``transform``/``slice`` column form
     (kept below as ``shingle_col`` for short-text uses): higher-order
@@ -84,9 +86,53 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh",
             out.append(list(dict.fromkeys(sh)))
         return pd.Series(out)
 
+    return shingles
+
+
+def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh",
+                  id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    """(id, distinct w-token shingles) via :func:`shingle_udf` (see its
+    docstring for why the shingling crosses an Arrow boundary)."""
+    shingles = shingle_udf(w)
     normed = df.select(F.col(id_col),
                        normalized_text(F.col(text_col)).alias("_norm"))
     return normed.select(id_col, shingles(F.col("_norm")).alias(out_col))
+
+
+def with_minhash_signature_local(df: DataFrame, text_col: str = "text",
+                                 num_hashes: int = 64,
+                                 out_col: str = "_sig",
+                                 w: int = 3) -> DataFrame:
+    """MinHash signature as an added column, computed DOC-LOCALLY — no
+    aggregation, so it runs on STREAMS (where
+    :func:`minhash_signatures`'s explode+groupBy would be a stateful
+    streaming aggregation) and keeps every input column.
+
+    Bit-identical to :func:`minhash_signatures` (pinned by
+    tests/test_streaming_near_dedup): same pandas-UDF shingler, same
+    salted-``xxhash64`` permutations; the min folds over the
+    MATERIALIZED shingle array in ONE traversal
+    (``aggregate`` + ``zip_with(least)`` over a per-element array of the
+    k hashes — measured ~5x faster than k separate
+    ``array_min(transform(...))`` passes, and safe from the
+    re-inlined-subtree trap ``shingle_col`` documents because the
+    shingles sit behind the UDF's Arrow boundary). The per-permutation
+    salts are baked with ``F.lit(i)`` inside the comprehension — never a
+    lambda default arg (the r4 (element, index) HOF-dispatch trap)."""
+    shingles = shingle_udf(w)
+    staged = (df.withColumn("_mhl_norm", normalized_text(F.col(text_col)))
+                .withColumn("_mhl_shs", shingles(F.col("_mhl_norm"))))
+    per_shingle = F.transform(
+        F.col("_mhl_shs"),
+        lambda s: F.array(*[F.xxhash64(F.lit(i), s)
+                            for i in range(num_hashes)]))
+    sig = F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"),
+                       num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)))
+    return (staged.withColumn(out_col, sig)
+                  .drop("_mhl_norm", "_mhl_shs"))
 
 
 def shingle_col(text: Column, w: int = 3) -> Column:
@@ -133,6 +179,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
 
 
+def band_structs(sig_col, num_hashes: int, bands: int):
+    """``array<struct<band_idx int, band_hash bigint>>`` — the banded
+    LSH bucket keys over a signature column. One definition shared by
+    the batch candidate join (:func:`minhash_lsh_candidates`) and the
+    streaming state op (streaming/near_dedup.py) so both bucket
+    bit-identically."""
+    r = num_hashes // bands
+    return F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.xxhash64(*[F.element_at(sig_col, b * r + j + 1)
+                              for j in range(r)]).alias("band_hash"))
+        for b in range(bands)])
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16) -> DataFrame:
@@ -143,13 +203,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Shuffles: the signature agg + the band self-join — at corpus scale
     each band bucket is tiny unless docs are true near-dups.
     """
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands_col = F.array(*[
-        F.struct(F.lit(b).alias("band_idx"),
-                 F.xxhash64(*[F.element_at("_sig", b * r + j + 1)
-                              for j in range(r)]).alias("band_hash"))
-        for b in range(bands)])
+    bands_col = band_structs("_sig", num_hashes, bands)
     ex = (sig.select(id_col, F.explode(bands_col).alias("band"))
              .select(id_col, "band.band_idx", "band.band_hash"))
     a = ex.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")

@@ -173,8 +173,10 @@ def main() -> None:
     if args.resume and modes and modes[0] not in ("--curate",
                                                   "--prepare"):
         ap.error(f"--resume cannot be combined with {modes[0]}")
-    if args.near_dedup and not (args.curate or args.prepare):
-        ap.error("--near-dedup requires --curate or --prepare")
+    if args.near_dedup and not (args.curate or args.prepare
+                                or args.stream_curate):
+        ap.error("--near-dedup requires --curate, --prepare, or "
+                 "--stream-curate")
     if (args.benchmark or args.mixture) and not args.prepare:
         ap.error("--benchmark/--mixture are --prepare options")
     if args.input_format != "parquet" and (modes or args.resume):
@@ -188,7 +190,9 @@ def main() -> None:
         print(f"generated {n} turns at {args.input}", file=sys.stderr)
 
     spark = build_session("documentai-extract", master=args.master)
-    if args.near_dedup or args.prepare:
+    if (args.near_dedup and not args.stream_curate) or args.prepare:
+        # the heap guard covers the BROADCAST-using batch modes; the
+        # streaming near-dedup holds per-bucket state executor-side
         check_driver_heap(int(spark.sparkContext._jvm.java.lang.Runtime
                               .getRuntime().maxMemory()))
     if args.bench:
@@ -248,18 +252,42 @@ def main() -> None:
         ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
         t0 = time.time()
         stream = spark.readStream.schema(schema).parquet(args.input)
-        q = start_to_parquet(streaming_curate(stream, id_cols=id_cols),
-                             args.output, ckpt)
+        if args.near_dedup:
+            # stateful LSH band buckets + signature-estimated verify
+            # (streaming/near_dedup.py); subsumes exact first-wins dedup
+            # (an exact duplicate estimates 1.0 against its first copy),
+            # so the fingerprint state op is not ALSO run — one stateful
+            # operator per query is a Spark limit anyway
+            from documentai_spark.streaming.near_dedup import (
+                near_curate_finish, start_near_dedup_to_parquet,
+                streaming_near_dup_verdicts,
+            )
+            if "doc_id" not in schema.names:
+                ap.error("--stream-curate --near-dedup needs a doc_id "
+                         "column (the long-label near-dedup contract)")
+            q = start_near_dedup_to_parquet(
+                streaming_near_dup_verdicts(stream),
+                args.output, ckpt, finish=near_curate_finish())
+        else:
+            q = start_to_parquet(streaming_curate(stream,
+                                                  id_cols=id_cols),
+                                 args.output, ckpt)
         q.awaitTermination()
         out = spark.read.parquet(args.output)
-        acc = out.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("keep").cast("int")).alias("kept")).first()
+        aggs = [F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("keep").cast("int")).alias("kept")]
+        if args.near_dedup:
+            aggs.append(F.sum(F.col("is_near_dup").cast("int"))
+                        .alias("near_dup"))
+        acc = out.agg(*aggs).first()
         wall = time.time() - t0
-        print(json.dumps({"rows": acc["rows"], "kept": acc["kept"],
-                          "sec": round(wall, 2),
-                          "checkpoint": ckpt,
-                          "output": args.output}))
+        line = {"rows": acc["rows"], "kept": acc["kept"],
+                "sec": round(wall, 2),
+                "checkpoint": ckpt,
+                "output": args.output}
+        if args.near_dedup:
+            line["near_dup"] = acc["near_dup"]
+        print(json.dumps(line))
         spark.stop()
         return
 

@@ -1,0 +1,276 @@
+"""Streaming near-dedup: bit-identical LSH geometry to the batch chain,
+first-wins single-link state semantics, exactly-once batch-replay sink,
+TTL bucket eviction, and the curation composition."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from documentai_spark.streaming.near_dedup import (
+    near_curate_finish, recombine_near_verdicts,
+    start_near_dedup_to_parquet, streaming_near_dup_verdicts,
+)
+
+_DOCS_DDL = "doc_id bigint, text string, ts timestamp"
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_VOCAB = [f"tok{i}" for i in range(2000)]
+
+
+def _mins(m):
+    return _T0 + _dt.timedelta(minutes=m)
+
+
+def _doc(seed, k=120):
+    return " ".join(random.Random(seed).choices(_VOCAB, k=k))
+
+
+def _variant(base, n_swap, seed):
+    toks = base.split()
+    rng = random.Random(seed)
+    for _ in range(n_swap):
+        toks[rng.randrange(len(toks))] = rng.choice(_VOCAB)
+    return " ".join(toks)
+
+
+def _star_corpus(n_clusters=6, with_ts=False):
+    """Clear-margin star clusters: base + two close variants (true
+    Jaccard ~0.9, far above the 0.7 test threshold so the 64-hash
+    estimator's ~0.06 std cannot flip a decision) + one unrelated doc
+    (Jaccard ~0)."""
+    rows = []
+    for c in range(n_clusters):
+        base = _doc(c)
+        rows.append((c * 10, base))
+        rows.append((c * 10 + 1, _variant(base, 2, c + 100)))
+        rows.append((c * 10 + 2, _variant(base, 3, c + 200)))
+    rows.append((990, _doc(990)))
+    if with_ts:
+        return [(i, t, _T0) for i, t in rows]
+    return rows
+
+
+def _append_file(spark, in_dir, rows, ddl="doc_id bigint, text string"):
+    spark.createDataFrame(rows, ddl).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+
+def _drain(spark, in_dir, out_dir, ckpt,
+           ddl="doc_id bigint, text string", **kw):
+    stream = spark.readStream.schema(ddl).parquet(in_dir)
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream, threshold=0.7, **kw),
+        out_dir, ckpt)
+    q.awaitTermination(300)
+
+
+def test_local_signature_bit_identity(spark):
+    """The doc-local (stream-safe) signature equals the batch
+    explode+groupBy signature bit-for-bit — same shingler, same salted
+    xxhash64 permutations, so streaming buckets are the batch buckets."""
+    from documentai_spark.operators.dedup import (
+        minhash_signatures, with_minhash_signature_local,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(80))
+    batch = {r["doc_id"]: r["_sig"] for r in
+             minhash_signatures(docs, num_hashes=32).collect()}
+    local = {r["doc_id"]: r["_sig"] for r in
+             with_minhash_signature_local(docs, num_hashes=32)
+             .select("doc_id", "_sig").collect()}
+    assert local == batch
+
+
+def test_single_drain_matches_batch_near_dedup(spark, tmp_path):
+    """One-batch drain on a star corpus: the unflagged survivor set
+    equals batch near_dedup's keep set (min-id per cluster — streaming
+    processes each bucket in ascending id order), every flagged doc
+    points at its cluster's base, and exact re-ingestion semantics are
+    first-wins."""
+    from documentai_spark.operators.dedup import near_dedup
+
+    rows = _star_corpus()
+    in_dir = str(tmp_path / "sm_in")
+    out_dir = str(tmp_path / "sm_out")
+    _append_file(spark, in_dir, rows)
+
+    _drain(spark, in_dir, out_dir, str(tmp_path / "sm_ck"))
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(rows)
+
+    survivors = {r.doc_id for r in
+                 got.filter(~F.col("is_near_dup")).collect()}
+    batch_keep = {r.doc_id for r in near_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        jaccard_threshold=0.7).collect()}
+    assert survivors == batch_keep
+
+    reps = {r.doc_id: r.near_rep for r in
+            got.filter(F.col("is_near_dup")).collect()}
+    assert reps == {c * 10 + v: c * 10 for c in range(6) for v in (1, 2)}
+    # estimates are real similarities, not sentinel values
+    ests = [r.near_est for r in got.filter(F.col("is_near_dup")).collect()]
+    assert all(0.7 <= e <= 1.0 for e in ests)
+
+
+def test_cross_batch_state_flags_later_near_dups(spark, tmp_path):
+    """Band-bucket state persists across drains: a near-dup landing in a
+    later micro-batch is flagged against the earlier batch's stored
+    representative, and single-link chaining works across batches (C
+    similar to B, B flagged against A -> C flagged via B's rep entry)."""
+    in_dir = str(tmp_path / "cb_in")
+    out_dir = str(tmp_path / "cb_out")
+    ckpt = str(tmp_path / "cb_ck")
+    base = _doc(42)
+
+    _append_file(spark, in_dir, [(1, base), (50, _doc(50))])
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    drift_b = _variant(base, 2, 7)
+    _append_file(spark, in_dir, [(2, drift_b)])
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    # C: 2 more swaps on B (close to B; base-similarity lower but still
+    # linked through B's rep entries in B's unclaimed buckets)
+    _append_file(spark, in_dir, [(3, _variant(drift_b, 2, 8))])
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    got = {r.doc_id: (r.is_near_dup, r.near_rep)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[1] == (False, None)
+    assert got[50] == (False, None)
+    assert got[2] == (True, 1)
+    assert got[3][0] is True
+    assert got[3][1] in (1, 2)  # direct hit on base or chained via B
+
+
+def test_batch_replay_is_exactly_once(spark, tmp_path):
+    """Crash-between-write-and-commit analog: roll back the newest
+    commit-log entry and restart. The replayed micro-batch overwrites
+    its own _batch_id partition (dynamic partition overwrite), so the
+    final output is row-identical to the pre-rollback output — the
+    foreachBatch sink really is exactly-once, not at-least-once."""
+    rows = _star_corpus(n_clusters=3)
+    in_dir = str(tmp_path / "eo_in")
+    out_dir = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ck")
+    _append_file(spark, in_dir, rows)
+    _drain(spark, in_dir, out_dir, ckpt)
+
+    def snapshot():
+        return sorted(
+            (r.doc_id, r.is_near_dup, r.near_rep)
+            for r in spark.read.parquet(out_dir).collect())
+
+    before = snapshot()
+    assert len(before) == len(rows)
+
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    real = [p for p in commits if not p.endswith(".tmp")]
+    assert real, "no commits written"
+    os.remove(real[-1])  # the crash: data landed, commit did not
+    # drop the local-FS checksum sidecar too, or Hadoop's rename-back
+    # refuses the replayed commit ("destination .crc already exists")
+    crc = os.path.join(os.path.dirname(real[-1]),
+                       "." + os.path.basename(real[-1]) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _drain(spark, in_dir, out_dir, ckpt)  # restart replays the batch
+    assert snapshot() == before
+
+
+def test_ttl_bucket_eviction_readmits(spark, tmp_path):
+    """Bounded-state mode: an in-TTL near-dup is flagged; once the
+    watermark passes a bucket's first sighting + ttl the bucket resets
+    and near-identical content re-admits unflagged (the windowed-dedup
+    tradeoff, same contract as streaming_first_wins_dedup)."""
+    in_dir = str(tmp_path / "ttl_in")
+    out_dir = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ck")
+    base = _doc(9)
+    kw = dict(ddl=_DOCS_DDL, ttl="1 hour", watermark="10 minutes")
+
+    # drain 1: first sighting at t0 (bucket expiry = t0 + 1h)
+    _append_file(spark, in_dir, [(1, base, _T0)], _DOCS_DDL)
+    _drain(spark, in_dir, out_dir, ckpt, **kw)
+    # drain 2: in-TTL variant (wm = t0 - 10m) flagged; unrelated
+    # advancer pushes the committed watermark to t0 + 170m
+    _append_file(spark, in_dir, [(2, _variant(base, 2, 5), _mins(5)),
+                                 (60, _doc(60), _mins(180))], _DOCS_DDL)
+    _drain(spark, in_dir, out_dir, ckpt, **kw)
+    # drain 3: wm (170m) has passed expiry (60m) — buckets reset, a
+    # near-identical doc re-admits unflagged
+    _append_file(spark, in_dir, [(3, _variant(base, 2, 6), _mins(180))],
+                 _DOCS_DDL)
+    _drain(spark, in_dir, out_dir, ckpt, **kw)
+
+    got = {r.doc_id: (r.is_near_dup, r.near_rep)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)
+    assert got[60] == (False, None)
+    assert got[3] == (False, None)  # re-admitted after eviction
+
+
+def test_near_curate_composition(spark, tmp_path):
+    """The curation composition: extraction + quality + verdict + the
+    row-local flags run statelessly in the sink, and `keep` folds
+    is_near_dup exactly like the batch with_curation_flags(near_dedup=
+    True) path."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    in_dir = str(tmp_path / "nc_in")
+    out_dir = str(tmp_path / "nc_out")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(in_dir)
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream),
+        out_dir, str(tmp_path / "nc_ck"),
+        finish=near_curate_finish())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 60
+    cols = set(got.columns)
+    assert {"keep", "is_near_dup", "bad_lang", "bad_len", "low_conf",
+            "confidence"} <= cols
+    # keep identity: flagged-or-bad rows are excluded, others kept
+    bad = got.filter(
+        F.col("keep") != ~(F.col("is_dup") | F.col("is_near_dup")
+                           | F.col("bad_lang") | F.col("bad_len")
+                           | F.col("low_conf")))
+    assert bad.count() == 0
+
+
+def test_non_long_castable_id_fails_fast(spark, tmp_path):
+    """The long-label-domain contract holds on the streaming surface
+    too: a non-numeric id raises the named checked_long error instead of
+    silently nulling the verdict."""
+    import pytest
+
+    in_dir = str(tmp_path / "id_in")
+    _append_file(spark, in_dir, [("doc-abc", _doc(1))],
+                 "doc_id string, text string")
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(in_dir)
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream),
+        str(tmp_path / "id_out"), str(tmp_path / "id_ck"))
+    with pytest.raises(Exception, match="long-castable|streaming_near_dup"):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_bad_geometry_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="multiple"):
+        streaming_near_dup_verdicts(None, num_hashes=60, bands=16)
