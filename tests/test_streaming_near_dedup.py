@@ -274,3 +274,42 @@ def test_bad_geometry_rejected():
     import pytest
     with pytest.raises(ValueError, match="multiple"):
         streaming_near_dup_verdicts(None, num_hashes=60, bands=16)
+
+
+def test_invariants_on_random_corpus(spark, tmp_path):
+    """Properties that hold regardless of estimator noise, on a corpus
+    with NO engineered margins (random overlap levels): every row is
+    emitted exactly once; a flagged doc's rep has a SMALLER id (a
+    single-batch drain processes each bucket in ascending id order, so
+    attribution can only point backwards); estimates are within the
+    threshold..1 range; and an independent re-run from scratch produces
+    the identical verdict set (pure function of the batch sequence)."""
+    rng = random.Random(11)
+    pool = _doc(777, k=400).split()
+    rows = []
+    for i in range(80):
+        # random-length random-overlap docs: shared pool + private tail
+        k = rng.randrange(30, 120)
+        toks = rng.choices(pool, k=k) + \
+            [f"p{i}x{j}" for j in range(rng.randrange(0, 30))]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+
+    def run(tag):
+        in_dir = str(tmp_path / f"rw_in_{tag}")
+        out_dir = str(tmp_path / f"rw_out_{tag}")
+        _append_file(spark, in_dir, rows)
+        _drain(spark, in_dir, out_dir, str(tmp_path / f"rw_ck_{tag}"))
+        return sorted(
+            (r.doc_id, r.is_near_dup, r.near_rep, r.near_est)
+            for r in spark.read.parquet(out_dir).collect())
+
+    got = run("a")
+    assert [g[0] for g in got] == list(range(80))
+    for doc_id, flagged, rep, est in got:
+        if flagged:
+            assert rep < doc_id
+            assert 0.7 <= est <= 1.0
+        else:
+            assert rep is None and est is None
+    assert run("b") == got
