@@ -154,13 +154,26 @@ def test_batch_replay_is_exactly_once(spark, tmp_path):
     commit-log entry and restart. The replayed micro-batch overwrites
     its own _batch_id partition (dynamic partition overwrite), so the
     final output is row-identical to the pre-rollback output — the
-    foreachBatch sink really is exactly-once, not at-least-once."""
+    foreachBatch sink really is exactly-once, not at-least-once.
+    MULTI-batch on purpose: only the replayed batch's partition may be
+    rewritten — a static-overwrite bug that wiped the earlier batches'
+    partitions would fail the row-identity check."""
     rows = _star_corpus(n_clusters=3)
     in_dir = str(tmp_path / "eo_in")
     out_dir = str(tmp_path / "eo_out")
     ckpt = str(tmp_path / "eo_ck")
-    _append_file(spark, in_dir, rows)
-    _drain(spark, in_dir, out_dir, ckpt)
+    # three files, drained one per trigger -> three _batch_id partitions
+    per = (len(rows) + 2) // 3
+    for i in range(3):
+        _append_file(spark, in_dir, rows[i * per:(i + 1) * per])
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream, threshold=0.7),
+        out_dir, ckpt)
+    q.awaitTermination(300)
+    n_parts = len(glob.glob(os.path.join(out_dir, "_batch_id=*")))
+    assert n_parts >= 2, f"need multiple batches, got {n_parts}"
 
     def snapshot():
         return sorted(
