@@ -68,8 +68,6 @@ from documentai_spark.operators.dedup import (
 )
 from documentai_spark.streaming.pipeline import _event_ms, _interval_ms
 
-_MAX_LONG = 9223372036854775807
-
 
 def streaming_near_dup_verdicts(stream: DataFrame, *,
                                 text_col: str = "text",
