@@ -449,9 +449,14 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
                          "always executes")
 
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    # pack_shards is part of the config even though only the assignment
+    # stage consumes it (r7 review): resuming with a different
+    # --pack-shards would otherwise silently skip the assignment stage
+    # and report a shard count the served parquet was never packed with
     config = {"splits": weights, "mixture": mixture_rates,
               "budget": budget, "seed": seed, "near_dedup": near_dedup,
-              "benchmark": benchmark is not None}
+              "benchmark": benchmark is not None,
+              "pack_shards": pack_shards}
 
     def _check_config(rec: dict, stage: str) -> None:
         if rec.get("config") != config:
@@ -492,6 +497,15 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         _clear_stage_manifest(out_path, PREPARE_CORPUS_STAGE)
         _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
         near_reps = None
+        if not (near_dedup and resume):
+            # a corpus recompute on any path that does NOT stage through
+            # _near_reps_stage (resume=False runs the closure inline;
+            # near_dedup=False never runs it) must also invalidate a
+            # prior run's reps manifest — its config records only LSH
+            # parameters, nothing input-derived, so a later --resume
+            # would otherwise silently join representatives built from
+            # the OLD input (r7 review)
+            _clear_stage_manifest(out_path, NEAR_REPS_STAGE)
         if near_dedup and resume:
             # the closure is the longest sub-stage — under resume it
             # commits separately so a crash after it never re-runs the

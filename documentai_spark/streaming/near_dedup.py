@@ -91,9 +91,14 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     payload row plus the dup notices, not ``bands``x the traffic.
 
     ``id_col`` must be long-castable (the near-dedup label-domain
-    contract, enforced by ``checked_long``). A re-ingested duplicate id
-    flags against its own first copy (est 1.0) — first-wins, matching
-    ``streaming_first_wins_dedup``. When every band bucket of a doc is
+    contract, enforced by ``checked_long``). An id re-ingested in a
+    LATER micro-batch flags against its own first copy (est 1.0) —
+    first-wins, matching ``streaming_first_wins_dedup``. Copies of the
+    same id arriving in the SAME micro-batch are NOT flagged against
+    each other: the sink's per-doc groupBy merges them into one output
+    row, so a self-flag there would mark the doc's only surviving row
+    a near-dup of itself and first-wins keep logic would drop the
+    content entirely (r7 review repro). When every band bucket of a doc is
     full (``max_reps_per_bucket`` dissimilar reps) and none matches, the
     doc passes unflagged WITHOUT being stored — later near-dups of such
     an overflow doc are missed; at the default geometry that needs 8
@@ -107,6 +112,21 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must be a multiple "
                          f"of bands ({bands})")
+    # the sink re-emits the payload columns NEXT TO the verdict columns
+    # (recombine_near_verdicts selects `_doc.*` + is_near_dup/near_rep/
+    # near_est), and the stateful plan projects working columns over the
+    # input — a collision would surface later as an ambiguous-reference
+    # error mid-stream or a silently-shadowed column. Refuse loudly up
+    # front, matching with_curation_flags' reserved guard (batch side).
+    reserved = {"is_near_dup", "near_rep", "near_est",
+                "_id", "_sig", "_band", "_doc", "_ts"}
+    clash = reserved & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"streaming near-dedup reserves column names {sorted(clash)} "
+            "for its verdict/working columns; rename them in the input "
+            "stream (e.g. a prior run's flagged output must drop its "
+            "verdict columns before re-processing)")
     ttl_ms = None if ttl is None else _interval_ms(ttl)
 
     src = stream if ttl_ms is None else stream.withWatermark(ts_col,
@@ -179,23 +199,39 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
         mat = (np.array(sigs, dtype=np.int64) if sigs
                else np.empty((0, num_hashes), dtype=np.int64))
         out = []
+        stored_this_batch: set = set()
         for i in range(len(r_ids)):
+            cur = int(r_ids[i])
             sig_arr = np.asarray(r_sigs[i], dtype=np.int64)
             rep = None
             est = None
             if mat.shape[0]:
                 sims = (mat == sig_arr).mean(axis=1)
+                if cur in stored_this_batch:
+                    # same-batch copy of a row this invocation just
+                    # admitted: the sink's groupBy merges both rows
+                    # into ONE, so flagging it against its own first
+                    # copy would self-mark the merged row a near-dup
+                    # and drop the content entirely — mask the self
+                    # rep out (a rep with this id stored by a PRIOR
+                    # batch stays matchable: cross-batch re-ingest is
+                    # the documented first-wins drop)
+                    for j, rid in enumerate(rep_ids):
+                        if rid == cur:
+                            sims[j] = -1.0
                 best = float(sims.max())
                 if best >= threshold:
                     # deterministic attribution: best estimate, then
                     # min rep id among ties
                     tied = [rep_ids[j] for j in np.flatnonzero(
-                        sims == sims.max())]
+                        sims == best)]
                     rep, est = min(tied), best
-            if rep is None and len(rep_ids) < max_reps_per_bucket:
-                rep_ids.append(int(r_ids[i]))
+            if (rep is None and cur not in stored_this_batch
+                    and len(rep_ids) < max_reps_per_bucket):
+                rep_ids.append(cur)
                 sigs.append([int(v) for v in sig_arr])
                 mat = np.vstack([mat, sig_arr[None, :]])
+                stored_this_batch.add(cur)
             if r_bidx[i] == 0 or rep is not None:
                 out.append({"_id": int(r_ids[i]),
                             "band_idx": int(r_bidx[i]),

@@ -281,6 +281,12 @@ def test_prepare_stage_resume(spark, tmp_path):
     with pytest.raises(ValueError, match="different configuration"):
         run_prepare_stages(spark, in_dir, out, resume=True, budget=999,
                            pack_shards=4, log=lambda *_: None)
+    # pack_shards is config too (r7 review): a different --pack-shards
+    # must not silently skip the assignment stage and report a shard
+    # count the served parquet was never packed with
+    with pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True, budget=120,
+                           pack_shards=8, log=lambda *_: None)
 
     # resume=False ignores manifests and recomputes (manifests rewritten)
     before = read_stage_manifest(out, "prepare-assignment")["finished"]
@@ -337,7 +343,7 @@ def test_prepare_recompute_invalidates_manifests_first(spark, tmp_path,
 
     import documentai_spark.plans.prepare as prep_mod
     from documentai_spark.plans.checkpoint import (
-        read_stage_manifest, run_prepare_stages,
+        _near_reps_stage, read_stage_manifest, run_prepare_stages,
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -348,6 +354,11 @@ def test_prepare_recompute_invalidates_manifests_first(spark, tmp_path,
 
     run_prepare_stages(spark, in_dir, out, resume=False, **kw)
     assert read_stage_manifest(out, "prepare-corpus")["status"] == "done"
+    # a prior resumed near-dedup run's reps stage is committed too —
+    # its config records only LSH parameters, nothing input-derived,
+    # so a non-_near_reps_stage recompute must invalidate it as well
+    _near_reps_stage(spark, in_dir, out, log=lambda *_: None)
+    assert read_stage_manifest(out, "near-reps")["status"] == "done"
 
     # crash analog: the recompute dies inside stage 1
     def boom(*a, **k):
@@ -355,10 +366,12 @@ def test_prepare_recompute_invalidates_manifests_first(spark, tmp_path,
     monkeypatch.setattr(prep_mod, "prepare_training_data", boom)
     with pytest.raises(RuntimeError, match="killed"):
         run_prepare_stages(spark, in_dir, out, resume=False, **kw)
-    # BOTH manifests are gone: a later --resume re-runs both stages
-    # instead of skipping over possibly-corrupt data
+    # ALL manifests are gone: a later --resume re-runs every stage
+    # instead of skipping over possibly-corrupt or input-stale data
+    # (r7 review: the reps stage used to survive the non-resume path)
     assert read_stage_manifest(out, "prepare-corpus") is None
     assert read_stage_manifest(out, "prepare-assignment") is None
+    assert read_stage_manifest(out, "near-reps") is None
 
     with pytest.raises(ValueError, match="max_stages"):
         run_prepare_stages(spark, in_dir, out, resume=True,

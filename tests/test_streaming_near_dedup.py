@@ -263,6 +263,59 @@ def test_near_curate_composition(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_same_batch_duplicate_id_not_self_flagged(spark, tmp_path):
+    """r7 review repro: two copies of the SAME doc_id in ONE micro-batch
+    merge into one output row (the sink's per-doc groupBy) — that row
+    must NOT be self-flagged as a near-dup, or first-wins keep logic
+    drops the content entirely and a row vanishes. A copy arriving in a
+    LATER batch still flags against its own first copy (first-wins,
+    matching streaming_first_wins_dedup)."""
+    in_dir = str(tmp_path / "sb_in")
+    out_dir = str(tmp_path / "sb_out")
+    ckpt = str(tmp_path / "sb_ck")
+    base = _doc(3)
+
+    _append_file(spark, in_dir, [(7, base), (7, base), (9, _doc(9))])
+    _drain(spark, in_dir, out_dir, ckpt)
+    got = {r.doc_id: (r.is_near_dup, r.near_rep)
+           for r in spark.read.parquet(out_dir).collect()}
+    # one row per distinct id, neither flagged
+    assert got == {7: (False, None), 9: (False, None)}
+
+    # cross-batch re-ingest of the SAME id: flagged against itself
+    _append_file(spark, in_dir, [(7, base)])
+    _drain(spark, in_dir, out_dir, ckpt)
+    later = {(r.doc_id, r.is_near_dup, r.near_rep)
+             for r in spark.read.parquet(out_dir).collect()}
+    assert (7, True, 7) in later and (7, False, None) in later
+
+    # and a same-batch NEAR-dup pair of the duplicated id still flags
+    # (the mask is per-id, not a blanket same-batch exemption)
+    in2 = str(tmp_path / "sb_in2")
+    out2 = str(tmp_path / "sb_out2")
+    _append_file(spark, in2, [(4, base), (4, base),
+                              (5, _variant(base, 2, 44))])
+    _drain(spark, in2, out2, str(tmp_path / "sb_ck2"))
+    got2 = {r.doc_id: (r.is_near_dup, r.near_rep)
+            for r in spark.read.parquet(out2).collect()}
+    assert got2 == {4: (False, None), 5: (True, 4)}
+
+
+def test_reserved_verdict_columns_refused(spark):
+    """The sink re-emits payload columns next to is_near_dup/near_rep/
+    near_est, and the plan projects _id/_sig/_doc working columns — an
+    input stream already carrying one of those names is refused up
+    front (batch with_curation_flags house style), not left to die as
+    an ambiguous-reference error mid-stream."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "t", True)],
+                               "doc_id long, text string, "
+                               "is_near_dup boolean")
+    with pytest.raises(ValueError, match="reserves column names"):
+        streaming_near_dup_verdicts(df)
+
+
 def test_non_long_castable_id_fails_fast(spark, tmp_path):
     """The long-label-domain contract holds on the streaming surface
     too: a non-numeric id raises the named checked_long error instead of
