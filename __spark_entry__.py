@@ -2026,10 +2026,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    quantile_cont(n_tokens, 0.5) AS p50_tokens,
                    quantile_cont(n_tokens, 0.95) AS p95_tokens,
-                   CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)
-                       AS n_dup_docs,
-                   ROUND((COUNT(*) - COUNT(DISTINCT fp)) * 1.0
-                         / COUNT(*), 6) AS dup_ratio
+                   -- the NULL-fingerprint (NULL-text) group counts as
+                   -- ONE unique doc: COUNT(DISTINCT) skips NULLs, so
+                   -- without the MAX term m NULL-text docs would all
+                   -- report as duplicates instead of m-1 (mirrors
+                   -- curation.corpus_report)
+                   CAST(COUNT(*) - (COUNT(DISTINCT fp)
+                        + MAX(CASE WHEN fp IS NULL THEN 1 ELSE 0 END))
+                        AS BIGINT) AS n_dup_docs,
+                   ROUND((COUNT(*) - (COUNT(DISTINCT fp)
+                          + MAX(CASE WHEN fp IS NULL THEN 1 ELSE 0 END)))
+                         * 1.0 / COUNT(*), 6) AS dup_ratio
             FROM langed GROUP BY lang_pred ORDER BY lang_pred
         """,
         "t_kind_dispatch": rf"""

@@ -211,7 +211,12 @@ def corpus_report(docs: DataFrame, *, text_col: str = "text",
 
     A duplicate group never spans languages (identical normalized text
     implies identical stopword ratio), so the per-language distinct
-    count equals the global dedup arithmetic.
+    count equals the global dedup arithmetic. NULL-text rows carry a
+    NULL fingerprint, which ``countDistinct`` skips — the unique count
+    adds the NULL group back explicitly (r7 review) so m NULL-text docs
+    report m-1 duplicates, matching the window-based ``is_dup``
+    accounting in :func:`with_curation_flags` (the oracle adds the same
+    term).
     """
     text = F.col(text_col)
     n_toks = token_count_col(text)
@@ -232,7 +237,9 @@ def corpus_report(docs: DataFrame, *, text_col: str = "text",
                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
                 p50.alias("p50_tokens"),
                 p95.alias("p95_tokens"),
-                F.countDistinct("fp").alias("n_unique")))
+                (F.countDistinct("fp")
+                 + F.max(F.col("fp").isNull().cast("long")))
+                .alias("n_unique")))
     return (agg.withColumn("n_dup_docs",
                            F.col("n_docs") - F.col("n_unique"))
                .withColumn("dup_ratio",

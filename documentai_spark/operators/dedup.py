@@ -45,10 +45,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     One shuffle; at 100 TB prefer a two-level agg (cluster by fingerprint
     prefix first) only if the key cardinality approaches row count — here
     map-side combine already collapses duplicates early.
+
+    The semi join is NULL-SAFE on the fingerprint (r7 review): a
+    NULL-text row has a NULL fingerprint, which groupBy keeps as its own
+    group but a plain equi-join can never match — the NULL group's
+    min-id representative would silently vanish from the output (data
+    loss, not dedup). With eqNullSafe the NULL-fingerprint group keeps
+    its min-id row exactly like the window form in
+    ``curation.with_curation_flags``.
     """
+    if "_fp" in df.columns:
+        raise ValueError("input column '_fp' collides with exact_dedup "
+                         "internals")
     fp = df.withColumn("_fp", fingerprint_col(F.col(text_col)))
-    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return (fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp"))
+    keep = (fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+              .withColumnRenamed("_fp", "_keep_fp"))
+    return (fp.join(keep,
+                    F.col("_fp").eqNullSafe(F.col("_keep_fp"))
+                    & (F.col(id_col) == F.col("_keep_id")), "left_semi")
+              .drop("_fp"))
 
 
 def shingle_udf(w: int = 3):

@@ -145,6 +145,17 @@ def pack_sequences(docs: DataFrame, *, budget: int,
                 f"{max_rows_per_shard}; raise n_shards to ~ceil(corpus_"
                 "rows / max_rows_per_shard) (see pack_sequences "
                 "docstring sizing rule)")
+        if pdf["n_tokens"].isna().any():
+            # a NULL text yields a NULL token count, which Arrow hands
+            # to pandas as NaN — int(NaN) below would die as an opaque
+            # worker ValueError; fail with the fix instead (r7 review,
+            # same philosophy as the checked_long id guard)
+            bad = pdf.loc[pdf["n_tokens"].isna(), "doc_id"].iloc[0]
+            raise ValueError(
+                f"pack_sequences: doc_id {bad} has a NULL token count "
+                f"(NULL {text_col!r}?); filter NULL-text documents "
+                "before packing — a curation pass drops them via "
+                "bad_len")
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins = []
         b = -1

@@ -31,6 +31,39 @@ def test_curation_flags(spark):
     assert not out[1].bad_len
 
 
+def test_corpus_report_null_text_dup_accounting(spark):
+    """r7 review: countDistinct skips NULL fingerprints, so m NULL-text
+    docs used to all report as duplicates (m) instead of m-1 — the
+    window-based is_dup accounting's number. Cross-engine: the DuckDB
+    gate oracle (updated in lockstep) agrees row-for-row on a corpus
+    WITH NULL texts."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from documentai_spark.operators.curation import corpus_report
+
+    rows = [(0, GOOD), (1, GOOD), (2, None), (3, None), (4, None),
+            (5, GOOD + " and more of the words in the tail here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.lang_pred: r.asDict() for r in corpus_report(df).collect()}
+    # the three NULL-text docs land in 'unknown' as ONE unique group:
+    # 2 duplicates, not 3
+    assert got["unknown"]["n_docs"] == 3
+    assert got["unknown"]["n_dup_docs"] == 2
+    assert got["en"]["n_dup_docs"] == 1          # the GOOD exact dup
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+    odf = con.sql(entry.oracle_sql()["corpus_report"]).df()
+    sdf = corpus_report(df).toPandas()
+    pd.testing.assert_frame_equal(
+        sdf.sort_values("lang_pred").reset_index(drop=True),
+        odf.sort_values("lang_pred").reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+
+
 def test_curation_matches_gate_query(spark):
     """curate_documents IS the corpus_filter gate query's engine — same
     flags on the sf0.001 documents table."""

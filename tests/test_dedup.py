@@ -34,6 +34,22 @@ def test_exact_dedup(docs):
     assert kept == [0, 3, 4, 5, 6]
 
 
+def test_exact_dedup_null_text_keeps_representative(spark):
+    """r7 review: a NULL text has a NULL fingerprint — groupBy keeps the
+    NULL group but a plain equi-join can never rejoin it, so the whole
+    group used to vanish (data loss). The null-safe semi join keeps the
+    group's min-id representative, matching the with_curation_flags
+    window semantics (m NULL-text docs -> 1 kept)."""
+    rows = [(0, BASE), (1, None), (2, None), (3, FAR)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [0, 1, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="_fp"):
+        exact_dedup(df.withColumn("_fp", df.doc_id))
+
+
 def test_minhash_candidates_and_pairs(docs):
     cand = {(r.id_a, r.id_b)
             for r in minhash_lsh_candidates(docs).collect()}

@@ -121,6 +121,18 @@ def test_shard_size_guards(spark):
                        max_rows_per_shard=4).collect()
 
 
+def test_pack_null_token_count_fails_fast(spark):
+    """r7 review: a NULL text yields a NULL token count, which lands in
+    the pandas frame as NaN — int(NaN) used to die as an opaque worker
+    ValueError; the guard names the doc and the fix instead."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, None)],
+                                 "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL token count"):
+        pack_sequences(docs, budget=8).collect()
+
+
 def test_pack_rejects_non_long_and_truncating_ids(spark):
     """VERDICT r6 #4: the shard key lives in the long domain — a
     malformed string id or a fractional double id (which would
