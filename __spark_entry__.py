@@ -629,11 +629,13 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over documents (text-analysis op; exact ints)."""
+    """Token counting over documents (text-analysis op; exact ints).
+    The whitespace class and NULL-as-zero pin live in
+    ``curation.token_count_col`` (shared, r7)."""
+    from documentai_spark.operators.curation import token_count_col
     docs = _t(spark, sf_dir, "documents")
-    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    return docs.select("doc_id", toks.alias("n_tokens"),
+    return docs.select("doc_id",
+                       token_count_col(F.col("text")).alias("n_tokens"),
                        F.length("text").alias("len_chars")).orderBy("doc_id")
 
 
@@ -643,14 +645,19 @@ def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Perf note: an earlier higher-order-function formulation
     (filter+array_contains per token) was ~10x slower — interpreted
     lambdas don't join whole-stage codegen and get re-evaluated per
-    reference after projection collapse. One \\b-anchored
-    regexp_extract_all pass is the scale formulation."""
+    reference after projection collapse. One boundary-anchored
+    regexp_extract_all pass is the scale formulation (explicit ASCII
+    lookarounds — curation.STOPWORD_PATTERN — because Java's bare \\b
+    is Unicode-aware while the oracle's RE2 \\b is ASCII-only)."""
+    from documentai_spark.operators.curation import (
+        STOPWORD_PATTERN, token_count_col,
+    )
     docs = _t(spark, sf_dir, "documents")
-    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                       F.lit(sw_pat), F.lit(0)))
+    n_toks = token_count_col(F.col("text"))
+    n_sw = F.coalesce(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(STOPWORD_PATTERN), F.lit(0))),
+        F.lit(0))
     # branch-free ratio (CSE-friendly: the stopword regex stays out of
     # lazy CaseWhen branches): n_toks = 0 implies n_sw = 0, so dividing
     # by greatest(n_toks, 1) yields the identical 0.0 for empty rows
@@ -863,13 +870,13 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretokenizer classes without lookahead (RE2-compatible) —
     '' ?[A-Za-z]+ | ?[0-9]+ | ?[^A-Za-z0-9 \\t\\n]+'' — counted per doc in
     one regex pass, vs whitespace token count."""
+    from documentai_spark.operators.curation import token_count_col
     docs = _t(spark, sf_dir, "documents")
     pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
-    n_ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     return docs.select("doc_id", n_bpe.alias("n_bpe_tokens"),
-                       n_ws.alias("n_ws_tokens")).orderBy("doc_id")
+                       token_count_col(F.col("text"))
+                       .alias("n_ws_tokens")).orderBy("doc_id")
 
 
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,15 +1270,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash), keep the 7 smallest — reservoir sampling made deterministic,
     so eval subsets are stable across re-runs and engines. The oracle
     replays the identical hash-rank window."""
-    from documentai_spark.operators.curation import stratified_sample
+    from documentai_spark.operators.curation import (
+        stopword_ratio_col, stratified_sample,
+    )
     docs = _t(spark, sf_dir, "documents")
-    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-              .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    n_sw = F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                       F.lit(sw_pat), F.lit(0)))
-    ratio = F.round(n_sw / F.greatest(n_toks, F.lit(1)), 6)
-    lang = F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("unknown"))
+    lang = F.when(stopword_ratio_col(F.col("text")) >= 0.04,
+                  F.lit("en")).otherwise(F.lit("unknown"))
     tagged = docs.select("doc_id", lang.alias("lang_pred"))
     return stratified_sample(tagged, group_cols=["lang_pred"], k=7) \
         .select("doc_id", "lang_pred").orderBy("doc_id")
@@ -1729,8 +1733,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                    END AS n_tokens,
                    length(text) AS len_chars
             FROM documents ORDER BY doc_id
@@ -1738,11 +1742,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_quality": rf"""
             WITH stats AS (
               SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                      END AS n_tokens,
-                     len(regexp_extract_all(lower(text),
-                         '\b({sw_alt})\b')) AS n_stopwords
+                     COALESCE(len(regexp_extract_all(lower(text),
+                         '\b({sw_alt})\b')), 0) AS n_stopwords
               FROM documents
             )
             SELECT doc_id, n_tokens, n_stopwords,
@@ -1953,8 +1957,8 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+'))
                        AS n_bpe_tokens,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                    END AS n_ws_tokens
             FROM documents ORDER BY doc_id
         """,
@@ -1975,11 +1979,11 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS ({_quality_oracle_sql()}),
             per AS (
               SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                 END AS n_tokens,
-                len(regexp_extract_all(lower(text),
-                    '\b({sw_alt})\b')) AS n_stopwords,
+                COALESCE(len(regexp_extract_all(lower(text),
+                    '\b({sw_alt})\b')), 0) AS n_stopwords,
                 md5(trim(regexp_replace(lower(text),
                     '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
               FROM documents
@@ -2005,11 +2009,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": rf"""
             WITH per AS (
               SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                 END AS n_tokens,
-                len(regexp_extract_all(lower(text),
-                    '\b({sw_alt})\b')) AS n_stopwords,
+                COALESCE(len(regexp_extract_all(lower(text),
+                    '\b({sw_alt})\b')), 0) AS n_stopwords,
                 md5(trim(regexp_replace(lower(text),
                     '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
               FROM documents
@@ -2758,8 +2762,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                 list_filter(string_split_regex(lower(text),
                   '[ \t\n\x0b\f\r\x1c-\x1f]+'), x -> x <> '') AS tk,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
                 END AS ntok
               FROM documents
             ), grams AS (
@@ -2796,14 +2800,14 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": rf"""
             WITH tagged AS (
               SELECT doc_id,
-                CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                CASE WHEN (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                            ELSE len(regexp_split_to_array(trim(text),
-                                                          '\s+')) END) > 0
-                          AND ROUND(len(regexp_extract_all(lower(text),
-                                '\b({sw_alt})\b')) * 1.0
-                              / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                                          '[ \t\n\x0b\f\r]+')) END) > 0
+                          AND ROUND(COALESCE(len(regexp_extract_all(lower(text),
+                                '\b({sw_alt})\b')), 0) * 1.0
+                              / (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                                  ELSE len(regexp_split_to_array(
-                                      trim(text), '\s+')) END), 6) >= 0.04
+                                      trim(text), '[ \t\n\x0b\f\r]+')) END), 6) >= 0.04
                      THEN 'en' ELSE 'unknown' END AS lang_pred
               FROM documents
             ), ranked AS (
@@ -2822,9 +2826,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH RECURSIVE toks AS (
               SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
-                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text),
-                                                         '\s+'))
+                                                         '[ \t\n\x0b\f\r]+'))
                           END AS INT) AS n_tokens
               FROM documents
             ), seq AS (

@@ -10,9 +10,10 @@ the DuckDB oracle can compute the identical value (see
 
 Definitions (pinned):
 
-- ``token_count``      — number of whitespace-delimited tokens.
-- ``stopword_ratio``   — fraction of tokens (lowercased, alnum-stripped)
-                         in the STOPWORDS list.
+- ``token_count``      — number of whitespace-delimited tokens
+                         (WS_CLASS fields of the space-trimmed text).
+- ``stopword_ratio``   — ASCII-boundary stopword matches over the
+                         lowercased text / max(token_count, 1), 6 dp.
 - ``punct_ratio``      — punctuation chars / total chars.
 - ``lang_id``          — 'en' if stopword_ratio >= 0.04 else 'unknown'
                          (n-gram/stopword heuristic family).
@@ -32,6 +33,10 @@ STOPWORDS = (
 )
 
 _PUNCT_RE = re.compile(r"[^\w\s]")
+# Pinned stopword boundary (r7): ASCII \b — equals Spark's explicit
+# [A-Za-z0-9_] lookarounds (curation.STOPWORD_PATTERN) and DuckDB RE2's
+# always-ASCII \b. Python's default \b is Unicode-aware, hence re.ASCII
+# (the CLAUDE.md three-engine \b rule; same treatment as core/redact).
 # Pinned whitespace for fingerprint normalization: the Java-regex \s set
 # [ \t\n\x0b\f\r] — identical to Python's re.ASCII \s — so the Spark column
 # (operators/dedup.normalized_text), this oracle, and the DuckDB SQL
@@ -42,16 +47,32 @@ WS_CLASS = r"[ \t\n\x0b\f\r]"
 _NORM_RE = re.compile(WS_CLASS + "+")
 
 
+_STOPWORD_RE = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b",
+                          re.ASCII)
+
+
 def token_count(text: str) -> int:
-    return len(text.split()) if text else 0
+    """Pinned: count of WS_CLASS-delimited fields of the space-trimmed
+    text; NULL/empty -> 0. Matches curation.token_count_col and the SQL
+    mirrors EXACTLY, including boundary empties (leading '\\t' yields a
+    leading empty field in all three engines; Python's .split() would
+    not). r7: was .split() (Unicode whitespace, no boundary empties)."""
+    t = (text or "").strip(" ")
+    if not t:
+        return 0
+    return len(_NORM_RE.split(t))
 
 
 def stopword_ratio(text: str) -> float:
-    toks = text.lower().split() if text else []
-    if not toks:
+    """Pinned: ASCII-boundary stopword matches over the lowercased text
+    / max(token_count, 1), rounded to 6 dp — the doc_lang_quality
+    formulation, bit-equal across the three engines. r7: was a
+    token-membership count with punctuation stripping, a different
+    (unpinned) definition that diverged from the gate formulation."""
+    if not text:
         return 0.0
-    sw = set(STOPWORDS)
-    return sum(1 for t in toks if t.strip(".,!?;:") in sw) / len(toks)
+    n_sw = len(_STOPWORD_RE.findall(text.lower()))
+    return round(n_sw / max(token_count(text), 1), 6)
 
 
 def punct_ratio(text: str) -> float:

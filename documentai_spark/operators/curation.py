@@ -24,19 +24,40 @@ from pyspark.sql.window import Window
 from documentai_spark.core.textstats import STOPWORDS
 
 
+# Pinned token whitespace: Java's \s set [ \t\n\x0b\f\r], SPELLED OUT
+# (r7 review) because RE2's \s lacks \x0b — a bare '\s+' in the DuckDB
+# oracle splits vertical-tab input differently. Same precedent as
+# ml_classify._WS_SPLIT and the fingerprint oracle's explicit class.
+TOKEN_WS = r"[ \t\n\x0b\f\r]+"
+
+# Pinned stopword boundary: explicit ASCII lookarounds (r7 review, the
+# CLAUDE.md three-engine \b rule) — Java's bare \b is Unicode-aware
+# (no match boundary before 'é') while the oracle's RE2 \b is
+# ASCII-only; on ASCII word chars the two are identical, and the
+# lookarounds make Spark match RE2 on ALL inputs. RE2 has no
+# lookarounds, so the oracle keeps \b (equivalent under ASCII classes).
+STOPWORD_PATTERN = (r"(?<![A-Za-z0-9_])(" + "|".join(STOPWORDS)
+                    + r")(?![A-Za-z0-9_])")
+
+
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count (doc_token_stats formulation)."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+    """Whitespace token count (doc_token_stats formulation). NULL text
+    counts 0 tokens (r7 review) — previously a NULL propagated into
+    bad_len/keep and the row dropped without a reason attributed."""
+    return F.when(text.isNull() | (F.length(F.trim(text)) == 0),
+                  F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(text), TOKEN_WS)))
 
 
 def stopword_ratio_col(text: Column) -> Column:
     """Stopword density, rounded to 6 dp (doc_lang_quality formulation:
     branch-free greatest() divisor keeps the regex outside lazy CaseWhen
-    branches — the documented codegen-CSE hazard)."""
-    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    n_sw = F.size(F.regexp_extract_all(F.lower(text), F.lit(sw_pat),
-                                       F.lit(0)))
+    branches — the documented codegen-CSE hazard). NULL text scores 0.0
+    (the coalesce; matches token_count_col's NULL-as-empty pin)."""
+    n_sw = F.coalesce(
+        F.size(F.regexp_extract_all(F.lower(text),
+                                    F.lit(STOPWORD_PATTERN), F.lit(0))),
+        F.lit(0))
     return F.round(n_sw / F.greatest(token_count_col(text), F.lit(1)), 6)
 
 

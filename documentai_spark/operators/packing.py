@@ -123,6 +123,9 @@ def pack_sequences(docs: DataFrame, *, budget: int,
     # error (or a silently-truncated shard key on fractional ids)
     from documentai_spark.functions.ids import checked_long
     lid = checked_long(F.col(id_col), "pack_sequences")
+    # token_count_col is TOTAL (NULL text -> 0, r7), so n_tokens can
+    # never reach the pandas stage as NaN — a NULL-text doc packs as a
+    # zero-token row (this operator never silently drops data)
     narrow = docs.select(
         *group_cols,
         lid.alias("doc_id"),
@@ -145,17 +148,6 @@ def pack_sequences(docs: DataFrame, *, budget: int,
                 f"{max_rows_per_shard}; raise n_shards to ~ceil(corpus_"
                 "rows / max_rows_per_shard) (see pack_sequences "
                 "docstring sizing rule)")
-        if pdf["n_tokens"].isna().any():
-            # a NULL text yields a NULL token count, which Arrow hands
-            # to pandas as NaN — int(NaN) below would die as an opaque
-            # worker ValueError; fail with the fix instead (r7 review,
-            # same philosophy as the checked_long id guard)
-            bad = pdf.loc[pdf["n_tokens"].isna(), "doc_id"].iloc[0]
-            raise ValueError(
-                f"pack_sequences: doc_id {bad} has a NULL token count "
-                f"(NULL {text_col!r}?); filter NULL-text documents "
-                "before packing — a curation pass drops them via "
-                "bad_len")
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins = []
         b = -1

@@ -1,0 +1,97 @@
+"""Cross-engine pins for the token / stopword / fingerprint
+formulations on ADVERSARIAL inputs (r7 review): vertical tab (Java \\s
+has \\x0b, RE2's \\s does not — hence the explicit class), non-ASCII
+letters adjacent to stopwords (Java \\b is Unicode-aware, RE2's \\b and
+Python's re.ASCII \\b are not — hence Spark's explicit ASCII
+lookarounds), NULL text (pinned to 0 tokens / 0 stopwords everywhere),
+NBSP, \\x1c, and boundary tabs. Each gate pair is run end-to-end:
+queries() on Spark vs oracle_sql() on DuckDB over the same parquet.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from tools.check_correctness import normalize
+
+ROWS = [
+    (0, "the cat sat on the mat and the dog ran by the tree in it"),
+    (1, "a\x0bb the c d"),               # \x0b IS a token split (Java \s)
+    (2, None),                            # NULL text: 0 tokens, no crash
+    (3, "\tthe quick fox ran far"),       # leading tab -> boundary empty
+    (4, "aérospace café the a of né and"),  # Unicode vs ASCII \b
+    (5, ""),
+    (6, "word joined the end one"),  # NBSP is NOT whitespace
+    (7, "x\x1cy the a"),                  # \x1c: token glue, ml-split
+]
+
+QUERIES = [
+    "doc_token_stats", "doc_lang_quality", "doc_fingerprint",
+    "bpe_token_count", "corpus_report", "rep_signals",
+    "stratified_sample", "pack_sequences",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_sf(spark, tmp_path_factory):
+    """A documents.parquet of adversarial texts, usable as an sf_dir."""
+    d = tmp_path_factory.mktemp("advsf")
+    spark.createDataFrame(ROWS, "doc_id long, text string") \
+         .coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(adv_sf):
+    import duckdb
+    c = duckdb.connect()
+    c.sql("CREATE VIEW documents AS SELECT * FROM "
+          f"read_parquet('{adv_sf}/documents.parquet/*.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_gate_pair_agrees_on_adversarial_text(spark, adv_sf, con, name):
+    sdf = entry.queries()[name](spark, adv_sf).toPandas()
+    odf = con.sql(entry.oracle_sql()[name]).df()
+    a, b = normalize(sdf), normalize(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_token_and_stopword_values_pinned(spark, adv_sf):
+    """Spot-pin the interesting rows so a future 'both engines drifted
+    together' regression is still visible, and pin the PYTHON leg
+    (core.textstats) to the same numbers."""
+    from documentai_spark.core.textstats import (
+        stopword_ratio, token_count,
+    )
+
+    got = {r.doc_id: r for r in
+           entry.queries()["doc_lang_quality"](spark, adv_sf).collect()}
+    # \x0b splits: 'a', 'b', 'the', 'c', 'd' -> 5 tokens; stopwords
+    # 'a' (bounded by \x0b) and 'the' -> 2
+    assert (got[1].n_tokens, got[1].n_stopwords) == (5, 2)
+    # NULL text: 0 tokens, 0 stopwords, ratio 0.0, unknown
+    assert (got[2].n_tokens, got[2].n_stopwords,
+            got[2].stopword_ratio, got[2].lang_pred) == \
+        (0, 0, 0.0, "unknown")
+    # leading tab survives the space-trim -> a boundary empty token
+    assert got[3].n_tokens == 6
+    # ASCII boundaries: 'a' matches inside 'aérospace' (é is not an
+    # ASCII word char, so there IS a boundary after 'a'), plus the bare
+    # 'the', 'a', 'of', 'and' -> 5. Java's Unicode \b would see no
+    # boundary and give 4 — this row detects a lookaround regression.
+    assert got[4].n_stopwords == 5
+    # NBSP does not split: 'word\xa0joined','the','end','one' -> 4/1
+    assert (got[6].n_tokens, got[6].n_stopwords) == (4, 1)
+    # \x1c does not split the whitespace tokenization
+    assert (got[7].n_tokens, got[7].n_stopwords) == (3, 2)
+
+    for i, text in ROWS:
+        assert token_count(text) == got[i].n_tokens, i
+        assert stopword_ratio(text) == got[i].stopword_ratio, i

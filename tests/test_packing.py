@@ -121,16 +121,19 @@ def test_shard_size_guards(spark):
                        max_rows_per_shard=4).collect()
 
 
-def test_pack_null_token_count_fails_fast(spark):
-    """r7 review: a NULL text yields a NULL token count, which lands in
-    the pandas frame as NaN — int(NaN) used to die as an opaque worker
-    ValueError; the guard names the doc and the fix instead."""
-    import pytest
-
+def test_pack_null_text_packs_as_zero_tokens(spark):
+    """r7 review: a NULL text used to yield a NULL token count that
+    died as an opaque int(NaN) worker error. token_count_col is now
+    TOTAL (NULL -> 0 tokens, the pinned three-engine formulation), so a
+    NULL-text doc packs as a zero-token row — present in the
+    assignment, adding nothing to its bin."""
     docs = spark.createDataFrame([(1, "a b c"), (2, None)],
                                  "doc_id long, text string")
-    with pytest.raises(Exception, match="NULL token count"):
-        pack_sequences(docs, budget=8).collect()
+    got = {r.doc_id: r for r in
+           pack_sequences(docs, budget=8, n_shards=1).collect()}
+    assert got[2].n_tokens == 0 and not got[2].oversize
+    assert got[1].n_tokens == 3
+    assert got[1].bin == got[2].bin == 0   # 0-token doc fills nothing
 
 
 def test_pack_rejects_non_long_and_truncating_ids(spark):
