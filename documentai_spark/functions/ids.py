@@ -45,3 +45,26 @@ def checked_long(col: Column, context: str) -> Column:
                    F.lit("NULL")),
         F.lit(" is not losslessly long-castable" + _FIX))
     return F.when(F.assert_true(ok, msg).isNull(), lng)
+
+
+def checked_id(col: Column, context: str) -> Column:
+    """``col`` as the string key of a deterministic hash decision
+    (split bucket, mixture thinning, sample rank), failing fast with a
+    named error on NULL (r7 review).
+
+    A NULL id used to take each surface's silent worst case: the split
+    hash went NULL so every NULL-id row fell through the when-chain
+    into the LAST declared split (eval-set contamination by default
+    weights), the mixture bucket comparison went NULL so the row was
+    silently dropped, and the sample rank ordered NULLS FIRST so
+    NULL-id rows hogged the top-k (exact form) while the scale form's
+    prefilter dropped them — three different silent outcomes for the
+    same defect. Same assert_true shape as :func:`checked_long`: zero
+    extra jobs, the check rides the pass that hashes the id.
+    """
+    ok = col.isNotNull()
+    msg = F.lit(
+        f"{context}: id column contains NULL — deterministic "
+        "hash-bucket decisions need a stable non-NULL id per row; "
+        "filter NULL-id rows or derive a stable surrogate first")
+    return F.when(F.assert_true(ok, msg).isNull(), col.cast("string"))

@@ -284,15 +284,20 @@ def with_split(df: DataFrame, *, id_col: str = "doc_id",
     loads never migrate a document between splits (a ``rand()``-based
     split re-deals on every action). Pure JVM expressions, no shuffle;
     the DuckDB gate oracle replays the identical bucket arithmetic
-    (hex-prefix cast both engines agree on).
+    (hex-prefix cast both engines agree on). A NULL id fails fast
+    (``checked_id``, r7 review) — it used to hash NULL and fall through
+    the when-chain into the LAST declared split, silently contaminating
+    the eval set under the default weights.
     """
+    from documentai_spark.functions.ids import checked_id
+
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     if col in df.columns:
         raise ValueError(f"column {col!r} already exists")
     total = float(sum(weights.values()))
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{seed}|"),
-                       F.col(id_col).cast("string"))), 1, 8),
+                       checked_id(F.col(id_col), "with_split"))), 1, 8),
         16, 10).cast("long") % 10_000)
     names = list(weights)
     acc = 0.0
@@ -359,8 +364,14 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         # family as with_curation_flags / predict_with_topk; ADVICE r5)
         raise ValueError("input column '_sr' collides with "
                          "stratified_sample internals")
+    # checked_id (r7 review): a NULL id's NULL rank hash ordered NULLS
+    # FIRST in the exact window (NULL-id rows hogged the top-k) but
+    # fell out of the scale form's prefilter — the two forms' documented
+    # identical-row-set equivalence broke exactly there. Fail fast.
+    from documentai_spark.functions.ids import checked_id
+
     h = F.md5(F.concat(F.lit(f"strat|{seed}|"),
-                       F.col(id_col).cast("string")))
+                       checked_id(F.col(id_col), "stratified_sample")))
     w = Window.partitionBy(*group_cols).orderBy(h.asc(),
                                                 F.col(id_col).asc())
     if exact_window:
@@ -503,7 +514,11 @@ def mixture_sample(df: DataFrame, *, rates: dict[str, float],
     bucket, so thinning never biases the train/val/test assignment.
     Pure JVM expressions, no shuffle; unknown sources keep
     ``default_rate``. Re-runs and incremental loads keep/drop the SAME
-    rows (stable mixtures as the corpus grows)."""
+    rows (stable mixtures as the corpus grows). A NULL id fails fast
+    (``checked_id``, r7 review) — the NULL bucket comparison used to
+    silently DROP the row from every source."""
+    from documentai_spark.functions.ids import checked_id
+
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {s!r} must be in [0, 1]: {r}")
@@ -511,7 +526,8 @@ def mixture_sample(df: DataFrame, *, rates: dict[str, float],
         raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit(f"mix|{seed}|"),
-                       F.col(id_col).cast("string"))), 1, 8),
+                       checked_id(F.col(id_col), "mixture_sample"))),
+        1, 8),
         16, 10).cast("long") % 10_000)
     thr = None
     for s, r in rates.items():

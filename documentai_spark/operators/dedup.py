@@ -134,6 +134,15 @@ def with_minhash_signature_local(df: DataFrame, text_col: str = "text",
     shingles sit behind the UDF's Arrow boundary). The per-permutation
     salts are baked with ``F.lit(i)`` inside the comprehension — never a
     lambda default arg (the r4 (element, index) HOF-dispatch trap)."""
+    clash = {"_mhl_norm", "_mhl_shs", out_col} & set(df.columns)
+    if clash:
+        # "keeps every input column" is the contract — withColumn would
+        # silently clobber a same-named input and the trailing drop()
+        # would delete it (r7 review; the with_curation_flags guard
+        # family)
+        raise ValueError(
+            f"input columns collide with with_minhash_signature_local "
+            f"internals/output: {sorted(clash)}")
     shingles = shingle_udf(w)
     staged = (df.withColumn("_mhl_norm", normalized_text(F.col(text_col)))
                 .withColumn("_mhl_shs", shingles(F.col("_mhl_norm"))))

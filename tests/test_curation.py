@@ -476,6 +476,53 @@ def test_near_dedup_rejects_non_long_ids(spark):
         with_curation_flags(df, near_dedup=True)
 
 
+def test_null_ids_fail_fast_on_hash_decision_surfaces(spark):
+    """r7 review: a NULL id used to take each surface's silent worst
+    case — with_split routed the row into the LAST declared split
+    (eval contamination), mixture_sample silently dropped it, and the
+    two stratified_sample forms DISAGREED (exact window ranked NULLS
+    FIRST into the top-k; the scale prefilter dropped them). All three
+    now raise the named checked_id error instead."""
+    import pytest
+
+    from documentai_spark.operators.curation import (
+        mixture_sample, stratified_sample, with_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "web"), (None, "b", "web"), (3, "c", "books")],
+        "doc_id long, text string, source string")
+
+    with pytest.raises(Exception, match="with_split.*NULL"):
+        with_split(df).collect()
+    with pytest.raises(Exception, match="mixture_sample.*NULL"):
+        mixture_sample(df, rates={"web": 0.5}).collect()
+    for exact in (True, False):
+        with pytest.raises(Exception, match="stratified_sample.*NULL"):
+            stratified_sample(df, group_cols=["source"], k=1,
+                              exact_window=exact).collect()
+
+
+def test_minhash_local_signature_collision_guard(spark):
+    """with_minhash_signature_local promises to keep every input
+    column; a pre-existing _mhl_*/out_col column would be clobbered
+    then dropped — refused loudly (r7 review)."""
+    import pytest
+
+    from documentai_spark.operators.dedup import (
+        with_minhash_signature_local,
+    )
+
+    df = spark.createDataFrame([(1, "a b c", 9)],
+                               "doc_id long, text string, _mhl_shs int")
+    with pytest.raises(ValueError, match="_mhl_shs"):
+        with_minhash_signature_local(df)
+    df2 = spark.createDataFrame([(1, "a b c", 9)],
+                                "doc_id long, text string, _sig int")
+    with pytest.raises(ValueError, match="_sig"):
+        with_minhash_signature_local(df2)
+
+
 def test_stratified_sample_null_group_keys(spark):
     """ADVICE r6: the scale form's prefilter equi-join dropped rows
     whose group key is NULL (groupBy and the exact form's window both
