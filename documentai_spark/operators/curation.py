@@ -86,8 +86,11 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     and gate shapes do).
 
     ``near_dedup=True`` (VERDICT r5 #5) additionally runs the full
-    near-dup chain — MinHash-LSH candidates -> shingle-Jaccard verify
-    -> transitive cluster closure (``dedup.near_dedup``'s stages) — and
+    near-dup chain — MinHash-LSH candidates over the EXACT-duplicate
+    representatives only (``dedup.exact_rep_rows``, r7: identical texts
+    band identically, so banding members too was quadratic in the
+    group size) -> shingle-Jaccard verify -> transitive cluster closure
+    (``dedup.near_dedup``'s stages) — and
     adds ``is_near_dup``: the row is NOT its cluster's min-id
     representative *and* is not already an exact duplicate, so drop
     accounting attributes near-dup kills separately from exact ones.
@@ -133,26 +136,44 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     # could otherwise lose EVERY member (exact window drops one, the
     # closure rep drops the other). checked_long fails fast on any id
     # outside the long domain with an error naming the fix.
+    out = df.withColumn("_ct_fp", fingerprint_col(text))
     if use_near:
         from documentai_spark.functions.ids import checked_long
         dup_id = checked_long(F.col(id_col), "with_curation_flags")
+        # row_number, not value-compare (r7 review): two string ids
+        # that collapse to ONE long ('7' and '007') tie in the long
+        # domain, so `dup_id > min(dup_id)` flagged NEITHER and the
+        # duplicate text survived; the (long, string) rank flags
+        # exactly the non-winner — the SAME ordering exact_rep_rows
+        # uses to elect the banded representative below.
+        w_fp = Window.partitionBy("_ct_fp").orderBy(
+            dup_id.asc(), F.col(id_col).asc())
+        out = out.withColumn("is_dup", F.row_number().over(w_fp) > 1)
     else:
         dup_id = F.col(id_col)
-    out = (df.withColumn("_ct_fp", fingerprint_col(text))
-             .withColumn("is_dup",
-                         dup_id > F.min(dup_id).over(
-                             Window.partitionBy("_ct_fp")))
-             .drop("_ct_fp"))
+        out = out.withColumn("is_dup",
+                             dup_id > F.min(dup_id).over(
+                                 Window.partitionBy("_ct_fp")))
+    out = out.drop("_ct_fp")
     if use_near:
         if near_reps is None:
             from documentai_spark.operators.dedup import (
-                cluster_pairs, minhash_dedup_pairs,
+                cluster_pairs, exact_rep_rows, minhash_dedup_pairs,
             )
+            # band only exact-dup representatives (r7 review): an
+            # m-copy group's identical signatures otherwise emit
+            # ~bands*m^2/2 LSH candidate rows; members inherit the
+            # verdict through is_dup above (flags unchanged — a
+            # member's is_near_dup was already forced false by ~is_dup)
+            rep_src = exact_rep_rows(df.select(id_col, text_col),
+                                     text_col, id_col,
+                                     context="with_curation_flags")
             pairs = minhash_dedup_pairs(
-                df.select(id_col, text_col), text_col=text_col,
+                rep_src, text_col=text_col,
                 id_col=id_col, num_hashes=num_hashes, bands=bands,
                 jaccard_threshold=jaccard_threshold)
-            reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
+            reps = cluster_pairs(pairs, rep_src.select(id_col),
+                                 a_col="id_a",
                                  b_col="id_b", id_col=id_col,
                                  max_iter=max_iter, stats=near_stats)
         else:

@@ -66,6 +66,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .drop("_fp"))
 
 
+def exact_rep_rows(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   context: str = "near_dedup") -> DataFrame:
+    """One representative ``(id, text)`` row per EXACT-duplicate group:
+    the min-(long id, string id) member per normalized fingerprint.
+
+    Why this exists (r7 review): identical texts have identical MinHash
+    signatures, so an m-copy boilerplate group collides in EVERY band
+    and the LSH self-join emits ~bands*m^2/2 candidate rows — a
+    quadratic blowup on content that exact dedup collapses to one row
+    in one shuffle (at 100 TB a million-copy template is ~10^13 join
+    rows). The near-dup chain therefore bands ONLY these
+    representatives; exact-duplicate members inherit the verdict
+    through ``is_dup`` (with_curation_flags) or by not being cluster
+    representatives (near_dedup). One groupBy on the 16-byte
+    fingerprint with map-side combine — the same shape as exact_dedup.
+
+    The winner is picked in the LONG domain with the string id as
+    tie-break — the SAME ordering the near path's exact-dup window
+    uses — so two string ids that collapse to one long ('7' and '007')
+    still elect exactly one representative between them
+    (``checked_long`` enforces the long domain). NOTE: the agg is a
+    plain plan node and recomputes per consumer; the chain's consumers
+    each ran full-corpus shingling before, so this strictly reduces
+    per-consumer work — a checkpointed run materializes the final reps
+    table instead (plans.checkpoint._near_reps_stage).
+    """
+    from documentai_spark.functions.ids import checked_long
+
+    lid = checked_long(F.col(id_col), context)
+    row = F.struct(lid.alias("_l"),
+                   F.col(id_col).cast("string").alias("_s"),
+                   F.col(id_col).alias("_id"),
+                   F.col(text_col).alias("_text"))
+    return (df.select(fingerprint_col(F.col(text_col)).alias("_erfp"),
+                      row.alias("_row"))
+              .groupBy("_erfp").agg(F.min("_row").alias("_row"))
+              .select(F.col("_row._id").alias(id_col),
+                      F.col("_row._text").alias(text_col)))
+
+
 def shingle_udf(w: int = 3):
     """The Arrow-batched shingler over PRE-NORMALIZED text, shared by
     :func:`with_shingles` (batch) and
@@ -540,11 +581,24 @@ def near_dedup(df: DataFrame, *, text_col: str = "text",
     stage is banded/semi-filtered (no all-pairs anywhere), and the
     closure makes the keep-decision TRANSITIVE — without it, A~B and
     B~C with A!~C would keep both A and C's near-identical content.
+
+    r7: only EXACT-duplicate representatives are banded
+    (:func:`exact_rep_rows`) — identical texts band identically, so an
+    m-copy group used to emit ~bands*m^2/2 candidate rows that the
+    verify join then had to carry. The survivor set is unchanged: a
+    non-representative exact copy could never be its cluster's min-id
+    (its group's representative has a smaller (long, string) key), so
+    it was always dropped — now it simply never enters the closure.
+    Ids must be losslessly long-castable (the closure's label domain;
+    ``checked_long`` fails fast otherwise).
     """
-    pairs = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col,
-                                num_hashes=num_hashes, bands=bands,
+    rep_src = exact_rep_rows(df.select(id_col, text_col),
+                             text_col, id_col, context="near_dedup")
+    pairs = minhash_dedup_pairs(rep_src, text_col=text_col,
+                                id_col=id_col, num_hashes=num_hashes,
+                                bands=bands,
                                 jaccard_threshold=jaccard_threshold)
-    reps = cluster_pairs(pairs, df.select(id_col), a_col="id_a",
+    reps = cluster_pairs(pairs, rep_src.select(id_col), a_col="id_a",
                          b_col="id_b", id_col=id_col,
                          max_iter=max_iter)
     keep = reps.filter(F.col(id_col) == F.col("cluster_rep"))

@@ -225,7 +225,7 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
     from pyspark.sql.observation import Observation
 
     from documentai_spark.operators.dedup import (
-        cluster_pairs, minhash_dedup_pairs,
+        cluster_pairs, exact_rep_rows, minhash_dedup_pairs,
     )
 
     reps_dir = os.path.join(out_path, NEAR_REPS_DIR)
@@ -256,12 +256,18 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
     _clear_stage_manifest(out_path, NEAR_REPS_STAGE)
     started = time.time()
     src = spark.read.parquet(in_path)
+    # band only exact-dup representatives (r7 review, the same collapse
+    # as with_curation_flags' inline chain — the resumed flags stay
+    # byte-equal): members inherit through the per-bucket is_dup window
+    # and the coalesce in the reps join (absent rep row -> not near-dup)
+    rep_src = exact_rep_rows(src.select(id_col, text_col), text_col,
+                             id_col, context="near_reps_stage")
     pairs = minhash_dedup_pairs(
-        src.select(id_col, text_col), text_col=text_col, id_col=id_col,
+        rep_src, text_col=text_col, id_col=id_col,
         num_hashes=curate_kw.get("num_hashes", 64),
         bands=curate_kw.get("bands", 16),
         jaccard_threshold=curate_kw.get("jaccard_threshold", 0.8))
-    reps = cluster_pairs(pairs, src.select(id_col), a_col="id_a",
+    reps = cluster_pairs(pairs, rep_src.select(id_col), a_col="id_a",
                          b_col="id_b", id_col=id_col,
                          max_iter=curate_kw.get("max_iter", 50))
     obs = Observation("near_reps")

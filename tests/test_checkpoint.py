@@ -201,7 +201,10 @@ def test_near_dedup_checkpoint_resume_byte_equals_single_run(spark,
     assert s1["buckets_done"] == 2
     rep_m = read_stage_manifest(out_dir, "near-reps")
     assert rep_m and rep_m["status"] == "done"
-    assert rep_m["rows_out"] == len(rows)     # one label per doc
+    # one label per DISTINCT content (r7: only exact-dup representatives
+    # are banded/closed — doc 2 inherits through the bucket is_dup
+    # window), not per doc
+    assert rep_m["rows_out"] == len(rows) - 1
 
     # resume: reps stage skipped (same manifest, not recomputed)
     s2 = run_checkpointed_curation(spark, in_dir, out_dir, n_buckets=4,

@@ -399,6 +399,38 @@ def test_near_dedup_curation_flags(spark):
     assert comp_keep == keep
 
 
+def test_near_dedup_long_collapsing_ids_drop_duplicate_text(spark):
+    """r7 review: '7' and '007' are distinct strings but ONE long, so
+    the long-domain value-compare window flagged NEITHER copy of
+    identical text and the duplicate survived curation. The
+    (long, string)-ranked window flags exactly the non-winner — the
+    same ordering that elects the banded representative."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import with_curation_flags
+
+    base = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away into the deep woods where it was happy to "
+            "rest for a while before returning to the warm den")
+    rows = [("7", base), ("007", base),
+            ("12", base + " extra tail"),       # near dup of the pair
+            ("20", "a completely different other text about spark "
+                   "plans and shuffles that is long enough to keep "
+                   "with the stopwords of the usual kind in it")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]) \
+              .withColumn("confidence", F.lit(1.0))
+    got = {r.doc_id: r for r in
+           with_curation_flags(df, near_dedup=True,
+                               jaccard_threshold=0.7).collect()}
+    # winner by (long, string): '007' ties long 7, wins the string
+    # tie-break; '7' is the exact dup
+    assert not got["007"].is_dup and not got["007"].is_near_dup
+    assert got["7"].is_dup and not got["7"].is_near_dup
+    assert got["12"].is_near_dup
+    keep = {d for d, r in got.items() if r.keep}
+    assert keep == {"007", "20"}
+
+
 def test_near_dedup_job_flag_validation():
     """--near-dedup refuses to run outside --curate/--prepare (argparse
     errors fire before any Spark session is built). Since r7 the

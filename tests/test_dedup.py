@@ -50,6 +50,35 @@ def test_exact_dedup_null_text_keeps_representative(spark):
         exact_dedup(df.withColumn("_fp", df.doc_id))
 
 
+def test_exact_rep_rows_elects_one_banded_row_per_group(spark):
+    """r7: the near-dup chain bands only exact-dup representatives —
+    one (min long, min string) row per normalized fingerprint; a
+    60-copy group contributes ONE row to the LSH stage instead of
+    60 identical signatures colliding in every band (quadratic
+    candidates), and the chain's keep set is unchanged."""
+    from documentai_spark.operators.dedup import (
+        exact_rep_rows, minhash_lsh_candidates, near_dedup,
+    )
+
+    rows = [(100 + i, BASE) for i in range(60)]          # mega group
+    rows += [(5, NEAR), (7, FAR), (1, "  " + BASE + " ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    reps = exact_rep_rows(df)
+    got = sorted(r.doc_id for r in reps.collect())
+    assert got == [1, 5, 7]        # min id per group (1 < 100..159)
+
+    # candidate pairs over the representatives: only the true near pair
+    # remains; the 61-copy group used to contribute 61*60/2 pairs
+    cands = minhash_lsh_candidates(reps).collect()
+    assert {(r.id_a, r.id_b) for r in cands} == {(1, 5)}
+
+    kept = sorted(r.doc_id for r in near_dedup(df,
+                                               jaccard_threshold=0.7)
+                  .collect())
+    assert kept == [1, 7]          # cluster rep 1 survives, 7 unrelated
+
+
 def test_minhash_candidates_and_pairs(docs):
     cand = {(r.id_a, r.id_b)
             for r in minhash_lsh_candidates(docs).collect()}
