@@ -631,10 +631,16 @@ def repetition_signals(docs: DataFrame, *, id_col: str = "doc_id",
 def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     """documents(doc_id, text, ...) -> the full quality stack + curation
     flags (the --curate job shape). Returns ALL rows with flags; filter
-    on ``keep`` for the surviving set."""
+    on ``keep`` for the surviving set. ``text_col`` (r7 review) is
+    honored by the WHOLE chain — the extraction/quality stack used to
+    hardcode 'text', so a non-default text column either failed or,
+    worse, silently scored confidence over the wrong column while the
+    dedup/length flags used the right one."""
     from documentai_spark.functions.verdict import with_verdict
     from documentai_spark.operators.extraction import (
         with_extraction, with_quality,
     )
-    df = with_verdict(with_quality(with_extraction(docs), raw_col="text"))
+    text_col = kw.get("text_col", "text")
+    df = with_verdict(with_quality(with_extraction(docs, text_col=text_col),
+                                   raw_col=text_col))
     return with_curation_flags(df, **kw)

@@ -338,11 +338,17 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
         dim = embedding_dim(df, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    v = v.withColumn("_b", lsh_bucket_col(F.col("_v"), planes))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_b")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_b")
+    # norms projected once per ROW before the self-join (r7 review):
+    # inlining norm_col in the per-pair cosine recomputed each vector's
+    # norm once per bucket partner
+    v = (v.withColumn("_b", lsh_bucket_col(F.col("_v"), planes))
+          .withColumn("_n", norm_col(F.col("_v"))))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na"), "_b")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb"), "_b")
     cos = (dot_col(F.col("_va"), F.col("_vb"))
-           / (norm_col(F.col("_va")) * norm_col(F.col("_vb"))))
+           / (F.col("_na") * F.col("_nb")))
     return (a.join(b, "_b")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

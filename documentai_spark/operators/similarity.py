@@ -8,9 +8,10 @@ Two tiers per the training-data-pipeline brief:
   codegen'd and embarrassingly parallel — right up to ~10^9 comparisons.
 - **random-hyperplane LSH ANN** — the scale path: m sign-bits of dot
   products with seeded deterministic hyperplanes -> bucket key; candidates
-  are same-bucket (multi-probe: hamming-1 neighbors optional); exact
-  re-rank within candidates. Probes a ~2^-m fraction of the corpus per
-  query at 100 TB.
+  are same-bucket; exact re-rank within candidates. Probes a ~2^-m
+  fraction of the corpus per query at 100 TB. (For a recall-tunable
+  probe count use the IVF tier's ``n_probe`` — this tier deliberately
+  stays single-bucket.)
 
 The hyperplanes are generated from a fixed seed on the driver and inlined
 as literal arrays (broadcast with the plan) — signatures are pure
@@ -41,6 +42,43 @@ def norm_col(a) -> Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _sides(vectors: DataFrame, anchors: DataFrame, id_col: str,
+           vec_col: str, anchor_id_col: str) -> tuple[DataFrame,
+                                                      DataFrame]:
+    """(vector side, anchor side) with PRE-COMPUTED norms (r7 review):
+    ``norm_col`` is an interpreted higher-order aggregate over dim
+    elements, and inlining it in the per-pair cosine recomputed every
+    vector's norm once per ANCHOR (and vice versa) — O(N*A*dim)
+    redundant work at the ~10^9-comparison scale this tier targets.
+    Projected here, each norm is computed once per ROW; the division
+    by the precomputed product yields bit-identical doubles (same
+    left-to-right folds, same multiply)."""
+    v = vectors.select(F.col(id_col),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    v = v.withColumn("_vn", norm_col(F.col("_v")))
+    a = anchors.select(F.col(anchor_id_col),
+                       _as_double(F.col(vec_col)).alias("_a"))
+    a = a.withColumn("_an", norm_col(F.col("_a")))
+    return v, a
+
+
+def _rerank_topk(joined: DataFrame, k: int, id_col: str,
+                 anchor_id_col: str) -> DataFrame:
+    """Shared candidate re-rank (r7 review: was triplicated verbatim):
+    exact cosine from the precomputed norms, per-anchor row_number
+    top-k with the deterministic (cosine desc, id asc) tie-break."""
+    cos = (dot_col(F.col("_a"), F.col("_v"))
+           / (F.col("_an") * F.col("_vn")))
+    ranked = (joined.filter(F.col(id_col) != F.col(anchor_id_col))
+                    .select(anchor_id_col, id_col, cos.alias("cosine")))
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
+                                                  F.asc(id_col))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(anchor_id_col, "rank",
+                          F.col(id_col).alias("neighbor_id"), "cosine"))
+
+
 def brute_force_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      anchor_id_col: str = "anchor_id") -> DataFrame:
@@ -50,21 +88,9 @@ def brute_force_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
     side streams once; no shuffle until the final per-anchor top-k window
     (which is tiny: N_anchors * N rows reduced by the filter pushdown of
     row_number <= k under AQE)."""
-    v = vectors.select(F.col(id_col),
-                       _as_double(F.col(vec_col)).alias("_v"))
-    a = anchors.select(F.col(anchor_id_col),
-                       _as_double(F.col(vec_col)).alias("_a"))
-    cos = (dot_col(F.col("_a"), F.col("_v"))
-           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
-    joined = (F.broadcast(a).crossJoin(v)
-              .filter(F.col(id_col) != F.col(anchor_id_col))
-              .select(anchor_id_col, id_col, cos.alias("cosine")))
-    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
-                                                  F.asc(id_col))
-    return (joined.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(anchor_id_col, "rank",
-                          F.col(id_col).alias("neighbor_id"), "cosine"))
+    v, a = _sides(vectors, anchors, id_col, vec_col, anchor_id_col)
+    return _rerank_topk(F.broadcast(a).crossJoin(v), k, id_col,
+                        anchor_id_col)
 
 
 def embedding_dim(df, vec_col: str) -> int:
@@ -87,8 +113,16 @@ def embedding_dim(df, vec_col: str) -> int:
 
 def _hyperplanes(dim: int, m: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-gaussian hyperplanes (Box-Muller over a
-    hash-driven uniform stream; no RNG state, reproducible anywhere)."""
+    hash-driven uniform stream; no RNG state, reproducible anywhere).
+    m is capped at 63 (r7 review): the bucket key packs one bit per
+    plane into a SIGNED long, and m=64's F.lit(2**63) dies as an opaque
+    py4j conversion error instead of this named one."""
     import hashlib
+
+    if not (1 <= m <= 63):
+        raise ValueError(
+            f"m_bits must be in 1..63 (got {m}): the LSH bucket key "
+            "packs one sign bit per hyperplane into a signed long")
 
     def u(i: int) -> float:
         h = hashlib.md5(f"{seed}|{i}".encode()).digest()
@@ -164,36 +198,23 @@ def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
 
     Exact cosine re-rank within the probed cells either way.
     """
-    v = vectors.select(F.col(id_col),
-                       _as_double(F.col(vec_col)).alias("_v"))
+    v, a = _sides(vectors, anchors, id_col, vec_col, anchor_id_col)
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
         feat = v.withColumn("_feat", array_to_vector("_v"))
         km = KMeans(k=n_cells, seed=seed, featuresCol="_feat",
                     predictionCol="_cell").fit(feat)
-        assigned = km.transform(feat).select(id_col, "_v", "_cell")
+        assigned = km.transform(feat).select(id_col, "_v", "_vn", "_cell")
         centers = [c.tolist() for c in km.clusterCenters()]
     else:
         centers = centroids
         assigned = v.withColumn(
             "_cell", F.element_at(nearest_cells(F.col("_v"), centers, 1), 1))
-    a = anchors.select(F.col(anchor_id_col),
-                       _as_double(F.col(vec_col)).alias("_a"))
     a = a.withColumn("_cell",
                      F.explode(nearest_cells(F.col("_a"), centers, n_probe)))
-
-    cos = (dot_col(F.col("_a"), F.col("_v"))
-           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
-    joined = (F.broadcast(a).join(assigned, "_cell")
-              .filter(F.col(id_col) != F.col(anchor_id_col))
-              .select(anchor_id_col, id_col, cos.alias("cosine")))
-    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
-                                                  F.asc(id_col))
-    return (joined.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(anchor_id_col, "rank",
-                          F.col(id_col).alias("neighbor_id"), "cosine"))
+    return _rerank_topk(F.broadcast(a).join(assigned, "_cell"), k,
+                        id_col, anchor_id_col)
 
 
 def lsh_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
@@ -207,20 +228,8 @@ def lsh_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
     if dim is None:
         dim = embedding_dim(vectors, vec_col)
     planes = _hyperplanes(dim, m_bits, seed)
-    v = vectors.select(F.col(id_col),
-                       _as_double(F.col(vec_col)).alias("_v"))
+    v, a = _sides(vectors, anchors, id_col, vec_col, anchor_id_col)
     v = v.withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
-    a = anchors.select(F.col(anchor_id_col),
-                       _as_double(F.col(vec_col)).alias("_a"))
     a = a.withColumn("_bucket", lsh_bucket_col(F.col("_a"), planes))
-    cos = (dot_col(F.col("_a"), F.col("_v"))
-           / (norm_col(F.col("_a")) * norm_col(F.col("_v"))))
-    joined = (F.broadcast(a).join(v, "_bucket")
-              .filter(F.col(id_col) != F.col(anchor_id_col))
-              .select(anchor_id_col, id_col, cos.alias("cosine")))
-    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),
-                                                  F.asc(id_col))
-    return (joined.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(anchor_id_col, "rank",
-                          F.col(id_col).alias("neighbor_id"), "cosine"))
+    return _rerank_topk(F.broadcast(a).join(v, "_bucket"), k, id_col,
+                        anchor_id_col)

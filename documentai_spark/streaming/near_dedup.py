@@ -239,8 +239,14 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                             "_doc": r_docs[i]})
         if ttl_ms is not None and expiry is None:
             # expiry fixed at the bucket's FIRST sighting (house style:
-            # duplicates and later reps do not slide the window)
-            expiry = _event_ms(pdf["_ts"]) + ttl_ms
+            # duplicates and later reps do not slide the window). An
+            # all-null-ts batch anchors at the WATERMARK, not epoch 0
+            # (r7 review): a 0-anchored expiry is already in the past,
+            # so the bucket evicted immediately and near-identical
+            # content re-admitted every batch
+            ev = _event_ms(pdf["_ts"])
+            anchor = ev if ev > 0 else state.getCurrentWatermarkMs()
+            expiry = anchor + ttl_ms
         state.update((rep_ids, sigs, expiry if expiry is not None else 0))
         if ttl_ms is not None:
             state.setTimeoutTimestamp(

@@ -134,7 +134,9 @@ def streaming_conversation_totals(stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             chars += int(pdf["text"].str.len().sum())
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            tm = pdf["turn_idx"].max()        # NaN when all-null (r7
+            if not pd.isna(tm):               # review): int(NaN) would
+                mx = max(mx, int(tm))         # kill the stream
         state.update((n, chars, mx))
         yield pd.DataFrame([{"conv_id": key[0], "n_turns": n,
                              "total_chars": chars, "max_turn_idx": mx}])
@@ -160,6 +162,18 @@ def streaming_conversation_totals_final(stream: DataFrame,
     (last activity + gap), so long-running conversations stay open; the
     stored ``last_ms`` makes re-arming monotone even when a later batch
     carries earlier event times.
+
+    Null event times: rows with a NULL ``ts`` update the totals but
+    carry no event-time information. A conversation whose EVERY row so
+    far is null-ts anchors its gap at the current WATERMARK (r7 review
+    — anchoring at epoch 0 closed it on the very next watermark
+    advance, and a later row then emitted a SECOND final row). The
+    exactly-once guarantee is therefore per admission window for
+    all-null-ts conversations — a null-ts row arriving after such a
+    close re-opens the conversation (the same windowed tradeoff as the
+    ttl'd dedup); rows with REAL event times past the close are dropped
+    by the watermark, keeping the strict exactly-once for timestamped
+    data.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -182,12 +196,22 @@ def streaming_conversation_totals_final(stream: DataFrame,
         for pdf in pdfs:
             n += len(pdf)
             chars += int(pdf["text"].str.len().sum())
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            tm = pdf["turn_idx"].max()
+            if not pd.isna(tm):
+                mx = max(mx, int(tm))
             last = max(last, _event_ms(pdf[ts_col]))
         state.update((n, chars, mx, last))
-        # must be strictly past the current watermark or Spark rejects it
+        # must be strictly past the current watermark or Spark rejects
+        # it. A conversation with NO observed event time (last == 0 —
+        # every ts null so far) anchors the gap at the WATERMARK, not
+        # epoch 0 (r7 review): anchoring at 0 armed the timeout at
+        # wm+1, so the conversation closed on the next watermark
+        # advance and a later row re-created state and emitted a
+        # SECOND 'final' row — violating the emitted-exactly-once
+        # contract this append-mode operator exists for.
+        anchor = last if last > 0 else state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
-            max(last + gap_ms, state.getCurrentWatermarkMs() + 1))
+            max(anchor + gap_ms, state.getCurrentWatermarkMs() + 1))
         return  # nothing emitted until the conversation closes
 
     return (stream.withWatermark(ts_col, watermark)
@@ -232,8 +256,18 @@ def streaming_first_wins_dedup(stream: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                       r"\s+", " ")))
+    # the batch operator's own fingerprint, imported not re-spelled
+    # (r7 review): an inline copy matched only by luck of md5's
+    # implicit string->binary cast and would silently drift from the
+    # batch dedup key on any future normalization change
+    from documentai_spark.operators.dedup import fingerprint_col
+
+    if "_fp" in stream.columns:
+        # same guard as batch exact_dedup (r7 review): withColumn below
+        # would silently overwrite the caller's column
+        raise ValueError("input column '_fp' collides with "
+                         "streaming_first_wins_dedup internals")
+    fp = fingerprint_col(F.col(text_col))
     out_cols = list(dict.fromkeys([*id_cols, text_col]))
     # derive output field types from the input schema (a caller passing
     # e.g. id_cols=('doc_id',) with bigint ids must not get strings)
@@ -251,22 +285,38 @@ def streaming_first_wins_dedup(stream: DataFrame,
             if ttl_ms is None or state.getCurrentWatermarkMs() < expiry:
                 return  # still-covered duplicate: drop
             # expired but data raced the timeout in this batch: re-admit
-        first = None
+        # winner selection via a pandas sort, never python tuple
+        # comparison (r7 review): a NULL id in one chunk made
+        # `tuple < tuple` compare None against str and the TypeError
+        # killed the stream; sort_values handles nulls (na_position
+        # last) and kind=mergesort keeps ties deterministic. Sorting by
+        # ALL out_cols makes the winner total-order determined even for
+        # duplicate id pairs with different payloads.
+        heads = []
         max_ts = 0
         for pdf in pdfs:
-            head = pdf.sort_values(list(id_cols)).head(1)
-            row = head.iloc[0]
-            cand = tuple(row[c] for c in out_cols)
-            if first is None or cand < first:
-                first = cand
+            heads.append(pdf.sort_values(out_cols, kind="mergesort",
+                                         na_position="last").head(1))
             if ttl_ms is not None:
                 max_ts = max(max_ts, _event_ms(pdf[ts_col]))
-        expiry = 0 if ttl_ms is None else max_ts + ttl_ms
+        first = (pd.concat(heads, ignore_index=True)
+                 .sort_values(out_cols, kind="mergesort",
+                              na_position="last")
+                 .head(1)[out_cols])
+        if ttl_ms is None:
+            expiry = 0
+        else:
+            # all-null event times anchor the ttl at the WATERMARK, not
+            # epoch 0 (r7 review): a 0-anchored expiry is already in
+            # the past, so every later duplicate re-admitted each batch
+            anchor = max_ts if max_ts > 0 \
+                else state.getCurrentWatermarkMs()
+            expiry = anchor + ttl_ms
         state.update((True, expiry))
         if ttl_ms is not None:
             state.setTimeoutTimestamp(
                 max(expiry, state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame([dict(zip(out_cols, first))])
+        yield first
 
     timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
                else GroupStateTimeout.EventTimeTimeout)

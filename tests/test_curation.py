@@ -595,3 +595,22 @@ def test_near_reps_id_guard_survives_column_pruning(spark):
     out = with_curation_flags(df, near_reps=reps)
     with pytest.raises(Exception, match="long-castable"):
         out.select("is_near_dup").collect()
+
+
+def test_curate_documents_honors_text_col(spark):
+    """r7 review: curate_documents forwarded text_col to the flag layer
+    but hardcoded 'text' into the extraction/quality stack, so a
+    renamed text column failed (or silently scored confidence over the
+    wrong column when a 'text' column also existed). The whole chain
+    now reads the named column: flags equal the default-named run
+    row-for-row."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(80))
+    want = {r.doc_id: (r.keep, r.is_dup, r.bad_lang, r.bad_len,
+                       r.low_conf)
+            for r in curate_documents(docs).collect()}
+    renamed = docs.withColumnRenamed("text", "body")
+    got = {r.doc_id: (r.keep, r.is_dup, r.bad_lang, r.bad_len,
+                      r.low_conf)
+           for r in curate_documents(renamed, text_col="body").collect()}
+    assert got == want and len(got) == 80

@@ -104,3 +104,18 @@ def test_embedding_dim_from_metadata_never_probes(spark, vectors):
         "embedding", F.col("embedding").alias("embedding",
                                               metadata={"dim": DIM}))
     assert embedding_dim(tagged, "embedding") == DIM
+
+
+def test_lsh_m_bits_bounds():
+    """r7 review: the LSH bucket key packs one sign bit per hyperplane
+    into a signed long — m_bits=64 used to die as an opaque py4j
+    literal-conversion error; now a named ValueError at the boundary."""
+    import pytest
+
+    from documentai_spark.operators.similarity import _hyperplanes
+
+    with pytest.raises(ValueError, match="1..63"):
+        _hyperplanes(4, 64)
+    with pytest.raises(ValueError, match="1..63"):
+        _hyperplanes(4, 0)
+    assert len(_hyperplanes(4, 63)) == 63

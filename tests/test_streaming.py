@@ -450,3 +450,107 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
     assert got == want  # byte-identical flags + confidence on survivors
     assert got[2][1] and got[3][2]  # bad_lang / bad_len really fire
     assert got[1][4]  # the good doc is kept
+
+
+def test_null_turn_idx_and_null_ids_flow(spark, tmp_path):
+    """r7 review crash class: a micro-batch whose turn_idx values are
+    all NULL used to die at int(NaN) inside the stateful update, and a
+    NULL id in the first-wins winner selection could raise TypeError on
+    tuple comparison. Both flow now: totals treat missing turn_idx as
+    no-information (max stays over the known ones), and the dedup
+    winner is the nulls-last deterministic sort."""
+    from documentai_spark.streaming.pipeline import (
+        streaming_conversation_totals, streaming_first_wins_dedup,
+    )
+
+    in_dir = str(tmp_path / "nti_in")
+    _append_file(spark, in_dir,
+                 [("c1", None, "aa", _T0), ("c1", None, "bbb", _T0),
+                  ("c2", 3, "x", _T0)], _CONV_DDL)
+    stream = spark.readStream.schema(_CONV_DDL).parquet(in_dir)
+    q = (streaming_conversation_totals(stream)
+         .writeStream.format("memory").queryName("nti_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r.conv_id: (r.n_turns, r.total_chars, r.max_turn_idx)
+           for r in spark.sql("SELECT * FROM nti_totals").collect()}
+    assert got == {"c1": (2, 5, -1), "c2": (1, 1, 3)}
+
+    # first-wins with a NULL id among the duplicates: nulls sort LAST,
+    # so the non-null-id copy wins deterministically, and nothing crashes
+    in2 = str(tmp_path / "nid_in")
+    _append_file(spark, in2,
+                 [(None, 0, "dup text", _T0), ("c9", 1, "dup text", _T0),
+                  ("c8", 0, "other text", _T0)], _CONV_DDL)
+    out2 = str(tmp_path / "nid_out")
+    _drain(spark, in2, _CONV_DDL, out2, str(tmp_path / "nid_ck"),
+           lambda s: streaming_first_wins_dedup(s))
+    got2 = {(r.conv_id, r.text)
+            for r in spark.read.parquet(out2).collect()}
+    assert got2 == {("c8", "other text"), ("c9", "dup text")}
+
+
+def test_totals_final_null_ts_conversation_gap_honored(spark, tmp_path):
+    """r7 review: an all-null-ts conversation used to anchor its gap at
+    epoch 0, so it closed on the very next watermark advance (the gap
+    was never honored) and a later row emitted a SECOND final row. The
+    gap now anchors at the watermark: the conversation accumulates rows
+    across batches while the watermark stays inside wm+gap, closes
+    once, and carries ALL its rows in the single final emission."""
+    from documentai_spark.streaming.pipeline import (
+        streaming_conversation_totals_final,
+    )
+
+    in_dir = str(tmp_path / "nfg_in")
+    out_dir = str(tmp_path / "nfg_out")
+    ckpt = str(tmp_path / "nfg_ck")
+
+    def build(stream):
+        return streaming_conversation_totals_final(
+            stream, gap="30 minutes", watermark="10 minutes")
+
+    # drain 0: establish a real watermark BEFORE cx exists (at boot the
+    # watermark is 0, and any anchor is meaningless until one exists —
+    # a conv arriving in the same batch as the first-ever data closes
+    # on the first advance under ANY event-clock reading)
+    _append_file(spark, in_dir, [("adv", 0, "x", _T0)], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    # drain 1: cx is all-null-ts; its gap anchors at the CURRENT
+    # watermark (t0 - 10m)
+    _append_file(spark, in_dir,
+                 [("cx", 0, "aa", None), ("adv", 1, "x", _T0)], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    # drain 2: +5 minutes of watermark — INSIDE cx's wm+30m gap, so cx
+    # must still be open and absorb its second row (the old epoch-0
+    # anchor closed cx during this drain and split it into two finals)
+    _append_file(spark, in_dir,
+                 [("cx", 1, "bbb", None), ("adv", 2, "x", _mins(5))],
+                 _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    # drain 3+4: push the watermark far past every gap
+    _append_file(spark, in_dir, [("adv", 3, "x", _mins(240))], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+    _append_file(spark, in_dir, [("adv", 4, "x", _mins(480))], _CONV_DDL)
+    _drain(spark, in_dir, _CONV_DDL, out_dir, ckpt, build)
+
+    rows = [r for r in spark.read.parquet(out_dir).collect()
+            if r.conv_id == "cx"]
+    assert len(rows) == 1                       # ONE final, not two
+    assert (rows[0].n_turns, rows[0].total_chars) == (2, 5)
+
+
+def test_first_wins_fp_collision_guard(spark):
+    """Batch exact_dedup's '_fp' collision guard, mirrored on the
+    streaming twin (r7 review): a pre-existing _fp column was silently
+    overwritten."""
+    import pytest
+
+    from documentai_spark.streaming.pipeline import (
+        streaming_first_wins_dedup,
+    )
+
+    df = spark.createDataFrame([("a", 1, "t", None)],
+                               "conv_id string, turn_idx int, "
+                               "text string, _fp string")
+    with pytest.raises(ValueError, match="_fp"):
+        streaming_first_wins_dedup(df)
