@@ -369,9 +369,9 @@ def _classify_vote_oracle_sql() -> str:
     return rf"""
         WITH base AS (
           SELECT doc_id, text,
-            length(trim(text)) < 5 AS too_short,
+            text IS NULL OR length(trim(text)) < 5 AS too_short,
             regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS nt,
-            trim(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'))
+            trim(regexp_replace(lower(text), '[^0-9a-z \t\n\x0b\f\r]', '', 'g'))
                 AS snt,
             lower(text) AS lt
           FROM documents
@@ -389,21 +389,25 @@ def _classify_vote_oracle_sql() -> str:
             CASE WHEN contains(nt,'freight') THEN 28.0 ELSE 0 END
             + CASE WHEN contains(nt,'vessel') THEN 24.0 ELSE 0 END
             + CASE WHEN contains(nt,'port') THEN 16.0 ELSE 0 END AS a3,
-            CAST(len(regexp_extract_all(lt,
-              'amount|invoice|payment')) AS DOUBLE) AS b0,
-            CAST(len(regexp_extract_all(lt,
-              'order|purchase|supplier')) AS DOUBLE) AS b1,
-            CAST(len(regexp_extract_all(lt,
-              'beneficiary|credit|swift')) AS DOUBLE) AS b2,
-            CAST(len(regexp_extract_all(lt,
-              'freight|port|vessel')) AS DOUBLE) AS b3,
-            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+            CAST(len(regexp_extract_all(lt, 'amount'))
+                  + len(regexp_extract_all(lt, 'invoice'))
+                  + len(regexp_extract_all(lt, 'payment')) AS DOUBLE) AS b0,
+            CAST(len(regexp_extract_all(lt, 'order'))
+                  + len(regexp_extract_all(lt, 'purchase'))
+                  + len(regexp_extract_all(lt, 'supplier')) AS DOUBLE) AS b1,
+            CAST(len(regexp_extract_all(lt, 'beneficiary'))
+                  + len(regexp_extract_all(lt, 'credit'))
+                  + len(regexp_extract_all(lt, 'swift')) AS DOUBLE) AS b2,
+            CAST(len(regexp_extract_all(lt, 'freight'))
+                  + len(regexp_extract_all(lt, 'port'))
+                  + len(regexp_extract_all(lt, 'vessel')) AS DOUBLE) AS b3,
+            CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
               if x IN ('invoice','amount','payment')]) AS DOUBLE) AS c0,
-            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+            CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
               if x IN ('purchase','order','supplier')]) AS DOUBLE) AS c1,
-            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+            CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
               if x IN ('credit','beneficiary','swift')]) AS DOUBLE) AS c2,
-            CAST(len([x for x in list_distinct(string_split(snt, ' '))
+            CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
               if x IN ('vessel','port','freight')]) AS DOUBLE) AS c3
           FROM base
         ), {_ml_sum_ctes()}, t4s AS (
@@ -2606,9 +2610,9 @@ def oracle_sql() -> dict[str, str]:
         "classify_grouping": rf"""
             WITH base AS (
               SELECT conv_id, turn_idx,
-                length(trim(text)) < 5 AS too_short,
+                text IS NULL OR length(trim(text)) < 5 AS too_short,
                 regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS nt,
-                trim(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'))
+                trim(regexp_replace(lower(text), '[^0-9a-z \t\n\x0b\f\r]', '', 'g'))
                     AS snt,
                 lower(text) AS lt
               FROM read_parquet('{TRANSCRIPTS_TEST}/*.parquet')
@@ -2623,18 +2627,21 @@ def oracle_sql() -> dict[str, str]:
                 + CASE WHEN contains(nt,'port') THEN 16.0 ELSE 0 END AS a1,
                 CASE WHEN contains(nt,'beneficiary') THEN 44.0 ELSE 0 END
                 + CASE WHEN contains(nt,'credit') THEN 24.0 ELSE 0 END AS a2,
-                CAST(len(regexp_extract_all(lt,
-                  'amount|invoice|total')) AS DOUBLE) AS b0,
-                CAST(len(regexp_extract_all(lt,
-                  'freight|port|shipment|vessel')) AS DOUBLE) AS b1,
-                CAST(len(regexp_extract_all(lt,
-                  'beneficiary|credit')) AS DOUBLE) AS b2,
-                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                CAST(len(regexp_extract_all(lt, 'amount'))
+                  + len(regexp_extract_all(lt, 'invoice'))
+                  + len(regexp_extract_all(lt, 'total')) AS DOUBLE) AS b0,
+                CAST(len(regexp_extract_all(lt, 'freight'))
+                  + len(regexp_extract_all(lt, 'port'))
+                  + len(regexp_extract_all(lt, 'shipment'))
+                  + len(regexp_extract_all(lt, 'vessel')) AS DOUBLE) AS b1,
+                CAST(len(regexp_extract_all(lt, 'beneficiary'))
+                  + len(regexp_extract_all(lt, 'credit')) AS DOUBLE) AS b2,
+                CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
                   if x IN ('invoice','amount','total')]) AS DOUBLE) AS c0,
-                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
                   if x IN ('vessel','port','freight','shipment')])
                   AS DOUBLE) AS c1,
-                CAST(len([x for x in list_distinct(string_split(snt, ' '))
+                CAST(len([x for x in list_distinct(string_split_regex(snt, '[ \t\n\x0b\f\r]+'))
                   if x IN ('credit','beneficiary')]) AS DOUBLE) AS c2
               FROM base
             ), tech AS (
@@ -2698,7 +2705,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, technique_1, technique_2,
                    technique_3, category, vote_confidence,
-                   CAST(island AS VARCHAR) || '-'
+                   conv_id || '-' || CAST(island AS VARCHAR) || '-'
                      || CAST(subid AS VARCHAR) AS group_id
             FROM subbed
         """,

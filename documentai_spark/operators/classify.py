@@ -27,8 +27,9 @@ Python stage is the per-row FEATURE pass (``_features_batch`` via
 ``_make_features_udf``): both normalized text forms (byte-LUT
 ``bytes.translate``, byte-identical to the ``lower + regexp_replace``
 column forms it replaced) plus technique 2's per-category occurrence
-counts (Python ``re`` over the same already-lowered string, alternation
-order pinned to the Java mirror). Why: this host's JVM
+counts (Python ``re`` over the same already-lowered string; per-keyword
+findalls summed per category — reference parity, r7). Why: this host's
+JVM
 ``regexp_replace`` with a character class degrades to ~6 MB/s aggregate
 on 32 cores when matches are dense (measured 99 s for a 620 MB
 sf1-shape normalization — 200 us per match; collapsing runs with ``+``
@@ -61,6 +62,13 @@ class Category:
     # pass (built from the raw keywords, never by string-replacing
     # `patterns`, so escaped literals can't be corrupted)
     patterns_py: tuple[str, ...] = ()
+    # per-WORD keyword vocabulary for technique 3 (r7 review): the
+    # reference's NLP classifier builds its lookup sets from the
+    # INDIVIDUAL words of every keyword (documentClassifier.py:524-527,
+    # kw_item['keyword'].lower().split()), so 'purchase order'
+    # contributes {'purchase', 'order'} — the old whole-keyword form
+    # ('purchaseorder') could never intersect a word token
+    words: tuple[str, ...] = ()
     weight: float = 1.0
     always_separate: bool = False
     max_pages: int = 0  # 0 = unlimited
@@ -80,11 +88,19 @@ class ClassifierConfig:
         cats = []
         for name, spec in raw.items():
             originals = [k for k in spec["keywords"] if _norm(k)]
+            if not originals:
+                # a keyword-less category can never score; worse, the
+                # old joined-alternation regex form compiled an EMPTY
+                # pattern that matched at every position and made the
+                # category win technique 2 on every row (r7 review) —
+                # refuse the config loudly
+                raise ValueError(
+                    f"category {name!r} has no usable keywords (every "
+                    "entry normalizes to empty)")
             kws = sorted({_norm(k) for k in originals},
                          key=lambda k: (-len(k), k))
-            # both mirrors sorted by the SAME key (the Java form) so the
-            # alternation order — which decides leftmost-preference on
-            # overlapping keywords — is identical in both engines
+            # sorted so technique 2's per-keyword scan order (and any
+            # future alternation use) is identical in both engines
             pairs = sorted(
                 (r"\s+".join(re.escape(w) for w in k.lower().split()),
                  "[ \t\n\x0b\f\r]+".join(re.escape(w)
@@ -92,8 +108,12 @@ class ClassifierConfig:
                 for k in originals)
             pats = tuple(p for p, _ in pairs)
             pats_py = tuple(q for _, q in pairs)
+            words = tuple(sorted({_norm(w) for k in originals
+                                  for w in k.lower().split()
+                                  if _norm(w)}))
             cats.append(Category(name=name, keywords=tuple(kws),
                                  patterns=pats, patterns_py=pats_py,
+                                 words=words,
                                  weight=float(spec.get("weight", 1.0)),
                                  always_separate=bool(
                                      spec.get("always_separate", False)),
@@ -138,17 +158,23 @@ def _norm_batch(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"na": na, "ns": ns})
 
 
-def _features_batch(text: pd.Series, pats: list[str]) -> pd.DataFrame:
+def _features_batch(text: pd.Series,
+                    pats: list[list[str]]) -> pd.DataFrame:
     """One Arrow pass producing every per-row text feature the three
     techniques need: both normalized forms (see _norm_batch) AND the
-    per-category occurrence counts for technique 2 (``c0..c{k-1}``,
-    non-overlapping matches of the category's keyword alternation on the
-    LOWERED raw text — Python re mirrors Java regexp_extract_all exactly
-    for these escaped-literal \\s+-joined alternations; parity pinned by
+    per-category occurrence counts for technique 2 (``c0..c{k-1}``).
+
+    Counts are PER-KEYWORD findalls summed per category (r7 review —
+    the reference findall's each compiled pattern independently,
+    documentClassifier.py:476-480): a joined alternation consumed
+    overlapping keywords' spans once, so a category with 'credit' AND
+    'letter of credit' undercounted on exactly its strongest evidence.
+    Python re mirrors Java regexp_extract_all exactly for these
+    escaped-literal \\s+-joined patterns; parity pinned by
     tests/test_classify.py::test_features_counts_match_jvm and the
-    classify_vote / classify_grouping DuckDB gate oracles)."""
+    classify_vote / classify_grouping DuckDB gate oracles."""
     import re as _re
-    comp = [_re.compile(p) for p in pats]
+    comp = [[_re.compile(p) for p in cat_pats] for cat_pats in pats]
     na, ns = [], []
     counts: list[list[int]] = [[] for _ in comp]
     for s in text:
@@ -156,8 +182,8 @@ def _features_batch(text: pd.Series, pats: list[str]) -> pd.DataFrame:
         b = low.encode("utf-8", "surrogatepass")
         na.append(b.translate(None, _DEL_ALNUM).decode("ascii"))
         ns.append(b.translate(None, _DEL_SPACE).decode("ascii").strip(" "))
-        for i, c in enumerate(comp):
-            counts[i].append(len(c.findall(low)))
+        for i, cat in enumerate(comp):
+            counts[i].append(sum(len(c.findall(low)) for c in cat))
     data: dict = {"na": na, "ns": ns}
     for i in range(len(comp)):
         data[f"c{i}"] = pd.Series(counts[i], dtype="int32")
@@ -170,7 +196,7 @@ def _make_features_udf(cfg: "ClassifierConfig"):
     the JVM expressions)."""
     from pyspark.sql.types import IntegerType
 
-    pats = ["|".join(cat.patterns_py) for cat in cfg.categories]
+    pats = [list(cat.patterns_py) for cat in cfg.categories]
     fields = [StructField("na", StringType(), False),
               StructField("ns", StringType(), False)] + \
              [StructField(f"c{i}", IntegerType(), False)
@@ -186,9 +212,12 @@ def _make_features_udf(cfg: "ClassifierConfig"):
 def _argmax_struct(scores: list[tuple[str, Column]], default: str) -> Column:
     """Deterministic argmax over (category, score): greatest score wins,
     ties broken by category-name order; zero scores -> default."""
-    best = F.greatest(*[F.struct(s.alias("s"), F.lit(-i).alias("i"),
-                                 F.lit(name).alias("cat"))
-                        for i, (name, s) in enumerate(scores)])
+    structs = [F.struct(s.alias("s"), F.lit(-i).alias("i"),
+                        F.lit(name).alias("cat"))
+               for i, (name, s) in enumerate(scores)]
+    # F.greatest requires >= 2 args — a one-category config (binary
+    # detect-vs-unclassified) used to die at plan build (r7 review)
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
     return F.when(best["s"] > 0, best["cat"]).otherwise(F.lit(default))
 
 
@@ -220,15 +249,18 @@ def technique_regex_count(text: Column, cfg: ClassifierConfig,
     ``counts``: per-category occurrence-count columns when the caller
     staged them (classify_with_vote does, via the Arrow feature pass —
     the JVM regexp_extract_all path below is semantics-identical and
-    remains for direct technique use)."""
+    remains for direct technique use). Counts are per-keyword findalls
+    SUMMED (r7 review, reference parity — see _features_batch)."""
     if counts is None:
         lt = F.lower(text)
         counts = []
         for cat in cfg.categories:
-            # one alternation pass per category
-            pat = "|".join(cat.patterns)
-            counts.append(
-                F.size(F.regexp_extract_all(lt, F.lit(pat), F.lit(0))))
+            c = None
+            for pat in cat.patterns:
+                term = F.size(F.regexp_extract_all(lt, F.lit(pat),
+                                                   F.lit(0)))
+                c = term if c is None else c + term
+            counts.append(c if c is not None else F.lit(0))
     scores = [(cat.name, cnt.cast("double") * F.lit(cat.weight))
               for cat, cnt in zip(cfg.categories, counts)]
     return _argmax_struct(scores, default)
@@ -240,12 +272,22 @@ def technique_token_overlap(text: Column, cfg: ClassifierConfig,
     """|keyword-set ∩ word-set| scoring (documentClassifier.py:520-557).
 
     ``norm``: the already space-normalized text when the caller staged
-    it (see technique_substring)."""
+    it (see technique_substring).
+
+    r7 review, two reference-parity fixes (documentClassifier.py:524,
+    540): tokens split on the WHITESPACE CLASS (the space-normalized
+    text retains tabs/newlines, so a single-space split fused
+    'invoice\\ntotal' into one unmatched token on every multi-line
+    document), and the intersection runs against each keyword's
+    individual WORDS (``cat.words``) — the whole-keyword form
+    ('purchaseorder') could never equal a word token, so multi-word
+    keywords never voted."""
     words = F.array_distinct(F.split(
-        _space_norm(text) if norm is None else norm, " "))
+        _space_norm(text) if norm is None else norm,
+        "[ \t\n\x0b\f\r]+"))
     scores = []
     for cat in cfg.categories:
-        kws = F.array(*[F.lit(k) for k in cat.keywords])
+        kws = F.array(*[F.lit(k) for k in cat.words])
         scores.append((cat.name,
                        F.size(F.array_intersect(words, kws)).cast("double")))
     return _argmax_struct(scores, default)
@@ -283,7 +325,11 @@ def classify_with_vote(df: DataFrame, cfg: ClassifierConfig,
     sf0.1). The *table-level* vote aggregate lives in
     __spark_entry__.q_majority_vote."""
     t = F.col(text_col)
-    too_short = F.length(F.trim(t)) < cfg.min_text_len
+    # NULL text is gated like empty text (r7 review): a bare length()
+    # comparison evaluates to NULL, both when() gates fell through to
+    # otherwise(), and an unclassifiable NULL row reported unanimous
+    # vote_confidence 1.0 instead of the gated 0.0
+    too_short = t.isNull() | (F.length(F.trim(t)) < cfg.min_text_len)
     # Min-length gate on the INPUT, not the outputs: every technique maps
     # empty text to `default` anyway (zero scores), so blanking short rows
     # is semantically identical to wrapping each technique in
@@ -386,6 +432,11 @@ def group_consecutive(df: DataFrame, cfg: ClassifierConfig,
         cap = F.when(F.col(category_col) == name, F.lit(mp)).otherwise(cap)
     sub = F.when(cap > 0,
                  F.floor((F.row_number().over(wi) - 1) / cap)).otherwise(0)
+    # group_id is conversation-qualified (r7 review): the bare
+    # island-counter form repeated ('1-0' in every conversation), so
+    # any consumer grouping on group_id alone merged unrelated
+    # documents across conversations
     return (df.withColumn("group_id",
-                          F.concat_ws("-", F.col("_island"), sub))
+                          F.concat_ws("-", F.col(conv_col),
+                                      F.col("_island"), sub))
               .drop("_brk", "_island"))

@@ -197,7 +197,7 @@ def with_extraction(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_quality(df: DataFrame, raw_col: str = "text",
                  extracted_col: str = "extracted_text") -> DataFrame:
-    """Add the six q_* metric columns (no shuffle)."""
+    """Add the TEN q_* metric columns (no shuffle; the r3 ten-metric ensemble — see core/quality)."""
     out = df.withColumn("_q", quality_udf(F.col(raw_col),
                                           F.col(extracted_col)))
     for f in QUALITY_RESULT_TYPE.fieldNames():

@@ -201,8 +201,22 @@ def train_frozen_classifier(labeled: DataFrame, text_col: str = "text",
                             vocab_size: int = 15000, max_ngram: int = 4,
                             reg_param: float = 1e-4,
                             max_iter: int = 60) -> FrozenTextClassifier:
-    """Fit the reference-parity TF-IDF + LR model, then compile it to a
-    FrozenTextClassifier (integer (coef x idf) weights)."""
+    """Fit a TF-IDF + logistic-regression model in the REFERENCE'S
+    FAMILY (train_model_auto.py:28-51), then compile it to a
+    FrozenTextClassifier (integer (coef x idf) weights).
+
+    Honest deviation list (r7 review — this is NOT term-for-term
+    TfidfVectorizer + LogisticRegression(class_weight='balanced')):
+    sublinear tf and smooth idf match, but rows are NOT l2-normalized,
+    there is no max_df pruning, tokenization is the pinned whitespace
+    class (sklearn's default token_pattern drops 1-char tokens and
+    splits on punctuation), accents are not stripped, and classes are
+    unweighted. These are deliberate: the replay contract (the DuckDB
+    oracle re-derives every integer score bit-for-bit) requires a
+    featurizer both engines can express exactly, and the frozen
+    artifact — not the trainer — is the production interface. Accuracy
+    comparisons against the reference's reported number are therefore
+    family-level, not apples-to-apples."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
@@ -364,9 +378,17 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                  F.lit(model.labels[c]).alias("category"),
                  F.col(f"_s{c}").alias("s"))
         for c in range(kcls)]))
-    # softmax over de-scaled scores for the reference's probability shape
+    # softmax over de-scaled scores for the reference's probability
+    # shape. Max-SUBTRACTED (r7 review): the integer scores are bounded
+    # ~1e17, i.e. de-scaled logits up to ~1e7, while exp() overflows a
+    # double at ~709 — without the shift a long document with thousands
+    # of vocab hits turned ml_confidence into inf/inf = NaN. After the
+    # shift the top class's exp is exactly 1.0 and every term is in
+    # (0, 1] — overflow-free at any score magnitude.
     descale = float(SCALE) * float(model.fscale)
-    exps = [F.exp(F.col(f"_s{c}").cast("double") / F.lit(descale))
+    smax = F.element_at(ranked, 1)["s"]
+    exps = [F.exp((F.col(f"_s{c}") - smax).cast("double")
+                  / F.lit(descale))
             for c in range(kcls)]
     denom = exps[0]
     for e in exps[1:]:
@@ -379,15 +401,19 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
               .withColumn("_ranked", ranked)
               .withColumn("ml_category", top_expr["category"])
               .withColumn("ml_confidence",
-                          F.exp(top_expr["s"].cast("double")
-                                / F.lit(descale)) / F.col("_denom"))
+                          # exp((smax - smax)/d) == 1.0 exactly —
+                          # identical to ml_topk's leading p
+                          F.lit(1.0) / F.col("_denom"))
               .withColumn("ml_topk", F.transform(
                   F.slice("_ranked", 1, k),
                   # softmax probability, the reference's predict_proba
                   # top-3 shape (documentClassifier.py:199-203) — was the
-                  # raw de-scaled linear score until r4 (ADVICE r3)
+                  # raw de-scaled linear score until r4 (ADVICE r3);
+                  # max-subtracted like the denominator (r7)
                   lambda x: F.struct(
-                      (F.exp(x["s"].cast("double") / F.lit(descale))
+                      (F.exp((x["s"] - F.element_at(F.col("_ranked"),
+                                                    1)["s"])
+                             .cast("double") / F.lit(descale))
                        / F.col("_denom")).alias("p"),
                       x["category"].alias("category")))))
     drop = ["_ranked", "_denom"] + [f"_s{c}" for c in range(kcls)]

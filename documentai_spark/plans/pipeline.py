@@ -9,7 +9,7 @@ intermediate files (SURVEY §3.1 "Spark rewrite"):
     read transcripts
       -> salted repartition (skew defusal; the ONLY shuffle before write)
       -> extract_udf   (kind dispatch -> extracted_text + spans)
-      -> quality_udf   (six q_* metric analogs of the 10-metric ensemble)
+      -> quality_udf   (the ten q_* metric columns of the 10-metric ensemble)
       -> confidence + verdict + routing + recommendations (pure SQL)
       -> [optional] entity_udf
       -> restore (conv_id, turn_idx) order  (range exchange, W1)

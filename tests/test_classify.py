@@ -127,9 +127,10 @@ def test_norm_batch_matches_column_forms(spark):
 
 def test_features_counts_match_jvm(spark):
     """The Python-re technique-2 counts (Arrow feature pass) must equal
-    Java regexp_extract_all on the same alternation — overlapping
-    keywords (leftmost preference), multi-word \\s+ joins, whitespace
-    variants, repeated hits."""
+    Java regexp_extract_all per-keyword-summed (r7: the reference
+    findalls each keyword independently, so 'credit' AND 'letter of
+    credit' both count on overlapping text) — multi-word \\s+ joins,
+    whitespace variants, repeated hits."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -153,17 +154,28 @@ def test_features_counts_match_jvm(spark):
                                ["i", "t"])
     jvm = {}
     for ci, cat in enumerate(cfg.categories):
-        pat = "|".join(cat.patterns)
-        col = F.size(F.regexp_extract_all(F.lower("t"), F.lit(pat),
-                                          F.lit(0)))
+        col = None
+        for pat in cat.patterns:
+            term = F.size(F.regexp_extract_all(F.lower("t"), F.lit(pat),
+                                               F.lit(0)))
+            col = term if col is None else col + term
         for r in df.select("i", col.alias("n")).collect():
             jvm[(r.i, ci)] = r.n
     out = _features_batch(pd.Series(cases),
-                          ["|".join(cat.patterns_py)
+                          [list(cat.patterns_py)
                            for cat in cfg.categories])
     for i, c in enumerate(cases):
         for ci in range(2):
             assert out[f"c{ci}"][i] == jvm[(i, ci)], (repr(c), ci)
+    # the per-keyword semantics itself: 'letter of credit' text counts
+    # BOTH 'credit' and 'letter of credit' (the joined alternation
+    # consumed the span once and undercounted — r7 review)
+    b = cfg.categories[1]
+    assert b.name == "b"
+    single = _features_batch(pd.Series(["letter of credit"]),
+                             [list(cat.patterns_py)
+                              for cat in cfg.categories])
+    assert single["c1"][0] == 2
 
 
 def test_jvm_scoring_path_identical(spark):
@@ -190,3 +202,91 @@ def test_jvm_scoring_path_identical(spark):
            classify_with_vote(docs, cfg, jvm_scoring=True)
            .select(cols).collect()}
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_token_overlap_reference_semantics(spark):
+    """r7 review, two reference-parity fixes to technique 3
+    (documentClassifier.py:524,540): multi-word keywords contribute
+    their individual WORDS to the lookup set (so 'purchase order'
+    matches documents containing 'purchase' and 'order' as separate
+    tokens), and tokens split on the whitespace CLASS (so newline- or
+    tab-separated words are separate tokens)."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, technique_token_overlap,
+    )
+
+    cfg = ClassifierConfig.compile({
+        "po": {"keywords": ["purchase order"]},
+        "lc": {"keywords": ["letter of credit"]},
+    })
+    assert cfg.categories[0].words == ("order", "purchase")
+    docs = spark.createDataFrame([
+        (0, "please send the purchase order today"),   # 2 word hits
+        (1, "a letter\nof\tcredit arrived"),           # class-split hits
+        (2, "nothing relevant here at all"),
+        (3, None),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.cat for r in docs.select(
+        "doc_id",
+        technique_token_overlap(F.col("text"), cfg).alias("cat"))
+        .collect()}
+    assert got[0] == "po"      # was unclassified: 'purchaseorder' token
+    assert got[1] == "lc"      # was unclassified: 'letter\nof\tcredit'
+    assert got[2] == "unclassified"
+    assert got[3] == "unclassified"
+
+
+def test_single_category_config_and_null_text_gate(spark):
+    """r7 review: a one-category config used to crash F.greatest at
+    plan build; NULL text used to bypass the min-length gate and report
+    vote_confidence 1.0."""
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, classify_with_vote,
+    )
+
+    cfg = ClassifierConfig.compile({
+        "invoice": {"keywords": ["invoice", "amount"]},
+    })
+    docs = spark.createDataFrame(
+        [(0, "the invoice amount is due now"), (1, None), (2, "hi")],
+        "doc_id long, extracted_text string")
+    got = {r.doc_id: (r.category, r.vote_confidence)
+           for r in classify_with_vote(docs, cfg).collect()}
+    assert got[0] == ("invoice", 1.0)
+    assert got[1] == ("unclassified", 0.0)    # NULL text is gated
+    assert got[2] == ("unclassified", 0.0)    # too short
+
+
+def test_compile_rejects_unusable_keywords():
+    """r7 review: a category whose keywords all normalize to empty used
+    to compile to an empty alternation that matched everywhere; the
+    config is refused up front."""
+    import pytest
+
+    from documentai_spark.operators.classify import ClassifierConfig
+
+    with pytest.raises(ValueError, match="no usable keywords"):
+        ClassifierConfig.compile({"junk": {"keywords": ["***", "!!"]},
+                                  "ok": {"keywords": ["fine"]}})
+
+
+def test_group_id_conversation_qualified(spark):
+    """r7 review: group_id repeats like '1-0' across conversations —
+    now conversation-qualified so grouping on it alone is safe."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.classify import (
+        ClassifierConfig, group_consecutive,
+    )
+
+    cfg = ClassifierConfig.compile({"x": {"keywords": ["x"]}})
+    df = spark.createDataFrame(
+        [("a", 0, "x"), ("a", 1, "x"), ("b", 0, "x")],
+        ["conv_id", "turn_idx", "category"])
+    got = group_consecutive(df, cfg).select("conv_id", "group_id") \
+        .distinct().collect()
+    ids = {r.group_id for r in got}
+    assert len(ids) == 2 and all(
+        r.group_id.startswith(r.conv_id + "-") for r in got)

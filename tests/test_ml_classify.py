@@ -278,3 +278,27 @@ def test_classify_with_ml_vote_composition(spark, model_and_data):
     # the ensemble should mostly agree with the true label on this corpus
     acc = sum(r.category == r.label_str for r in rows) / len(rows)
     assert acc > 0.7, acc
+
+
+def test_softmax_no_overflow_on_extreme_scores(spark):
+    """r7 review: the softmax is max-subtracted — de-scaled logits can
+    reach ~1e7 while exp() overflows a double at ~709, so a repetitive
+    mega document used to get ml_confidence = inf/inf = NaN. The top
+    class's shifted exp is exactly 1.0, every probability is finite,
+    and the top-1 p equals ml_confidence."""
+    import math
+
+    from documentai_spark.operators.ml_classify import (
+        FrozenTextClassifier, predict_with_topk,
+    )
+
+    model = FrozenTextClassifier.load(spark, "data/ml_frozen")
+    # a mega doc of repeated vocab hits drives the winning integer
+    # score far past the exp() overflow point of the unshifted form
+    mega = " ".join(["invoice payment amount due total"] * 4000)
+    df = spark.createDataFrame([(1, mega)], ["doc_id", "text"])
+    row = predict_with_topk(model, df, id_col="doc_id").first()
+    assert math.isfinite(row.ml_confidence) and 0.0 < row.ml_confidence <= 1.0
+    assert all(math.isfinite(x.p) for x in row.ml_topk)
+    assert row.ml_topk[0].p == row.ml_confidence
+    assert abs(row.ml_confidence - 1.0) < 1e-6   # runaway winner
