@@ -30,32 +30,41 @@ ENTITY_CODES = frozenset({
     "52A", "51A", "30", "26E",
 })
 
-# All patterns compiled re.ASCII: \d/\w/\s/\b are the ASCII classes, which
+# All patterns compiled re.ASCII: \d/\w/\b are the ASCII classes, which
 # (a) matches the RE2 semantics of the DuckDB oracle SQL exactly and
 # (b) makes the vectorized digit/'@' pre-gates in
 # operators/quality_vec.completeness_scores sound (the gates count ASCII
 # classes; a Unicode-\d pattern could otherwise match a gated-out row).
+# Whitespace is SPELLED OUT as [ \t\n\f\r] (r7 review): Python's ASCII
+# \s additionally contains \x0b, which RE2's \s does not — a
+# within-ASCII divergence the fixtures' ASCII-only assertion cannot
+# catch (the reference's bare \s is Unicode; narrowing it is the price
+# of the cross-engine replay, same CLAUDE.md rule as \b).
 _A = re.ASCII
+_WS = r"[ \t\n\f\r]"  # == RE2 \s exactly
 _PATTERNS: dict[str, re.Pattern] = {
     # purchase_order.py:13-22
-    "po_number": re.compile(r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)",
-                            re.IGNORECASE | _A),
+    "po_number": re.compile(
+        rf"PO{_WS}+NUMBER[: \t\n\f\r]+([A-Z0-9/\-]+)",
+        re.IGNORECASE | _A),
     # performa_invoice.py:10-13
-    "pi_number": re.compile(r"PI\s+No[.:\s]+([A-Z0-9/\-]+)",
-                            re.IGNORECASE | _A),
+    "pi_number": re.compile(
+        rf"PI{_WS}+No[.: \t\n\f\r]+([A-Z0-9/\-]+)",
+        re.IGNORECASE | _A),
     # dd.mm.yyyy / dd-mm-yyyy / dd/mm/yyyy (app.py:788; purchase_order DATED)
     "date_numeric": re.compile(r"\b(\d{2}[./-]\d{2}[./-]\d{4})\b", _A),
     # dd-MMM-yyyy (performa_invoice.py:11)
     "date_alpha": re.compile(r"\b(\d{1,2}-[A-Za-z]{3}-\d{4})\b", _A),
     # ISO-4217 currency amount (validation_engine.py:165 format)
-    "currency_amount": re.compile(r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b", _A),
+    "currency_amount": re.compile(
+        rf"\b([A-Z]{{3}}){_WS}+([\d,]+(?:\.\d+)?)\b", _A),
     # incoterms (purchase_order.py:71-76)
     "incoterm": re.compile(r"\b(CFR|CIF|FOB|DAP|EXW)\b", _A),
     # generic (app.py:787-799)
     "email": re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b", _A),
-    "phone": re.compile(r"\+?\d[\d\s\-]{7,14}\d", _A),
+    "phone": re.compile(r"\+?\d[\d \t\n\f\r\-]{7,14}\d", _A),
     # SWIFT tag lines like ":40A:" or "40A:" (lc_application.py:24-27)
-    "swift_tag": re.compile(r"(?:^|\n):?(\d{2}[A-Z]?)\s*:", _A),
+    "swift_tag": re.compile(rf"(?:^|\n):?(\d{{2}}[A-Z]?){_WS}*:", _A),
 }
 
 # The "expected fields" set used by the completeness score

@@ -36,6 +36,7 @@ _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
     # "greater than or equal" family -> compare_with + operator); listed
     # BEFORE multiple_choice so "on or after" never parses as choices
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+on\s+or\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gte"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+on\s+or\s+before\s+(?P<value>.+)$", re.I), "date_comparison_lte"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+after\s+(?P<value>.+)$", re.I), "date_comparison_gt"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+a\s+number$", re.I), "numeric"),
     # declared single-format date check (validation_engine.py:291-298
@@ -48,10 +49,26 @@ _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
     # (validation_engine.py:269-288 grammar; :180-193 validator)
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+max(?:imum)?\s+"
                 r"(?P<a>\d+)\s*[x×]\s*(?P<b>\d+)$", re.I), "max_length_lines"),
-    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+(?:max(?:imum)?|at\s+most)\s+"
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+max(?:imum)?\s+"
                 r"(?P<value>\d+)(?:\s+char(?:acter)?s?)?$", re.I), "max_length"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+between\s+"
                 r"(?P<a>[\d,.]+)\s+and\s+(?P<b>[\d,.]+)$", re.I), "between"),
+    # comparison family (r7 review — all listed BEFORE multiple_choice so
+    # 'greater than or equal to 100' never parses as 'or'-split choices).
+    # Reference phrase set (validation_engine.py:337-343): 'at least' /
+    # 'not less than' map to the >= family, 'at most' / 'not more than'
+    # to <= ('at most N' used to compile to max_length — a STRING length
+    # check that silently passed 9999 against 'at most 500'). Deliberate
+    # deviation, documented: the reference's substring grammar routes
+    # every >=/<= phrase through its STRICT >/< validators; the anchored
+    # grammar keeps the phrase set but applies the operator the sentence
+    # actually states.
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+(?:greater\s+than\s+or\s+"
+                r"equal\s+to|at\s+least|not\s+less\s+than)\s+"
+                r"(?P<value>[\d,.]+)$", re.I), "greater_or_equal"),
+    (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+(?:less\s+than\s+or\s+"
+                r"equal\s+to|at\s+most|not\s+more\s+than)\s+"
+                r"(?P<value>[\d,.]+)$", re.I), "less_or_equal"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+greater\s+than\s+(?P<value>[\d,.]+)$", re.I), "greater_than"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+be\s+less\s+than\s+(?P<value>[\d,.]+)$", re.I), "less_than"),
     (re.compile(r"^(?P<field>.+?)\s+must\s+equal\s+(?P<value>.+)$", re.I), "equals"),
@@ -64,9 +81,24 @@ _RULE_GRAMMAR: list[tuple[re.Pattern, str]] = [
 
 
 def _to_number(v: Any) -> float | None:
-    """Comma-stripping numeric parse (validation_engine.py:64)."""
+    """Comma-stripping numeric parse (validation_engine.py:64) — the
+    'must be a number' check's definition (oracle-pinned; a currency
+    prefix is NOT 'a number')."""
     try:
         return float(str(v).replace(",", "").replace(" ", ""))
+    except (ValueError, TypeError):
+        return None
+
+
+def _to_number_cur(v: Any) -> float | None:
+    """Currency-symbol-tolerant numeric parse — the COMPARISON checks'
+    definition (validation_engine.py:64/:88 strip $/USD/EUR before
+    comparing). r7 review: greater/less_than used the plain parse and
+    rejected 'USD 500' outright while 'between' stripped it — the two
+    comparison families now share this one parse."""
+    try:
+        return float(str(v).replace(",", "").replace("$", "")
+                     .replace("USD", "").replace("EUR", "").strip())
     except (ValueError, TypeError):
         return None
 
@@ -114,7 +146,8 @@ def parse_english_rule(sentence: str) -> dict[str, Any] | None:
             continue
         field = m.group("field").strip().lower().replace(" ", "_")
         params: dict[str, Any] = {}
-        if rtype in ("greater_than", "less_than"):
+        if rtype in ("greater_than", "less_than",
+                     "greater_or_equal", "less_or_equal"):
             params["value"] = _to_number(m.group("value"))
         elif rtype == "equals":
             params["value"] = m.group("value").strip()
@@ -123,11 +156,14 @@ def parse_english_rule(sentence: str) -> dict[str, Any] | None:
         elif rtype == "one_of":
             params["values"] = [x.strip() for x in
                                 re.split(r",|\bor\b", m.group("value")) if x.strip()]
-        elif rtype in ("date_comparison_gte", "date_comparison_gt"):
+        elif rtype in ("date_comparison_gte", "date_comparison_gt",
+                       "date_comparison_lte"):
             # compare_with is another FIELD (validation_engine.py:310-316)
             params["compare_with"] = (m.group("value").strip().lower()
                                       .replace(" ", "_"))
-            params["operator"] = ">=" if rtype.endswith("gte") else ">"
+            params["operator"] = {"date_comparison_gte": ">=",
+                                  "date_comparison_gt": ">",
+                                  "date_comparison_lte": "<="}[rtype]
             rtype = "date_comparison"
         elif rtype == "multiple_choice":
             params["choices"] = [c.strip().upper() for c in
@@ -186,7 +222,8 @@ def validate_rule(rule: dict[str, Any], value: Any,
         except (ValueError, IndexError):
             return False
         op = rule["parameters"]["operator"]
-        return d1 >= d2 if op == ">=" else d1 > d2
+        return (d1 >= d2 if op == ">=" else
+                d1 <= d2 if op == "<=" else d1 > d2)
     if rtype == "multiple_choice":
         return v.upper() in rule["parameters"]["choices"]
     if rtype == "max_length":
@@ -202,10 +239,8 @@ def validate_rule(rule: dict[str, Any], value: Any,
         return len(raw) <= p["max_length"]
     if rtype == "between":
         # currency-symbol-tolerant numeric parse (validation_engine.py:88)
-        try:
-            n = float(v.replace(",", "").replace("$", "")
-                       .replace("USD", "").replace("EUR", "").strip())
-        except (ValueError, TypeError):
+        n = _to_number_cur(v)
+        if n is None:
             return False
         p = rule["parameters"]
         return (p["min_val"] is not None and p["max_val"] is not None
@@ -238,14 +273,17 @@ def validate_rule(rule: dict[str, Any], value: Any,
             return float(m.group(2).replace(",", "")) > 0
         except ValueError:
             return False
-    if rtype == "greater_than":
-        n = _to_number(v)
-        return n is not None and rule["parameters"]["value"] is not None \
-            and n > rule["parameters"]["value"]
-    if rtype == "less_than":
-        n = _to_number(v)
-        return n is not None and rule["parameters"]["value"] is not None \
-            and n < rule["parameters"]["value"]
+    if rtype in ("greater_than", "less_than",
+                 "greater_or_equal", "less_or_equal"):
+        # currency-tolerant like 'between' (r7 review — the reference
+        # strips $/USD/EUR before every numeric comparison)
+        n = _to_number_cur(v)
+        t = rule["parameters"]["value"]
+        if n is None or t is None:
+            return False
+        return {"greater_than": n > t, "less_than": n < t,
+                "greater_or_equal": n >= t,
+                "less_or_equal": n <= t}[rtype]
     if rtype == "equals":
         # reference exact_match semantics (validation_engine.py:96-122):
         # case-insensitive, accepts the first word of the expected phrase,
@@ -291,7 +329,13 @@ _FIELD_CHECKS: tuple[tuple[str, re.Pattern, str, float], ...] = (
 
 def validate_field(field_name: str, value: Any) -> dict[str, Any]:
     """The first name-substring match (date before number before amount
-    before email — the reference's elif chain) picks the format check."""
+    before email — the reference's elif chain) picks the format check.
+
+    Reference-verbatim quirk, preserved and test-pinned (r7 review): a
+    None value stringifies to 'None', which MATCHES the case-insensitive
+    number pattern — so an absent entity is graded fully valid on
+    number-named fields while date/amount/email fields correctly fail
+    it (app.py:852-887 has the identical hole)."""
     out = {"is_valid": True, "message": "Valid", "confidence": 1.0}
     lname = field_name.lower()
     for key, pat, msg, conf in _FIELD_CHECKS:

@@ -27,6 +27,15 @@ from __future__ import annotations
 import re
 from typing import NamedTuple
 
+# deliberately NOT re.ASCII: mirrors the reference's Unicode word
+# tokenization. NOTE the constraint this carries (same as
+# typed_extract._TABLE_SPLIT, r7 review): the entity_spans DuckDB
+# oracle tokenizes with the ASCII complement class
+# [^ \t\n\x0b\f\r\x1c-\x1f]+, so the two engines agree on all ASCII
+# text (incl. \x0b/\x1c-\x1f, which Python's Unicode \S also excludes)
+# but a Unicode space (\xa0, \x85) in a future fixture would split here
+# and not in the oracle. The committed transcripts fixture is
+# ASCII-only (asserted by tests/test_typed_extract.py).
 _TOKEN_RE = re.compile(r"\S+")
 
 

@@ -29,18 +29,18 @@ import re
 # purchase_order.py:13-15 — the (?=\s*DATED) lookahead is kept verbatim;
 # the DuckDB oracle uses the equivalent consuming form
 # '([A-Z0-9/ ]+)\s*DATED' (identical group under greedy backtracking)
-_PO_NUMBER = re.compile(r"PO NUMBER\s*[:\-]?\s*([A-Z0-9\/ ]+)(?=\s*DATED)",
+_PO_NUMBER = re.compile(r"PO NUMBER[ \t\n\f\r]*[:\-]?[ \t\n\f\r]*([A-Z0-9\/ ]+)(?=[ \t\n\f\r]*DATED)",
                         re.I | re.A)
-_PO_DATE = re.compile(r"DATED\s*([0-9]{2}\.[0-9]{2}\.[0-9]{4})", re.A)
+_PO_DATE = re.compile(r"DATED[ \t\n\f\r]*([0-9]{2}\.[0-9]{2}\.[0-9]{4})", re.A)
 _SELLER = re.compile(r"SELLER.*?\n(.*?)(?:\nBUYER)", re.I | re.S | re.A)
-_BUYER = re.compile(r"BUYER\s*\n([\s\S]+?)(UNITED ARAB EMIRATES)",
+_BUYER = re.compile(r"BUYER[ \t\n\f\r]*\n([\s\S]+?)(UNITED ARAB EMIRATES)",
                     re.I | re.A)
 _GOODS_DESC = re.compile(
-    r"DESCRIPTION OF GOODS\s*\n(.+?)(?:\nPARTIAL SHIPMENT|\nTRANSHIPMENT"
+    r"DESCRIPTION OF GOODS[ \t\n\f\r]*\n(.+?)(?:\nPARTIAL SHIPMENT|\nTRANSHIPMENT"
     r"|\n{2,}|$)", re.S | re.I | re.A)
-_QUANTITY = re.compile(r"([0-9,]+(?:\.\d+)?\s*(?:MT|KG|TON|PCS))",
+_QUANTITY = re.compile(r"([0-9,]+(?:\.\d+)?[ \t\n\f\r]*(?:MT|KG|TON|PCS))",
                        re.I | re.A)
-_TOTAL_VALUE = re.compile(r"(USD|EUR|INR|GBP)\s*([0-9,]+\.\d{2})", re.A)
+_TOTAL_VALUE = re.compile(r"(USD|EUR|INR|GBP)[ \t\n\f\r]*([0-9,]+\.\d{2})", re.A)
 _DELIVERY = re.compile(r"(CFR|CIF|FOB|DAP|EXW)[ \w,()/-]+(INCOTERMS ?\d{4})?",
                        re.I | re.A)
 
@@ -88,18 +88,18 @@ def extract_purchase_order(text: str) -> dict[str, str]:
 
 
 # performa_invoice.py:10-41,67-70
-_PI_NO = re.compile(r"PI No\s*([A-Za-z0-9\-]+)", re.A)
-_PI_DATE = re.compile(r"Date\s*([0-9]{2}-[A-Za-z]{3}-[0-9]{4})", re.A)
+_PI_NO = re.compile(r"PI No[ \t\n\f\r]*([A-Za-z0-9\-]+)", re.A)
+_PI_DATE = re.compile(r"Date[ \t\n\f\r]*([0-9]{2}-[A-Za-z]{3}-[0-9]{4})", re.A)
 _PI_SELLER = re.compile(r"(Global Exports Ltd\.,[^\n]+)")
 _PI_BUYER = re.compile(r"(ABC Importers LLC,[^\n]+)")
-_PI_INCOTERM = re.compile(r"Shipment Terms\s*\|\s*(.+?)\s*Delivery Window",
+_PI_INCOTERM = re.compile(r"Shipment Terms[ \t\n\f\r]*\|[ \t\n\f\r]*(.+?)[ \t\n\f\r]*Delivery Window",
                           re.A)
-_PI_WINDOW = re.compile(r"Delivery Window\s*By\s*([0-9A-Za-z\-]+)", re.A)
-_PI_PAYMENT = re.compile(r"Payment Terms:\s*([^\n]+)", re.A)
-_PI_ORIGIN = re.compile(r"Origin:\s*([A-Za-z]+)", re.A)
+_PI_WINDOW = re.compile(r"Delivery Window[ \t\n\f\r]*By[ \t\n\f\r]*([0-9A-Za-z\-]+)", re.A)
+_PI_PAYMENT = re.compile(r"Payment Terms:[ \t\n\f\r]*([^\n]+)", re.A)
+_PI_ORIGIN = re.compile(r"Origin:[ \t\n\f\r]*([A-Za-z]+)", re.A)
 _PI_TABLE_HEADER = re.compile(
-    r"Description HS Code Qty Unit Unit Price Amount\s*\n", re.A)
-_PI_TOTAL = re.compile(r"Total\s*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})",
+    r"Description HS Code Qty Unit Unit Price Amount[ \t\n\f\r]*\n", re.A)
+_PI_TOTAL = re.compile(r"Total[ \t\n\f\r]*\(([A-Za-z]+)\)[^\d]*([\d,]+\.\d{2})",
                        re.A)
 
 # LC application SWIFT field codes, verbatim (lc_application.py:8-13 —

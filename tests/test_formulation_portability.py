@@ -95,3 +95,39 @@ def test_token_and_stopword_values_pinned(spark, adv_sf):
     for i, text in ROWS:
         assert token_count(text) == got[i].n_tokens, i
         assert stopword_ratio(text) == got[i].stopword_ratio, i
+
+
+def test_entity_patterns_re2_whitespace_pinned():
+    """r7 review: Python's ASCII \\s includes \\x0b, RE2's does not — a
+    within-ASCII divergence the fixtures' ASCII-only assertion cannot
+    catch. The core entity/typed patterns now spell [ \\t\\n\\f\\r]
+    explicitly: both engines agree that a vertical tab does NOT glue
+    'PO NUMBER' together, and still match every real separator."""
+    import duckdb
+
+    from documentai_spark.core.entities import extract_entities
+
+    good = "PO NUMBER:\tPO-77 DATED 01.02.2024 total USD 5,000.00"
+    bad = "PO\x0bNUMBER:\x0bPO-77 says USD\x0b5,000.00"
+
+    py_good = extract_entities(good)
+    py_bad = extract_entities(bad)
+    assert py_good.get("po_number") == "PO-77"
+    assert py_good.get("currency_amount") == "USD 5,000.00"
+    assert "po_number" not in py_bad or py_bad.get("po_number") is None
+    assert not py_bad.get("currency_amount")
+
+    for text, field, pat, expect in [
+            (good, "po_number", r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)",
+             "PO-77"),
+            (bad, "po_number", r"PO\s+NUMBER[:\s]+([A-Z0-9/\-]+)", ""),
+            (good, "currency_amount",
+             r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b", "USD 5,000.00"),
+            (bad, "currency_amount",
+             r"\b([A-Z]{3})\s+([\d,]+(?:\.\d+)?)\b", "")]:
+        got = duckdb.sql(
+            "select regexp_extract($$" + text + "$$, '" + pat + "', "
+            + ("1" if field == "po_number" else "0")
+            + (", 'i'" if field == "po_number" else "")
+            + ")").fetchone()[0]
+        assert got == expect, (field, text, got)

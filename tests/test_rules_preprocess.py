@@ -242,3 +242,78 @@ def test_validate_field_name_driven():
 
     # unmatched field names validate trivially
     assert validate_field("freeform_notes", "anything !@#")["is_valid"]
+
+
+def test_comparison_grammar_family():
+    """r7 review: the >=/<= phrase family. 'at most N' used to compile
+    to max_length (a STRING length check that passed '9999' against
+    'at most 500'); 'at least N' matched nothing and the rule was
+    silently dropped; 'greater than or equal to N' fell through to
+    multiple_choice (choices ['GREATER THAN', 'EQUAL TO 100']). All now
+    compile to proper numeric comparisons — placed before
+    multiple_choice in the grammar."""
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    cases = {
+        "amount must be at least 100": ("greater_or_equal", 100.0),
+        "amount must be not less than 100": ("greater_or_equal", 100.0),
+        "amount must be greater than or equal to 100":
+            ("greater_or_equal", 100.0),
+        "amount must be at most 500": ("less_or_equal", 500.0),
+        "amount must be not more than 500": ("less_or_equal", 500.0),
+        "amount must be less than or equal to 500":
+            ("less_or_equal", 500.0),
+    }
+    for sentence, (rtype, thr) in cases.items():
+        r = parse_english_rule(sentence)
+        assert r is not None and r["type"] == rtype, sentence
+        assert r["parameters"]["value"] == thr, sentence
+
+    gte = parse_english_rule("amount must be at least 100")
+    assert validate_rule(gte, "100")          # boundary INCLUDED
+    assert validate_rule(gte, "101")
+    assert not validate_rule(gte, "99")
+    lte = parse_english_rule("amount must be at most 500")
+    assert validate_rule(lte, "500")
+    assert not validate_rule(lte, "9999")     # the old max_length pass
+
+    # 'must be maximum N' still compiles to the string length check
+    ml = parse_english_rule("ref must be maximum 10")
+    assert ml["type"] == "max_length"
+
+    # 'on or before' is a date comparison, not multiple_choice
+    d = parse_english_rule("issue_date must be on or before expiry_date")
+    assert d["type"] == "date_comparison"
+    assert d["parameters"]["operator"] == "<="
+    ents = {"expiry_date": "240110", "issue_date": "240105"}
+    assert validate_rule(d, ents["issue_date"], ents)
+    assert not validate_rule(d, "240111", {"expiry_date": "240110"})
+
+
+def test_comparisons_are_currency_tolerant():
+    """r7 review: greater/less_than used the plain numeric parse and
+    rejected 'USD 500' outright while 'between' stripped the currency —
+    every comparison now shares the reference's $/USD/EUR strip. The
+    'must be a number' check keeps the STRICT parse (oracle-pinned:
+    a currency prefix is not 'a number')."""
+    from documentai_spark.core.rules import parse_english_rule, validate_rule
+
+    gt = parse_english_rule("total must be greater than 100")
+    assert validate_rule(gt, "USD 500")
+    assert validate_rule(gt, "$1,000")
+    assert not validate_rule(gt, "EUR 50")
+    num = parse_english_rule("total must be a number")
+    assert not validate_rule(num, "USD 500")   # unchanged strict parse
+
+
+def test_validate_field_none_quirk_pinned():
+    """Reference-verbatim (app.py:852-887): str(None)='None' matches the
+    case-insensitive number pattern, so an absent value is graded VALID
+    on number-named fields while date/amount/email fields fail it.
+    Pinned so a future 'fix' is a conscious decision (r7 review)."""
+    from documentai_spark.core.rules import validate_field
+
+    assert validate_field("po_number", None)["is_valid"] is True
+    assert validate_field("issue_date", None)["is_valid"] is False
+    assert validate_field("total_amount", None)["is_valid"] is False
+    assert validate_field("contact_email", None)["is_valid"] is False
