@@ -6,13 +6,18 @@ in whole-stage codegen — no Python round trip (SURVEY §2.10:
 ``verdict_for_page`` -> pure when/otherwise).
 
 Arithmetic is written in exactly the oracle's operation order
-(core/quality.confidence_score: sequential weighted sum legibility*3 +
-completeness*3 + (1-noise)*2 + contrast*1 + brightness*1, then /10; blank
-EXCLUDED like the reference excludes blank_page_score from confidence,
-quality_config.py:119-121) so the IEEE-double results are bit-identical to
-the pytest oracle — verified by tests/test_pipeline_oracle.py. A low
-critical metric (legibility, noise) returns the flat 0.55
-(quality_config.py:57-62 returns medium-0.01/0.55 outright, not a min).
+(core/quality.confidence_score — the r3 12-POINT scheme: sequential
+weighted sum legibility*3 + completeness*3 + (1-skew)*2 + (1-noise)*2 +
+contrast*1 + brightness*1, then /12; skew and noise are REVERSE
+metrics; blank is EXCLUDED like the reference excludes
+blank_page_score, and edge_crop/shadow_glare/resolution are
+reported-only — quality_config.py:45-53,119-121) so the IEEE-double
+results are bit-identical to the pytest oracle — verified by
+tests/test_pipeline_oracle.py. A low critical metric (legibility,
+skew, noise — CRITICAL_LOW) returns the flat 0.55 outright
+(quality_config.py:57-62), and the blank hard block ZEROES confidence
+alongside the 're-scan' verdict (the CLAUDE.md r3 invariant; this
+docstring used to describe the retired /10 no-skew r2 formula).
 """
 
 from __future__ import annotations
@@ -102,9 +107,9 @@ def recommendations_col(q_blank: Column, **metric_cols: Column) -> Column:
         label = m.replace("_", " ").capitalize()
         e = None
         for c in ("good", "medium", "low"):
-            branch = F.when(cat == c, F.lit(f"{label}: {texts[c]}"))
-            e = branch if e is None else e.when(cat == c,
-                                                F.lit(f"{label}: {texts[c]}"))
+            lit = F.lit(f"{label}: {texts[c]}")
+            e = (F.when(cat == c, lit) if e is None
+                 else e.when(cat == c, lit))
         entries.append(e)  # null on 'excellent'
     recs = F.filter(F.array(*entries), lambda x: x.isNotNull())
     return F.when(q_blank >= F.lit(BLANK_LOW),

@@ -73,15 +73,21 @@ def _preprocess_batch(text: pd.Series,
         outs.append(out)
         chs.append(ch)
     ch_arr = np.asarray(chs)
+    rev = np.zeros(len(origs), dtype=bool)
     if ch_arr.any():
-        after = legibility_scores(pd.Series(outs, dtype=object))
+        # score only the CHANGED rows (r7 review): a gated batch is
+        # mostly '' plus unchanged rows, and the revert decision never
+        # consults them — subsetting removes that vectorized work the
+        # same way before_leg already removes the 'before' re-score
+        idx = np.flatnonzero(ch_arr)
+        after = legibility_scores(
+            pd.Series([outs[i] for i in idx], dtype=object))
         if before_leg is not None:
-            before = before_leg.to_numpy(dtype=float)
+            before = before_leg.to_numpy(dtype=float)[idx]
         else:
-            before = legibility_scores(pd.Series(origs, dtype=object))
-        rev = ch_arr & (after < before)
-    else:
-        rev = np.zeros(len(origs), dtype=bool)
+            before = legibility_scores(
+                pd.Series([origs[i] for i in idx], dtype=object))
+        rev[idx] = np.asarray(after) < np.asarray(before)
     final = [o if r else n for o, n, r in zip(origs, outs, rev)]
     return pd.DataFrame({"text": final,
                          "changed": list(ch_arr & ~rev),
@@ -121,15 +127,23 @@ def selective_preprocess(df: DataFrame,
     pred = F.col(predicate_col)
     gated = F.when(pred, F.coalesce(F.col(text_col), F.lit(""))) \
              .otherwise(F.lit(""))
-    if "q_legibility" in df.columns:
+    if "q_legibility" in df.columns and text_col == "extracted_text":
         # reuse the quality stage's legibility for the revert 'before'
-        # side (bit-equal to re-scoring; halves the UDF's scoring work)
+        # side (bit-equal to re-scoring; halves the UDF's scoring work).
+        # ONLY for the column q_legibility was scored from (r7 review:
+        # the quality stage scores legibility over extracted_text, so a
+        # caller preprocessing a different text column must not have its
+        # revert decision compared against the wrong text's score)
         p = preprocess_with_leg_udf(gated, F.col("q_legibility"))
     else:
         p = preprocess_udf(gated)
+    # a NULL text row keeps NULL on BOTH branches (r7 review: the
+    # routed branch used to coerce it to '' while the untouched branch
+    # passed NULL through — inconsistent for custom predicates)
     return (df.withColumn("_p", p)
             .withColumn("preprocessed_text",
-                        F.when(pred, F.col("_p.text"))
+                        F.when(pred & F.col(text_col).isNotNull(),
+                               F.col("_p.text"))
                         .otherwise(F.col(text_col)))
             .withColumn("was_preprocessed",
                         pred & F.col("_p.changed"))

@@ -131,3 +131,19 @@ def test_entity_patterns_re2_whitespace_pinned():
             + (", 'i'" if field == "po_number" else "")
             + ")").fetchone()[0]
         assert got == expect, (field, text, got)
+
+
+def test_categorize_all_fields_covers_every_entity_key():
+    """r7 review: functions/categorize.ALL_FIELDS hardcodes the entity
+    keys — a new pattern in core/entities._PATTERNS (or a new derived
+    key like the currency/amount split) would silently vanish from the
+    default 'Extracted Information' bucket. Lockstep-pinned here."""
+    from documentai_spark.core.entities import _PATTERNS
+    from documentai_spark.functions.categorize import ALL_FIELDS
+
+    derived = {"currency", "amount"}       # the currency_amount split
+    expected = set(_PATTERNS) | derived
+    assert set(ALL_FIELDS) == expected, (
+        "ALL_FIELDS out of lockstep with core/entities: "
+        f"missing={sorted(expected - set(ALL_FIELDS))} "
+        f"extra={sorted(set(ALL_FIELDS) - expected)}")
