@@ -84,9 +84,13 @@ class _Unit:
 
 # tag tokenizer: start/end tags of the bounded vocabulary; everything else
 # (comments, scripts, stray '<') is text. ~5x faster than html.parser for
-# this grammar (no charref scanning, no position bookkeeping).
+# this grammar (no charref scanning, no position bookkeeping). Quoted
+# attribute strings are tried FIRST and a bare [^>] catches stray/
+# unterminated quotes (r7 review: an unquoted value containing an
+# apostrophe — href=/it's — used to fail the tokenizer entirely and the
+# raw markup leaked into extracted_text, escaping link accounting).
 _TOKEN_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>")
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>")
 
 
 class _Extractor:
@@ -99,6 +103,12 @@ class _Extractor:
         self.row: _Unit | None = None  # open table row
         self.cell: list[str] | None = None
         self.in_table = 0
+        # anchor depth lives on the EXTRACTOR (r7 review): it used to
+        # live only on the open unit, so an <a> opened before any unit
+        # exists (bare anchor under <body>, or <a> wrapping a block —
+        # valid HTML5) contributed zero link chars and pure-link
+        # boilerplate was emitted as content
+        self.link_depth = 0
 
     # -- driver ------------------------------------------------------------
 
@@ -149,7 +159,9 @@ class _Extractor:
                 self._flush_cur()
                 kind = "h" if tag in HEADING_TAGS else ("li" if tag == "li" else "p")
                 self.cur = _Unit(kind)
+                self.cur.in_link = self.link_depth
         elif tag == "a":
+            self.link_depth += 1
             if self.cur is not None:
                 self.cur.in_link += 1
 
@@ -176,6 +188,8 @@ class _Extractor:
             if self.in_table == 0:
                 self._flush_cur()
         elif tag == "a":
+            if self.link_depth:
+                self.link_depth -= 1
             if self.cur is not None and self.cur.in_link:
                 self.cur.in_link -= 1
 
@@ -192,6 +206,7 @@ class _Extractor:
             # bare text outside any block: treat as an implicit paragraph
             if data.strip():
                 self.cur = _Unit("p")
+                self.cur.in_link = self.link_depth
                 self.cur.add_text(data)
 
     # -- unit lifecycle ----------------------------------------------------
@@ -247,23 +262,29 @@ def extract_html(text: str) -> tuple[str, list[tuple[int, int, str, str]]]:
         return stripped, ([(0, len(stripped), "p", stripped)] if stripped else [])
     units = parser.finish()
 
-    # classification pass: decide content-ness
+    # classification pass: (text, link_density, is_content) computed ONCE
+    # per unit and reused by the emit loop (r7 review: the join/collapse/
+    # split string work used to run twice per unit)
     has_anchor = False  # >=1 content paragraph or table row
-    keep: list[_Unit] = []
+    infos: list[tuple[str, float, bool] | None] = []
     for u in units:
         if u.kind == "row":
             has_anchor = True
-        elif u.kind in ("p", "li"):
-            t = u.text()
-            lt = u.link_text()
-            ld = (len(lt) / len(t)) if t else 1.0
-            if ld <= MAX_LINK_DENSITY and len(t.split()) >= MIN_CONTENT_WORDS:
-                has_anchor = True
+            infos.append(None)
+            continue
+        t = u.text()
+        lt = u.link_text()
+        ld = (len(lt) / len(t)) if t else 1.0
+        is_content = (ld <= MAX_LINK_DENSITY
+                      and len(t.split()) >= MIN_CONTENT_WORDS)
+        if u.kind in ("p", "li") and is_content:
+            has_anchor = True
+        infos.append((t, ld, is_content))
 
     lines: list[str] = []
     spans: list[tuple[int, int, str, str]] = []
     offset = 0
-    for u in units:
+    for u, info in zip(units, infos):
         if u.kind == "row":
             cells = [c for c in u.cells if c]
             if not cells:
@@ -274,14 +295,12 @@ def extract_html(text: str) -> tuple[str, list[tuple[int, int, str, str]]]:
                 spans.append((cursor, cursor + len(c), "cell", c))
                 cursor += len(c) + 1
         else:
-            t = u.text()
-            lt = u.link_text()
-            ld = (len(lt) / len(t)) if t else 1.0
+            t, ld, is_content = info
             if u.kind == "h":
                 if not (ld == 0.0 and has_anchor):
                     continue
             else:
-                if not (ld <= MAX_LINK_DENSITY and len(t.split()) >= MIN_CONTENT_WORDS):
+                if not is_content:
                     continue
             line = t
             spans.append((offset, offset + len(t), u.kind, t))

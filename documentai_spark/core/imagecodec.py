@@ -67,6 +67,11 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width < 1 or height < 1:
+        # zero-dimension rasters crash the pixel kernels downstream
+        # (ZeroDivisionError escapes the corrupt-lane catch tuples —
+        # r7 review); reject at decode like any other corrupt payload
+        raise ValueError(f"PNG dimensions {width}x{height}")
     if bitdepth != 8:
         raise NotImplementedError(f"PNG bit depth {bitdepth}")
     channels = {0: 1, 2: 3, 6: 4}.get(colortype)
@@ -89,24 +94,37 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:                                 # Up
             cur = (line + prev) & 0xFF
-        else:                                            # Sub/Average/Paeth
-            cur = np.zeros(stride, dtype=np.int32)
+        elif ftype == 1:                                 # Sub
+            # per-channel modular prefix sum: cur[x] = (line[x] +
+            # cur[x-ch]) mod 256 — the per-pixel Python loop ran at
+            # ~1 MB/s on real-world PNGs, whose encoders pick adaptive
+            # filters on nearly every row (r7 review). int64 cumsum
+            # cannot overflow (255 * stride << 2^63).
+            cur = (line.reshape(width, channels)
+                   .cumsum(axis=0, dtype=np.int64) & 0xFF) \
+                .reshape(stride).astype(np.int32)
+        else:                                            # Average/Paeth
+            # inherently sequential along the row (each pixel needs the
+            # RECONSTRUCTED left neighbor); plain-int list arithmetic
+            # beats per-element numpy indexing ~10x here
+            if ftype not in (3, 4):
+                raise ValueError(f"bad PNG filter {ftype}")
+            ln = line.tolist()
+            pv = prev.tolist()
+            cu = [0] * stride
             for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
-                if ftype == 1:                           # Sub
-                    pred = a
-                elif ftype == 3:                         # Average
-                    pred = (a + b) // 2
-                elif ftype == 4:                         # Paeth
+                a = cu[x - channels] if x >= channels else 0
+                b = pv[x]
+                if ftype == 3:                           # Average
+                    pred = (a + b) >> 1
+                else:                                    # Paeth
+                    c = pv[x - channels] if x >= channels else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else \
                         (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter {ftype}")
-                cur[x] = (line[x] + pred) & 0xFF
+                cu[x] = (ln[x] + pred) & 0xFF
+            cur = np.asarray(cu, dtype=np.int32)
         out[y] = cur.astype(np.uint8)
         prev = out[y]
     px = out.reshape(height, width, channels)
@@ -148,6 +166,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP compression {compression}")
     flip = height > 0
     height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError(f"BMP dimensions {width}x{height}")  # r7 review
     stride = ((bpp * width + 31) // 32) * 4
     px = np.frombuffer(data, dtype=np.uint8, count=stride * height,
                        offset=pix_offset).reshape(height, stride)
@@ -159,7 +179,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
                             offset=pal_off).reshape(n_colors, 4)
         pal_luma = _luma(pal[:, [2, 1, 0]].reshape(n_colors, 1, 3)) \
             .reshape(n_colors)
-        gray = pal_luma[px[:, :width]]
+        idx = px[:, :width]
+        if idx.size and int(idx.max()) >= n_colors:
+            # an out-of-palette pixel index raised IndexError, which is
+            # not in the corrupt-lane catch tuples and crashed the task
+            # (r7 review) — it is corrupt data, say so
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} out of range "
+                f"({n_colors} colors)")
+        gray = pal_luma[idx]
     elif bpp in (24, 32):
         nch = bpp // 8
         rows = px[:, :width * nch].reshape(height, width, nch)
@@ -206,6 +234,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w < 1 or h < 1:
+        raise ValueError(f"PNM dimensions {w}x{h}")  # r7 review
     if maxval != 255:
         raise NotImplementedError(f"PNM maxval {maxval}")
     if data[:2] == b"P5":
@@ -262,14 +292,24 @@ def pixel_quality(gray: np.ndarray) -> dict[str, float]:
     - px_contrast: std/64 capped (contrast_score.py 'global_std');
     - px_shadow / px_glare: dark(<64) / bright(>242) area ratios against
       the 0.08 / 0.06 thresholds (shadow_glare_score.py:73-98).
+
+    ONE bincount pass (r7 review): the old form cast the raster to
+    float64 (8x memory) and scanned it five times; on this host
+    whole-buffer elementwise numpy runs at pathological throughput
+    (CLAUDE.md VM quirks — LUT-gather/bincount is the doctrine), and a
+    256-bin histogram of the uint8 raster yields every count, the mean,
+    and the variance in one pass.
     """
-    g = gray.astype(np.float64)
-    n = g.size
-    white = float((g > 240).sum()) / n
-    mean = float(g.mean()) / 255.0
-    std = float(g.std())
-    shadow = float((g < 64).sum()) / n
-    glare = float((g > 242).sum()) / n
+    n = gray.size
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    vals = np.arange(256, dtype=np.float64)
+    white = float(hist[241:].sum()) / n
+    mean_raw = float((hist * vals).sum()) / n          # exact: int sums
+    mean = mean_raw / 255.0
+    var = float((hist * (vals - mean_raw) ** 2).sum()) / n
+    std = var ** 0.5
+    shadow = float(hist[:64].sum()) / n
+    glare = float(hist[243:].sum()) / n
     return {
         "px_blank": white,
         "px_brightness": max(0.0, 1.0 - abs(mean - 0.5) / 0.5),

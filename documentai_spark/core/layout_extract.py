@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import re
 
-_CELL_SPLIT = re.compile(r" {2,}|\t+")
+# a column gap is any whitespace run CONTAINING a tab or 2+ spaces
+# (r7 review: the old ' {2,}|\t+' left a trailing space inside the left
+# cell of a mixed 'alpha \tbeta' gap, so extracted_text carried a double
+# space and the cell span text was whitespace-padded — corrupting the
+# pinned single-space join for any space+tab column layout)
+_CELL_SPLIT = re.compile(r" *\t[ \t]*| {2,}")
 
 
 def extract_layout(text: str) -> tuple[str, list[tuple[int, int, str, str]]]:

@@ -118,3 +118,52 @@ def test_html_nested_table_and_charrefs():
     assert t2 == "a b"
     t3, _ = extract_html("<p>one &amp; two " + "w " * 10 + "</p>")
     assert t3.startswith("one & two")
+
+
+def test_html_bare_anchor_boilerplate_dropped():
+    """r7 review: an <a> opened before any unit exists (bare anchor
+    under <body>, or <a> wrapping a block — valid HTML5) used to
+    contribute zero link chars, so pure-link boilerplate was emitted as
+    content. Anchor depth now lives on the extractor."""
+    from documentai_spark.core.extract import extract_html
+
+    nav = ("<body><a href=\"/x\">About us terms privacy contact careers "
+           "sitemap help faq press blog</a></body>")
+    text, spans = extract_html(nav)
+    assert text == "" and spans == []
+
+    wrapped = ("<a><div>nav card words here are many and all of them "
+               "linked content</div></a>")
+    text2, _ = extract_html(wrapped)
+    assert text2 == ""
+
+    # a real paragraph after a closed bare anchor still extracts
+    mixed = ("<body><a href=/>home</a><p>ten genuine words of real "
+             "content sit right here now</p></body>")
+    text3, _ = extract_html(mixed)
+    assert text3 == "ten genuine words of real content sit right here now"
+
+
+def test_html_tokenizer_survives_stray_quotes():
+    """r7 review: an unquoted attribute value containing an apostrophe
+    (href=/it's) or an unterminated quote used to fail the tag
+    tokenizer, leaking raw markup into extracted_text."""
+    from documentai_spark.core.extract import extract_html
+
+    t1, _ = extract_html("<p>ten words of honest content fill this "
+                         "line <a href=/it's>x</a></p>")
+    assert "<a" not in t1 and "href" not in t1
+    t2, _ = extract_html("<p>ten words of honest content fill this "
+                         "line up <a href=\"x>link</a></p>")
+    assert "<a" not in t2 and "href" not in t2
+
+
+def test_layout_mixed_space_tab_gap():
+    """r7 review: a space+tab column gap left a trailing space inside
+    the left cell ('alpha ' span, double space in the output); any
+    whitespace run containing a tab or 2+ spaces is ONE gap."""
+    from documentai_spark.core.layout_extract import extract_layout
+
+    text, spans = extract_layout("alpha \tbeta\n\nrow1  row2")
+    assert text == "alpha beta\nrow1 row2"
+    assert [s[3] for s in spans] == ["alpha", "beta", "row1", "row2"]

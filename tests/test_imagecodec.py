@@ -100,3 +100,96 @@ def test_encoders_reject_nothing_but_roundtrip_dtype():
     g = np.array([[0, 255], [128, 7]], dtype=np.uint8)
     assert (decode_image(encode_png(g)) == g).all()
     assert (decode_image(encode_bmp(g)) == g).all()
+
+
+def test_corrupt_dimension_and_palette_guards():
+    """r7 review: a 0x0 image raised ZeroDivisionError in the pixel
+    kernels and an out-of-palette BMP index raised IndexError — neither
+    is in the corrupt-lane catch tuples, so one bad payload crashed the
+    Spark task. Both now raise ValueError at decode (the corrupt lane)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from documentai_spark.core.imagecodec import decode_image
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p)))
+
+    zero_png = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0,
+                                             0, 0))
+                + chunk(b"IDAT", zlib.compress(b""))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_image(zero_png)
+
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_image(b"P5\n0 0\n255\n")
+
+    # 8-bit BMP: biClrUsed=16 palette but a pixel byte of 200
+    w = h = 2
+    stride = ((8 * w + 31) // 32) * 4
+    pal = bytes(range(16 * 4))
+    px = bytes([200, 1] + [0] * (stride - 2)) * h
+    pix_off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(px), 0, 0,
+                         pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                       2835, 2835, 16, 16)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(header + info + pal + px)
+
+
+def test_png_all_filters_roundtrip_against_reference_encoder():
+    """r7: the Sub path is now a vectorized modular prefix sum and
+    Average/Paeth run on plain-int lists — verify reconstruction
+    against an independent per-pixel reference FILTER encoder across
+    all five filter types on RGB data."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from documentai_spark.core.imagecodec import decode_png
+
+    rng = np.random.default_rng(7)
+    w, h, ch = 31, 10, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    ftypes = [0, 1, 2, 3, 4, 1, 4, 3, 2, 1]
+
+    def filt(y, ftype):
+        line = img[y].reshape(-1).astype(int)
+        prev = img[y - 1].reshape(-1).astype(int) if y else [0] * stride
+        out = []
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2}.get(ftype)
+            if pred is None:                      # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            out.append((line[x] - pred) & 0xFF)
+        return bytes([ftype]) + bytes(out)
+
+    def chunk(t, p):
+        return (struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p)))
+
+    raw = b"".join(filt(y, ftypes[y]) for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    dec = decode_png(png)
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    want = ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+    assert (dec == want).all()
