@@ -32,9 +32,11 @@ ENTITY_CODES = frozenset({
 
 # All patterns compiled re.ASCII: \d/\w/\b are the ASCII classes, which
 # (a) matches the RE2 semantics of the DuckDB oracle SQL exactly and
-# (b) makes the vectorized digit/'@' pre-gates in
+# (b) makes the vectorized pre-gates in
 # operators/quality_vec.completeness_scores sound (the gates count ASCII
 # classes; a Unicode-\d pattern could otherwise match a gated-out row).
+# Note currency_amount's [\d,]+ group can be satisfied by commas alone,
+# so its gate must be digit-OR-comma, not digit (r7 review finding).
 # Whitespace is SPELLED OUT as [ \t\n\f\r] (r7 review): Python's ASCII
 # \s additionally contains \x0b, which RE2's \s does not — a
 # within-ASCII divergence the fixtures' ASCII-only assertion cannot

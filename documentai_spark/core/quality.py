@@ -143,6 +143,12 @@ RE_GLARE_RUN = re.compile(r" {8,}")
 # edge_crop / shadow_glare / resolution are reported metrics (categories +
 # recommendations) but are NOT in the reference weights dict, so they do
 # not enter confidence — same as upstream.
+# The three implementations (confidence_score below, functions/verdict's
+# Spark expression, functions/quality_sql's conf CTE) spell these weights
+# out as literals so the IEEE operation order stays pinned; tests/
+# test_core_quality.py::test_confidence_weights_are_the_live_scheme
+# rebuilds confidence generically from THIS tuple and asserts bit-equality,
+# so an edit here that isn't mirrored in all three fails loudly.
 CONFIDENCE_WEIGHTS = (("legibility", 3.0), ("completeness", 3.0),
                       ("skew", 2.0), ("noise", 2.0),
                       ("contrast", 1.0), ("brightness", 1.0))

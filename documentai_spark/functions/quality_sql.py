@@ -24,6 +24,9 @@ the kind CASE loudly rather than silently diverge.
 
 from __future__ import annotations
 
+import re as _re
+
+from documentai_spark.core.entities import _PATTERNS, EXPECTED_FIELDS
 from documentai_spark.core.quality import (
     BLANK_LOW, BLANK_RECOMMENDATION, BLANK_W, BLANK_W_ALL, BLANK_W_PRIMARY,
     BRIGHTNESS_W, BRIGHTNESS_W_ALL, BRIGHTNESS_W_PRIMARY,
@@ -101,16 +104,18 @@ def extract_quality_oracle_sql(
     ``only_plain=True`` restricts to kind='plain' rows (the identity-
     extraction subset — lets the oracle run on mixed-kind tables like the
     transcripts fixture, where html/layout extraction is Python-only)."""
-    # entity presence for completeness (RE2 mirrors of the re.ASCII
-    # patterns; EXPECTED_FIELDS = po/date_numeric/currency_amount/
-    # incoterm/email)
-    present = " + ".join([
-        r"CAST(regexp_matches(t, 'PO\s+NUMBER[:\s]+[A-Z0-9/\-]+', 'i') AS INT)",
-        r"CAST(regexp_matches(t, '\b\d{2}[./-]\d{2}[./-]\d{4}\b') AS INT)",
-        r"CAST(regexp_matches(t, '\b[A-Z]{3}\s+[\d,]+(?:\.\d+)?\b') AS INT)",
-        r"CAST(regexp_matches(t, '\b(CFR|CIF|FOB|DAP|EXW)\b') AS INT)",
-        r"CAST(regexp_matches(t, '\b[\w.+-]+@[\w-]+\.[\w.]+\b') AS INT)",
-    ])
+    # entity presence for completeness: generated from the SAME compiled
+    # patterns core.entities uses (r7 review — these were free-standing
+    # copies before; an edit to a core pattern or to EXPECTED_FIELDS would
+    # have silently diverged the oracle). The core patterns are compiled
+    # re.ASCII with whitespace spelled out as [ \t\n\f\r], so the pattern
+    # STRINGS are valid RE2 with identical semantics (ASCII \b/\d/\w).
+    def _present_term(field: str) -> str:
+        pat = _PATTERNS[field]
+        flag = ", 'i'" if pat.flags & _re.IGNORECASE else ""
+        return f"CAST(regexp_matches(t, '{_q(pat.pattern)}'{flag}) AS INT)"
+
+    present = " + ".join(_present_term(f) for f in EXPECTED_FIELDS)
     ws_chars = ("' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
                 " || chr(28) || chr(29) || chr(30) || chr(31)")
     kind = (f"CASE WHEN regexp_matches(t, '{kind_html_pat}') THEN 'html' "
@@ -150,8 +155,11 @@ WITH src0 AS (
   -- quality runs on the EXTRACTED text; only the identity (plain) branch
   -- is mirror-able in SQL — an unexpected non-plain row changes `kind`
   -- and fails the compare loudly
-  SELECT {id_col}, {kind} AS kind, text AS t FROM (
-    SELECT {id_col}, text, text AS t FROM {table}
+  -- COALESCE mirrors core.extract.extract_turn(None) -> '' and the vec
+  -- path's fillna('') — a NULL row must score blank=1.0 / re-scan /
+  -- confidence 0.0, not NULL-propagate into plausible garbage (r7 review)
+  SELECT {id_col}, {kind} AS kind, t FROM (
+    SELECT {id_col}, COALESCE(text, '') AS t FROM {table}
   )
 ), src AS (
   SELECT * FROM src0{plain_filter}
@@ -304,7 +312,7 @@ WITH src0 AS (
     CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
          ELSE {_ensemble('lg', LEGIBILITY_W, LEGIBILITY_W_PRIMARY,
                          LEGIBILITY_W_ALL)} END AS q_legibility,
-    CAST(present AS DOUBLE) / 5 AS q_completeness,
+    CAST(present AS DOUBLE) / {len(EXPECTED_FIELDS)} AS q_completeness,
     CASE WHEN n = 0 OR strip_len = 0 THEN 0.0
          ELSE {_ensemble('no', NOISE_W, NOISE_W_PRIMARY, NOISE_W_ALL)}
          END AS q_noise,

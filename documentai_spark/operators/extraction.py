@@ -111,9 +111,18 @@ def quality_udf(raw: pd.Series, extracted: pd.Series) -> pd.DataFrame:
         contrast_scores, edge_crop_scores, legibility_scores, noise_scores,
         resolution_scores, shadow_glare_scores, skew_scores,
     )
-    c = _Counts(extracted.fillna("").tolist())
+    ext_f = extracted.fillna("")
+    raw_f = raw.fillna("")
+    c = _Counts(ext_f.tolist())
+    # identity-extraction rows (plain turns, incl. the CPU-dominant mega
+    # turns) share the count pass: blank consumes raw-side counts that are
+    # value-equal to the extracted-side ones just computed (memcmp is
+    # ~100x cheaper than recounting; r7 review — this path used to run
+    # the full _Counts machinery twice per batch)
+    same = (raw_f.to_numpy(dtype=object) == ext_f.to_numpy(dtype=object))
+    c_raw = _Counts(raw_f.tolist(), reuse=(c, same))
     return pd.DataFrame({
-        "q_blank": blank_scores(raw),
+        "q_blank": blank_scores(raw, counts=c_raw),
         "q_legibility": legibility_scores(extracted, counts=c),
         "q_completeness": completeness_scores(extracted, counts=c),
         "q_skew": skew_scores(extracted, counts=c),

@@ -90,6 +90,8 @@ class _Counts:
         if k == 0:
             self.nonws = self.ws
             self.strip_len = self.ws
+            self.lead_ws = self.ws
+            self.trail_ws = self.ws
             return
         todo = range(k)
         if reuse is not None:
@@ -512,10 +514,12 @@ def completeness_scores(extracted: pd.Series,
                         counts: _Counts | None = None) -> np.ndarray:
     """Vector of core.entities.completeness_from_text over a batch:
     one contains() pass per expected pattern, with SOUND pre-gates that
-    skip patterns which cannot match — date_numeric / currency_amount
-    literally require a digit (digit count = alnum - letter, already in
-    _Counts) and email requires '@' (memchr-fast literal check). The
-    gates never change results; they only skip impossible scans (the
+    skip patterns which cannot match — date_numeric literally requires a
+    digit (digit count = alnum - letter, already in _Counts),
+    currency_amount requires a digit OR a comma (its ``[\\d,]+`` group can
+    be satisfied by commas alone: 'USD ,a' matches with zero digits — r7
+    review finding), and email requires '@' (memchr-fast literal checks).
+    The gates never change results; they only skip impossible scans (the
     digit-free mega turns would otherwise pay 5 full sre passes each).
     """
     import warnings
@@ -529,7 +533,9 @@ def completeness_scores(extracted: pd.Series,
         has_digit = t.str.contains(r"\d", regex=True) \
                      .to_numpy(dtype=bool)
     has_at = t.str.contains("@", regex=False).to_numpy(dtype=bool)
-    gates = {"date_numeric": has_digit, "currency_amount": has_digit,
+    has_comma = t.str.contains(",", regex=False).to_numpy(dtype=bool)
+    gates = {"date_numeric": has_digit,
+             "currency_amount": has_digit | has_comma,
              "email": has_at}
     with warnings.catch_warnings():
         # the entity patterns have capture groups; contains() only needs

@@ -172,3 +172,81 @@ def test_blank_zeroes_confidence():
     # verdict_for_page returns (re-scan, 0.0) on the blank hard block
     s = score_turn("   ", "", 0.0)
     assert s.verdict == "re-scan" and s.confidence == 0.0
+
+
+def test_confidence_weights_are_the_live_scheme():
+    """CONFIDENCE_WEIGHTS is the documented scheme; the implementations
+    hardcode it for IEEE op-order pinning. Rebuild confidence generically
+    from the tuple and require bit-equality so an un-mirrored weight edit
+    fails here instead of silently not taking effect (r7 review)."""
+    import itertools
+
+    from documentai_spark.core.quality import (
+        CONFIDENCE_W_TOTAL, CONFIDENCE_WEIGHTS, CRITICAL_CAP, CRITICAL_LOW,
+    )
+
+    assert sum(w for _, w in CONFIDENCE_WEIGHTS) == CONFIDENCE_W_TOTAL
+
+    def generic(m):
+        if (m["legibility"] < CRITICAL_LOW
+                or (1.0 - m["skew"]) < CRITICAL_LOW
+                or (1.0 - m["noise"]) < CRITICAL_LOW):
+            return CRITICAL_CAP
+        acc = 0.0
+        for name, w in CONFIDENCE_WEIGHTS:
+            v = (1.0 - m[name]) if name in ("skew", "noise") else m[name]
+            acc = acc + v * w
+        return acc / CONFIDENCE_W_TOTAL
+
+    grid = [0.0, 0.1, 0.39, 0.4, 0.55, 0.61, 0.9, 1.0]
+    names = [n for n, _ in CONFIDENCE_WEIGHTS]
+    for combo in itertools.product(grid, repeat=3):
+        # vary the three critical metrics fully; spot the rest on a plane
+        for rest in (0.3, 0.85):
+            m = dict(zip(names, [combo[0], rest, combo[1], combo[2],
+                                 rest, 1.0 - rest]))
+            got = confidence_score(m["legibility"], m["completeness"],
+                                   m["skew"], m["noise"], m["contrast"],
+                                   m["brightness"])
+            assert got == generic(m), m
+
+
+def test_completeness_currency_comma_only_match():
+    """currency_amount's [\\d,]+ can match with ZERO digits ('USD ,a') —
+    the vec pre-gate must be digit-OR-comma or it diverges from core and
+    the RE2 oracle (r7 review finding, verified divergence)."""
+    import numpy as np
+    import pandas as pd
+
+    from documentai_spark.core.entities import completeness_from_text
+    from documentai_spark.operators.quality_vec import (
+        _Counts, completeness_scores,
+    )
+
+    rows = ["USD ,a hello world",        # comma-only currency match
+            "USD 1,000.50 invoice",      # normal match
+            "no entities here at all",   # no match
+            "EUR ,,,,x",                 # comma-only again
+            ""]
+    core = np.array([completeness_from_text(t) for t in rows])
+    s = pd.Series(rows, dtype=object)
+    vec_gated = completeness_scores(s, counts=_Counts(rows))
+    vec_ungated = completeness_scores(s)
+    np.testing.assert_array_equal(vec_gated, core)
+    np.testing.assert_array_equal(vec_ungated, core)
+    assert core[0] > 0.0 and core[3] > 0.0  # the adversarial rows match
+
+
+def test_counts_empty_batch_has_all_slots():
+    """k==0 _Counts must still expose lead_ws/trail_ws (empty Arrow
+    batches hit edge_crop_scores; r7 review found an AttributeError)."""
+    import pandas as pd
+
+    from documentai_spark.operators.quality_vec import (
+        edge_crop_scores, fused_quality,
+    )
+
+    empty = pd.Series([], dtype=object)
+    assert len(edge_crop_scores(empty)) == 0
+    out = fused_quality(empty, [])
+    assert all(len(a) == 0 for a in out)

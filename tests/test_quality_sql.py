@@ -37,6 +37,9 @@ ADVERSARIAL = [
     "\n".join(["x"] * 12),
     "a b\n" + " " * 8 + "c d" + " " * 9 + "\n\te f",
     "one-liner exactly at the boundary " + "z" * 40,
+    # currency_amount can match with ZERO digits ([\d,]+ <- commas only);
+    # the vec pre-gate must agree with core and this RE2 replay (r7)
+    "USD ,a hello world", "EUR ,,,,x", "GBP , ",
 ]
 
 
@@ -91,6 +94,19 @@ def test_sql_oracle_bit_identical_fixture_sample():
                 r.q_shadow_glare, r.q_resolution, r.confidence) \
             == (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf), i
         assert r.verdict == v and r.recommendations == recs, i
+
+
+def test_sql_oracle_null_text_matches_core_empty():
+    """NULL text must replay core.extract.extract_turn(None) -> '' —
+    blank 1.0, verdict 're-scan', confidence zeroed — not NULL-propagate
+    into plausible garbage (r7 review: pre-COALESCE the oracle scored a
+    NULL row q_blank=0.05 / 'reupload')."""
+    df = _run_oracle([(0, None), (1, "")])
+    for _, r in df.iterrows():
+        (qb, ql, qc, qsk, qn, qco, qbr, qec, qsg, qre, conf, v,
+         recs) = _expected("")
+        assert (r.q_blank, r.confidence, r.verdict) == (qb, conf, v)
+        assert r.q_completeness == qc and r.recommendations == recs
 
 
 def test_apostrophe_in_advice_text_survives_sql(monkeypatch):
