@@ -46,27 +46,39 @@ def _manifest_path(out_path: str, bucket: int) -> str:
 
 
 def read_manifest(out_path: str) -> dict[int, dict]:
-    """All committed bucket manifests (driver-side)."""
+    """All committed bucket manifests (driver-side). A truncated or
+    corrupt manifest (crash between rename and data-block flush on a
+    non-fsync filesystem, pre-r7 files) reads as NOT done — the bucket
+    is idempotently re-runnable by design, so the recovery for a bad
+    manifest is simply to redo that bucket, never to brick resume."""
     d = os.path.join(out_path, MANIFEST_DIR)
     out: dict[int, dict] = {}
     if not os.path.isdir(d):
         return out
     for fn in os.listdir(d):
         if fn.startswith("bucket-") and fn.endswith(".json"):
-            with open(os.path.join(d, fn)) as f:
-                rec = json.load(f)
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    rec = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
             out[rec["partition"]] = rec
     return out
 
 
 def _atomic_write_json(path: str, rec: dict) -> None:
-    """Atomic commit: tmp + rename (a crash never leaves a half
+    """Atomic commit: tmp + fsync + rename (a crash never leaves a half
     manifest) — the ONE commit protocol shared by bucket and stage
-    manifests, so protocol changes (fsync, versioning) cannot diverge."""
+    manifests, so protocol changes (fsync, versioning) cannot diverge.
+    The fsync matters: os.replace orders the RENAME but not the data
+    blocks, so without it a power loss could commit a zero-length
+    manifest over a completed bucket (r7 review)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -79,12 +91,16 @@ def _stage_manifest_path(out_path: str, name: str) -> str:
 
 
 def read_stage_manifest(out_path: str, name: str) -> dict | None:
-    """A named (non-bucket) stage's committed manifest, or None."""
+    """A named (non-bucket) stage's committed manifest, or None. Corrupt
+    manifests read as None (stage pending) — see read_manifest."""
     path = _stage_manifest_path(out_path, name)
     if not os.path.isfile(path):
         return None
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
 
 
 def _commit_stage_manifest(out_path: str, name: str, rec: dict) -> None:
@@ -110,11 +126,17 @@ def _clear_stage_manifest(out_path: str, name: str) -> None:
 
 def lineage_table(spark: SparkSession, out_path: str):
     """The `_lineage` table view: committed manifests as a DataFrame
-    (the Iceberg commit-metadata analog; SURVEY §1.1 lineage record)."""
-    recs = list(read_manifest(out_path).values())
+    (the Iceberg commit-metadata analog; SURVEY §1.1 lineage record).
+    Covers BOTH loop shapes: the curation loop's kept/near_dup lineage
+    columns are included (null for extraction manifests) — r7 review
+    found the hardcoded extraction schema silently dropped them."""
     schema = ("partition int, status string, rows_in long, rows_out long, "
+              "kept long, near_dup long, near_dedup boolean, "
               "bytes_out long, failures int, started double, "
               "finished double, wall_sec double")
+    fields = [s.split()[0] for s in schema.split(", ")]
+    recs = [{k: rec.get(k) for k in fields}
+            for rec in read_manifest(out_path).values()]
     return spark.createDataFrame(recs, schema)
 
 
@@ -141,6 +163,18 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
     a bucket job should not pay the full-table task count. Lineage counts
     ride the single write job via Observations (no re-read, no extra
     count jobs).
+
+    Scan note (r7 review): the ``pmod(hash(conv_id), n)`` predicate is a
+    cheap JVM hash over one short column, but it cannot push to plain
+    parquet, so the loop reads the input n_buckets times. On the real
+    deployment the input is an Iceberg table with a ``bucket(N,
+    conv_id)`` partition spec and the SAME predicate prunes to one
+    partition per job — the stand-in inefficiency is parquet-only. The
+    curation loop's key, by contrast, needs a full regex normalization
+    per evaluation, so it stages the input through
+    :func:`_bucketize_stage` even here; staging conv_id-bucketed
+    transcripts too would double the storage write for a predicate
+    that costs ~nothing to re-evaluate.
     """
     from pyspark.sql.observation import Observation
 
@@ -150,6 +184,21 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
     src = src.withColumn("_bucket",
                          F.pmod(F.hash("conv_id"), F.lit(n_buckets)))
     done = read_manifest(out_path)
+    # committed buckets are only resumable under the SAME bucketing and
+    # output schema (r7 review: resuming an --entities run over a plain
+    # one would silently serve half the conversations without entity
+    # columns; a different n_buckets would double-write rows)
+    config = {"n_buckets": n_buckets,
+              "include_entities": include_entities}
+    stale = [b for b, rec in done.items()
+             if rec.get("config", config) != config]
+    if stale:
+        raise ValueError(
+            f"output {out_path!r} holds buckets committed with a "
+            f"different configuration (e.g. bucket {stale[0]}: "
+            f"{done[stale[0]].get('config')} vs {config}); resuming "
+            "would mix schemas or bucketing — use a fresh output "
+            "directory or matching arguments")
     stats = {"rows_in": 0, "rows_out": 0, "bytes_out": 0, "failures": 0,
              "buckets_done": 0, "buckets_skipped": 0}
     processed = 0
@@ -185,7 +234,7 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
             "partition": bucket, "status": "done",
             "rows_in": rows_in, "rows_out": rows_out,
             "bytes_out": _dir_bytes(bucket_dir),
-            "failures": 0,
+            "failures": 0, "config": config,
             "started": started, "finished": time.time(),
             "wall_sec": round(time.time() - started, 3),
         }
@@ -197,6 +246,13 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
         stats["bytes_out"] += rec["bytes_out"]
         log(f"[checkpoint] bucket {bucket}/{n_buckets}: "
             f"{rows_out} rows, {rec['wall_sec']}s")
+    # a max_buckets-limited run must be distinguishable from a complete
+    # one — its aggregate counts cover only the processed+skipped subset
+    # (r7 review; run_prepare_stages already marks partial runs)
+    pending = n_buckets - stats["buckets_done"] - stats["buckets_skipped"]
+    if pending > 0:
+        stats["buckets_pending"] = pending
+        stats["incomplete"] = True
     return stats
 
 
@@ -210,6 +266,69 @@ def zero_nulls(metrics) -> dict:
 
 NEAR_REPS_DIR = "_near_reps"
 NEAR_REPS_STAGE = "near-reps"
+
+STAGED_DIR = "_staged"
+BUCKETIZE_STAGE = "bucketize"
+
+
+def _bucketize_stage(spark: SparkSession, in_path: str, out_path: str, *,
+                     n_buckets: int, text_col: str = "text",
+                     log=print) -> tuple[str | None, int]:
+    """Stage 0 of the curation resume protocol (r7 review): the bucket
+    key is ``pmod(hash(md5(normalized text)), n_buckets)`` — a DERIVED
+    column whose normalization runs through JVM regexp_replace, the
+    documented ~6 MB/s quirk path on this host. Filtering the raw input
+    per bucket therefore re-scans AND re-normalizes the full corpus
+    n_buckets times (the predicate cannot push to parquet). Instead the
+    input is written ONCE partitioned by the bucket key (the parquet
+    analog of writing the corpus into an Iceberg ``bucket(N,
+    fingerprint)`` spec); per-bucket reads then prune by directory, so
+    the whole loop pays one normalization pass + one staging write
+    instead of n_buckets full scans. Committed under the shared stage
+    manifest protocol; resume skips straight to the staged table.
+
+    Returns ``(staged_path, staged_rows)``; ``staged_path`` is None for
+    an EMPTY input (a partitioned write of nothing leaves no readable
+    parquet — the caller falls back to filtering the, empty, input)."""
+    from pyspark.sql.observation import Observation
+
+    from documentai_spark.operators.curation import fingerprint_col
+
+    staged = os.path.join(out_path, STAGED_DIR)
+    config = {"n_buckets": n_buckets, "text_col": text_col}
+    prior = read_stage_manifest(out_path, BUCKETIZE_STAGE)
+    if prior and prior.get("status") == "done":
+        if prior.get("config") != config:
+            raise ValueError(
+                f"bucketize stage in {out_path!r} was committed with "
+                f"different parameters ({prior.get('config')} vs "
+                f"{config}); resuming would mis-route rows across "
+                "buckets — use a fresh output directory or matching "
+                "arguments")
+        rows = prior["rows_out"]
+        log(f"[curate-checkpoint] bucketize stage: skipped "
+            f"({rows} rows staged)")
+        return (staged if rows else None), rows
+    _clear_stage_manifest(out_path, BUCKETIZE_STAGE)
+    started = time.time()
+    src = spark.read.parquet(in_path).withColumn(
+        "bucket", F.pmod(F.hash(fingerprint_col(F.col(text_col))),
+                         F.lit(n_buckets)))
+    obs = Observation("bucketize")
+    (src.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staged))
+    rows = int(obs.get["n"] or 0)
+    rec = {
+        "stage": BUCKETIZE_STAGE, "status": "done",
+        "rows_out": rows, "bytes_out": _dir_bytes(staged),
+        "config": config,
+        "started": started, "finished": time.time(),
+        "wall_sec": round(time.time() - started, 3),
+    }
+    _commit_stage_manifest(out_path, BUCKETIZE_STAGE, rec)
+    log(f"[curate-checkpoint] bucketize stage: {rows} rows, "
+        f"{rec['wall_sec']}s")
+    return (staged if rows else None), rows
 
 
 def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
@@ -315,15 +434,8 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
     """
     from pyspark.sql.observation import Observation
 
-    from documentai_spark.operators.curation import (
-        curate_documents, fingerprint_col,
-    )
+    from documentai_spark.operators.curation import curate_documents
 
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bucket_partitions = max(4, sp // n_buckets)
-    src = spark.read.parquet(in_path).withColumn(
-        "_bucket", F.pmod(F.hash(fingerprint_col(F.col("text"))),
-                          F.lit(n_buckets)))
     done = read_manifest(out_path)
     mismatched = [b for b, rec in done.items()
                   if bool(rec.get("near_dedup", False)) != near_dedup]
@@ -333,10 +445,39 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
             f"near_dedup={not near_dedup} (e.g. bucket {mismatched[0]}); "
             "resuming with a different flag mode would mix schemas — "
             "use a fresh output directory")
+    # beyond the flag mode, committed keep decisions are only resumable
+    # under the SAME thresholds (r7 review: a resumed run with a
+    # different min_tokens would mix keep semantics across buckets)
+    config = {"n_buckets": n_buckets, "near_dedup": near_dedup,
+              "curate": dict(sorted(curate_kw.items()))}
+    stale = [b for b, rec in done.items()
+             if rec.get("config", config) != config]
+    if stale:
+        raise ValueError(
+            f"output {out_path!r} holds buckets committed with a "
+            f"different configuration (e.g. bucket {stale[0]}: "
+            f"{done[stale[0]].get('config')} vs {config}); resuming "
+            "would mix keep semantics — use a fresh output directory "
+            "or matching arguments")
+    # the bucketize stage's own config guard covers n_buckets/text_col
+    # (a committed staging table with a different bucket count would
+    # mis-route every row); committed bucket manifests predating a
+    # staging change are caught there too since both record n_buckets
     reps = None
     if near_dedup:
         reps = _near_reps_stage(spark, in_path, out_path, log=log,
                                 **curate_kw)
+    text_col = curate_kw.get("text_col", "text")
+    staged, staged_rows = _bucketize_stage(
+        spark, in_path, out_path, n_buckets=n_buckets,
+        text_col=text_col, log=log)
+    if staged is not None:
+        src = spark.read.parquet(staged)
+    else:
+        # empty input: nothing staged; per-bucket filters over the
+        # (empty) raw input preserve the pre-staging output shape
+        src = spark.read.parquet(in_path).withColumn(
+            "bucket", F.lit(0))
     stats = {"rows_in": 0, "rows_out": 0, "kept": 0, "near_dup": 0,
              "bytes_out": 0, "failures": 0, "buckets_done": 0,
              "buckets_skipped": 0}
@@ -354,8 +495,13 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
         if max_buckets is not None and processed >= max_buckets:
             continue
         started = time.time()
-        part = (src.filter(F.col("_bucket") == bucket).drop("_bucket")
-                   .repartition(bucket_partitions))
+        # partition-column filter -> directory pruning: each bucket job
+        # reads ONLY its staged directory (no full-table re-scan, no
+        # re-normalization; the r7 repartition that round-tripped the
+        # whole text payload before the first wide stage is gone too —
+        # the narrow stages run at scan parallelism and the wide stages
+        # use spark.sql.shuffle.partitions regardless)
+        part = src.filter(F.col("bucket") == bucket).drop("bucket")
         obs = Observation(f"cur_{bucket}")
         out = curate_documents(part, near_reps=reps, **curate_kw)
         metrics = [F.count(F.lit(1)).alias("n"),
@@ -366,14 +512,14 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
         out = out.observe(obs, *metrics)
         bucket_dir = os.path.join(out_path, f"bucket={bucket}")
         out.write.mode("overwrite").parquet(bucket_dir)
-        acc = dict(obs.get)
+        acc = zero_nulls(obs.get)
         n = acc["n"]
-        kept = int(acc["kept"] or 0)
-        near = int(acc.get("near_dup") or 0)
+        kept = acc["kept"]
+        near = acc.get("near_dup", 0)
         rec = {
             "partition": bucket, "status": "done",
             "rows_in": n, "rows_out": n, "kept": kept,
-            "near_dedup": near_dedup,
+            "near_dedup": near_dedup, "config": config,
             "bytes_out": _dir_bytes(bucket_dir), "failures": 0,
             "started": started, "finished": time.time(),
             "wall_sec": round(time.time() - started, 3),
@@ -392,6 +538,10 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
             f"{n} rows ({kept} kept), {rec['wall_sec']}s")
     if not near_dedup:
         del stats["near_dup"]
+    pending = n_buckets - stats["buckets_done"] - stats["buckets_skipped"]
+    if pending > 0:
+        stats["buckets_pending"] = pending
+        stats["incomplete"] = True
     return stats
 
 

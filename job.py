@@ -307,6 +307,9 @@ def main() -> None:
                 "output": args.output}
         if args.near_dedup:
             line["near_dup"] = stats["near_dup"]
+        if stats.get("incomplete"):
+            line["incomplete"] = True
+            line["buckets_pending"] = stats["buckets_pending"]
         print(json.dumps(line))
         spark.stop()
         return

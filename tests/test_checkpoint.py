@@ -402,3 +402,91 @@ def test_near_reps_stage_config_mismatch_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         _near_reps_stage(spark, in_dir, out, log=lambda *_: None,
                          jaccard_threshold=0.9)
+
+
+def test_resume_config_mismatch_raises(spark, transcripts_path, tmp_path):
+    """Committed buckets are only resumable under the same schema and
+    bucketing (r7 review: an --entities resume over a plain run would
+    silently serve half the conversations without entity columns)."""
+    import pytest
+
+    out = str(tmp_path / "out_cfg")
+    run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                     max_buckets=2, log=lambda *a: None)
+    with pytest.raises(ValueError, match="different configuration"):
+        run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                         include_entities=True, log=lambda *a: None)
+    with pytest.raises(ValueError, match="different configuration"):
+        run_checkpointed(spark, transcripts_path, out, n_buckets=8,
+                         log=lambda *a: None)
+
+
+def test_partial_run_marked_incomplete(spark, transcripts_path, tmp_path):
+    """A max_buckets-limited run must be distinguishable from a complete
+    one — its aggregates cover only a subset (r7 review)."""
+    out = str(tmp_path / "out_partial_mark")
+    s1 = run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                          max_buckets=1, log=lambda *a: None)
+    assert s1["incomplete"] is True and s1["buckets_pending"] == 3
+    s2 = run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                          log=lambda *a: None)
+    assert "incomplete" not in s2 and "buckets_pending" not in s2
+
+
+def test_corrupt_manifest_reads_as_pending(spark, transcripts_path,
+                                           tmp_path):
+    """A truncated manifest (crash between rename and data flush, or a
+    hand-edit) must re-run that bucket, not brick every resume with a
+    JSONDecodeError (r7 review)."""
+    import os
+
+    out = str(tmp_path / "out_corrupt")
+    run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                     log=lambda *a: None)
+    victim = os.path.join(out, "_checkpoints", "bucket-00002.json")
+    with open(victim, "w") as f:
+        f.write("")  # zero-length commit
+    m = read_manifest(out)
+    assert 2 not in m and len(m) == 3
+    s = run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                         log=lambda *a: None)
+    assert s["buckets_done"] == 1 and s["buckets_skipped"] == 3
+
+
+def test_curation_staging_prunes_and_resumes(spark, tmp_path):
+    """The bucketize stage writes the input partitioned by the
+    fingerprint bucket ONCE; per-bucket jobs read pruned directories
+    and a resume skips the staging (r7 review: the loop used to re-scan
+    and re-normalize the full corpus n_buckets times)."""
+    import os
+
+    import pytest
+
+    from documentai_spark.plans.checkpoint import (
+        read_stage_manifest, run_checkpointed_curation,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "out_staged")
+    logs: list[str] = []
+    s1 = run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
+                                   log=logs.append)
+    staged = os.path.join(out, "_staged")
+    assert os.path.isdir(staged)
+    assert sorted(d for d in os.listdir(staged)
+                  if d.startswith("bucket=")) \
+        == [f"bucket={b}" for b in range(4)]
+    rec = read_stage_manifest(out, "bucketize")
+    assert rec["status"] == "done" and rec["rows_out"] == s1["rows_in"]
+    # resume: staging skipped, all buckets skipped
+    logs.clear()
+    s2 = run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
+                                   log=logs.append)
+    assert s2["buckets_skipped"] == 4 and s2["kept"] == s1["kept"]
+    assert any("bucketize stage: skipped" in ln for ln in logs)
+    # a different threshold config refuses to resume
+    with pytest.raises(ValueError, match="mix keep semantics"):
+        run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
+                                  min_tokens=5, log=lambda *a: None)
