@@ -71,14 +71,22 @@ def _entity_snippets(h: int) -> list[str]:
         out.append("PO NUMBER PO-%05d DATED %02d.%02d.2024"
                    % (h % 100000, 1 + h % 28, 1 + (h // 31) % 12))
     if h % 4 == 0:
+        # month index from h//4, NOT h: under the h%4==0 gate h is even,
+        # so h%6 could only ever hit Jan/Mar/May (r7 review — half the
+        # month-name alternatives were unreachable in the whole corpus)
         out.append("PI No PI/%04d Date %d-%s-2024"
                    % (h % 10000, 1 + h % 28,
-                      ("Jan", "Feb", "Mar", "Apr", "May", "Jun")[h % 6]))
+                      ("Jan", "Feb", "Mar", "Apr", "May", "Jun")
+                      [(h // 4) % 6]))
     if h % 2 == 0:
         out.append("total amount %s %d,%03d.00"
                    % (_CURRENCIES[h % 5], 1 + h % 99, h % 1000))
     if h % 5 == 0:
-        out.append("delivery terms %s destination port" % _INCOTERMS[h % 5])
+        # index from h//5: under the gate h%5 is always 0, so every
+        # delivery-terms line in the corpus was 'CFR' and four of five
+        # incoterm alternatives were structurally untested (r7 review)
+        out.append("delivery terms %s destination port"
+                   % _INCOTERMS[(h // 5) % 5])
     if h % 7 == 0:
         out.append("contact buyer-%d@example.com for queries" % (h % 100))
     return out
