@@ -2001,7 +2001,8 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(n_stopwords * 1.0 / greatest(n_tokens, 1), 6)
                     < 0.04 AS bad_lang,
                 (n_tokens < 20 OR n_tokens > 2000) AS bad_len,
-                confidence < CAST('0.6' AS DOUBLE) AS low_conf
+                COALESCE(confidence < CAST('0.6' AS DOUBLE), TRUE)
+                    AS low_conf
               FROM j
             )
             SELECT doc_id,

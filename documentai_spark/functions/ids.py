@@ -23,7 +23,7 @@ _FIX = (" — these surfaces label rows in the long domain; use a "
         "xxhash64(id), collision-checked, or a dictionary join)")
 
 
-def checked_long(col: Column, context: str) -> Column:
+def checked_long(col: Column, context: str, dtype=None) -> Column:
     """``col`` cast to long, failing fast with a named error when any
     value is NULL, malformed, or would truncate.
 
@@ -32,19 +32,50 @@ def checked_long(col: Column, context: str) -> Column:
     is what the user sees. The double round-trip catches lossy casts
     without type introspection: a fractional value (3.5 -> long 3)
     disagrees with its own long image in the double domain, while
-    string ids ('007' -> 7) and past-2^53 longs (both sides lose the
-    SAME low bits) agree. Zero extra jobs — the check is an expression
-    riding whichever pass needed the cast.
+    past-2^53 longs agree (both sides lose the SAME low bits). Zero
+    extra jobs — the check is an expression riding whichever pass
+    needed the cast.
+
+    ``dtype`` (pass ``df.schema[id_col].dataType``): when the id column
+    is a STRING, the value must additionally be the CANONICAL long form
+    (r7 review) — '007' and '7' both cast to 7, so two DISTINCT string
+    ids would silently share one closure label / shard key and one
+    document would inherit the other's dedup verdict. The canonical
+    check (string equals its own long's string image) rejects padded,
+    signed-plus, or whitespace forms with an error naming the fix.
     """
+    from pyspark.sql.types import StringType
+
     lng = col.try_cast("long")
     ok = (col.isNotNull() & lng.isNotNull()
           & col.try_cast("double").eqNullSafe(lng.cast("double")))
+    why = " is not losslessly long-castable"
+    if isinstance(dtype, StringType):
+        ok = ok & col.eqNullSafe(lng.cast("string"))
+        why = (" is not a canonical long-formatted id (distinct string "
+               "ids that collapse onto one long, e.g. '007' and '7', "
+               "would be conflated onto one label)")
     msg = F.concat(
         F.lit(f"{context}: id value "),
         F.coalesce(F.concat(F.lit("'"), col.cast("string"), F.lit("'")),
                    F.lit("NULL")),
-        F.lit(" is not losslessly long-castable" + _FIX))
+        F.lit(why + _FIX))
     return F.when(F.assert_true(ok, msg).isNull(), lng)
+
+
+def checked_non_null(col: Column, context: str) -> Column:
+    """``col`` unchanged, failing fast with a named error on NULL.
+
+    For surfaces whose decisions silently NULL-propagate on a NULL id —
+    the dedup semi-join condition and the exact-dup window comparison
+    both evaluate NULL and the row vanishes with no audit flag (r7
+    review: data loss, not dedup). Same zero-extra-jobs assert_true
+    shape as :func:`checked_long`."""
+    msg = F.lit(
+        f"{context}: id column contains NULL — the first-wins dedup "
+        "decision needs a stable non-NULL id per row; filter NULL-id "
+        "rows or derive a stable surrogate first")
+    return F.when(F.assert_true(col.isNotNull(), msg).isNull(), col)
 
 
 def checked_id(col: Column, context: str) -> Column:

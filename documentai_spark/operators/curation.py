@@ -78,6 +78,7 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
                         jaccard_threshold: float = 0.8,
                         num_hashes: int = 64, bands: int = 16,
                         max_iter: int = 50,
+                        max_bucket: int | None = 4096,
                         near_stats: dict | None = None) -> DataFrame:
     """Adds keep / is_dup / bad_lang / bad_len / low_conf.
 
@@ -139,18 +140,25 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
     out = df.withColumn("_ct_fp", fingerprint_col(text))
     if use_near:
         from documentai_spark.functions.ids import checked_long
-        dup_id = checked_long(F.col(id_col), "with_curation_flags")
-        # row_number, not value-compare (r7 review): two string ids
-        # that collapse to ONE long ('7' and '007') tie in the long
-        # domain, so `dup_id > min(dup_id)` flagged NEITHER and the
-        # duplicate text survived; the (long, string) rank flags
-        # exactly the non-winner — the SAME ordering exact_rep_rows
-        # uses to elect the banded representative below.
+        dup_id = checked_long(F.col(id_col), "with_curation_flags",
+                              df.schema[id_col].dataType)
+        # row_number, not value-compare (r7 review): ids that TIE in
+        # the long domain would both miss a `dup_id > min(dup_id)`
+        # compare and the duplicate text would survive; the (long,
+        # string) rank flags exactly the non-winner — the SAME ordering
+        # exact_rep_rows uses to elect the banded representative below.
+        # (Non-canonical string ids like '007' now fail fast in
+        # checked_long rather than colliding at all.)
         w_fp = Window.partitionBy("_ct_fp").orderBy(
             dup_id.asc(), F.col(id_col).asc())
         out = out.withColumn("is_dup", F.row_number().over(w_fp) > 1)
     else:
-        dup_id = F.col(id_col)
+        # checked_non_null (r7 review): a NULL id makes the comparison
+        # NULL, keep NULL, and the row silently vanishes from the kept
+        # set with every audit boolean false — bypassing the downstream
+        # checked_id guards (they only see keep=true rows)
+        from documentai_spark.functions.ids import checked_non_null
+        dup_id = checked_non_null(F.col(id_col), "with_curation_flags")
         out = out.withColumn("is_dup",
                              dup_id > F.min(dup_id).over(
                                  Window.partitionBy("_ct_fp")))
@@ -171,7 +179,8 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
             pairs = minhash_dedup_pairs(
                 rep_src, text_col=text_col,
                 id_col=id_col, num_hashes=num_hashes, bands=bands,
-                jaccard_threshold=jaccard_threshold)
+                jaccard_threshold=jaccard_threshold,
+                max_bucket=max_bucket)
             reps = cluster_pairs(pairs, rep_src.select(id_col),
                                  a_col="id_a",
                                  b_col="id_b", id_col=id_col,
@@ -184,7 +193,8 @@ def with_curation_flags(df: DataFrame, *, id_col: str = "doc_id",
         # and a bad id would silently NULL the dedup decision. The
         # duplicate assert costs nothing (same expression, one codegen
         # projection) and holds under ANY pruning.
-        lid = checked_long(F.col(id_col), "with_curation_flags")
+        lid = checked_long(F.col(id_col), "with_curation_flags",
+                           df.schema[id_col].dataType)
         out = (out.join(reps.withColumnRenamed("cluster_rep", "_ct_rep"),
                         id_col, "left")
                   .withColumn(
@@ -211,6 +221,12 @@ def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
 
     This is the streamable piece — no window, no shuffle — shared by
     the batch ``with_curation_flags`` and ``streaming_curate``.
+
+    A NULL confidence reads as ``low_conf`` (r7 review): the comparison
+    alone would make keep NULL and the row would vanish with every
+    audit boolean false — the silent-drop class the NULL-text pins
+    eliminated. A row whose quality could not be scored is dropped WITH
+    its reason on the books.
     """
     text = F.col(text_col)
     out = (df.withColumn("bad_lang",
@@ -220,7 +236,9 @@ def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
                          (token_count_col(text) < F.lit(min_tokens))
                          | (token_count_col(text) > F.lit(max_tokens)))
              .withColumn("low_conf",
-                         F.col(confidence_col) < F.lit(min_confidence)))
+                         F.coalesce(
+                             F.col(confidence_col) < F.lit(min_confidence),
+                             F.lit(True))))
     if "is_dup" not in df.columns:
         out = out.withColumn("is_dup", F.lit(False))
     keep = ~(F.col("is_dup") | F.col("bad_lang") | F.col("bad_len")
@@ -438,6 +456,13 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         surv = (_null_safe(df, counts, broadcast=True)
                 .withColumn("_shf", frac)
                 .filter(F.col("_shf") < thr))
+        # eager localCheckpoint (r7 review, same rationale as
+        # minhash_dedup_pairs' candidate set): surv is tiny by
+        # construction (~margin*k rows per group) but derives from a
+        # full-corpus scan — without this, the coverage check below AND
+        # every consumer action of the returned frame re-scan the whole
+        # corpus; with it they read the materialized survivors
+        surv = surv.localCheckpoint(eager=True)
         # verify the prefilter kept at least min(k, n) rows per group.
         # Anchor the check on the per-group COUNTS table: a group whose
         # rows ALL miss the prefilter contributes no survivor row, so

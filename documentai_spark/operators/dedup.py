@@ -24,7 +24,7 @@ signatures are pure functions of the text, independent of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,12 +53,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     loss, not dedup). With eqNullSafe the NULL-fingerprint group keeps
     its min-id row exactly like the window form in
     ``curation.with_curation_flags``.
+
+    NULL ids fail fast (r7 review): the id leg of the semi-join
+    condition is null-UNSAFE by design (two NULL-id rows are not the
+    same row), so a NULL id would silently delete its row — even a
+    unique-text one — instead of deduping anything. The check rides the
+    min() agg input; no extra jobs (``functions.ids.checked_non_null``).
     """
+    from documentai_spark.functions.ids import checked_non_null
+
     if "_fp" in df.columns:
         raise ValueError("input column '_fp' collides with exact_dedup "
                          "internals")
     fp = df.withColumn("_fp", fingerprint_col(F.col(text_col)))
-    keep = (fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    keep = (fp.groupBy("_fp")
+              .agg(F.min(checked_non_null(F.col(id_col), "exact_dedup"))
+                   .alias("_keep_id"))
               .withColumnRenamed("_fp", "_keep_fp"))
     return (fp.join(keep,
                     F.col("_fp").eqNullSafe(F.col("_keep_fp"))
@@ -85,9 +95,11 @@ def exact_rep_rows(df: DataFrame, text_col: str = "text",
 
     The winner is picked in the LONG domain with the string id as
     tie-break — the SAME ordering the near path's exact-dup window
-    uses — so two string ids that collapse to one long ('7' and '007')
-    still elect exactly one representative between them
-    (``checked_long`` enforces the long domain). NOTE: the agg is a
+    uses. ``checked_long`` enforces the long domain, and (r7 review)
+    rejects NON-CANONICAL string forms outright: '007' and '7' are
+    distinct documents that would share one closure label, so they fail
+    fast with an error naming the surrogate fix instead of silently
+    conflating. NOTE: the agg is a
     plain plan node and recomputes per consumer; the chain's consumers
     each ran full-corpus shingling before, so this strictly reduces
     per-consumer work — a checkpointed run materializes the final reps
@@ -95,7 +107,8 @@ def exact_rep_rows(df: DataFrame, text_col: str = "text",
     """
     from documentai_spark.functions.ids import checked_long
 
-    lid = checked_long(F.col(id_col), context)
+    lid = checked_long(F.col(id_col), context,
+                       df.schema[id_col].dataType)
     row = F.struct(lid.alias("_l"),
                    F.col(id_col).cast("string").alias("_s"),
                    F.col(id_col).alias("_id"),
@@ -250,6 +263,15 @@ def band_structs(sig_col, num_hashes: int, bands: int):
     the batch candidate join (:func:`minhash_lsh_candidates`) and the
     streaming state op (streaming/near_dedup.py) so both bucket
     bit-identically."""
+    if bands < 1 or num_hashes % bands != 0:
+        # a remainder silently drops the trailing hashes from banding
+        # (shifting the LSH threshold curve away from what the caller
+        # configured), and bands > num_hashes makes zero-row bands that
+        # fail as an opaque zero-arg xxhash64 analysis error (r7 review)
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide num_hashes="
+            f"{num_hashes} exactly (rows-per-band = num_hashes // "
+            "bands; every hash must participate in exactly one band)")
     r = num_hashes // bands
     return F.array(*[
         F.struct(F.lit(b).alias("band_idx"),
@@ -260,30 +282,65 @@ def band_structs(sig_col, num_hashes: int, bands: int):
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16) -> DataFrame:
+                           bands: int = 16,
+                           max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash.
 
     rows_per_band = num_hashes // bands; two docs are candidates if any
     band matches exactly. Returns (id_a, id_b, n_bands_matched).
     Shuffles: the signature agg + the band self-join — at corpus scale
     each band bucket is tiny unless docs are true near-dups.
+
+    ``max_bucket`` (r7 review): exact_rep_rows collapses byte-IDENTICAL
+    texts, but an m-copy group of NEAR-identical texts (boilerplate
+    differing by a serial/timestamp, mutual Jaccard ~0.99) still
+    collides in essentially every band and the self-join emits
+    ~bands*m^2/2 rows — the quadratic blowup one edit-distance past the
+    exact-dup fix. Buckets larger than ``max_bucket`` therefore switch
+    from all-pairs to STAR edges (every member paired with the bucket's
+    min-id member). For the clustering consumers this is
+    connectivity-preserving through the verify+closure whenever members
+    actually resemble the hub (the mega-template case that creates
+    oversized buckets in the first place); the documented recall
+    tradeoff is pairs inside an oversized bucket that are similar to
+    each other but NOT to the hub. None = exact all-pairs (the
+    oracle-mirrored default).
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
     bands_col = band_structs("_sig", num_hashes, bands)
     ex = (sig.select(id_col, F.explode(bands_col).alias("band"))
              .select(id_col, "band.band_idx", "band.band_hash"))
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2 (a bucket of two "
+                             "is already a single pair)")
+        # the window shuffles by the SAME key the self-join needs, so
+        # AQE reuses one exchange; the hub (min id) is the star center
+        wb = Window.partitionBy("band_idx", "band_hash")
+        ex = (ex.withColumn("_bn", F.count(F.lit(1)).over(wb))
+                .withColumn("_hub", F.min(id_col).over(wb)))
+        big = ex.filter(F.col("_bn") > max_bucket)
+        star = (big.filter(F.col(id_col) != F.col("_hub"))
+                   .select(F.col("_hub").alias("id_a"),
+                           F.col(id_col).alias("id_b"),
+                           "band_idx", "band_hash"))
+        ex = ex.filter(F.col("_bn") <= max_bucket).drop("_bn", "_hub")
     a = ex.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = ex.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    return (a.join(b, ["band_idx", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+    pairs = (a.join(b, ["band_idx", "band_hash"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "band_idx", "band_hash"))
+    if max_bucket is not None:
+        pairs = pairs.unionByName(star)
+    return (pairs.groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("n_bands_matched")))
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 64,
                         bands: int = 16,
-                        jaccard_threshold: float = 0.8) -> DataFrame:
+                        jaccard_threshold: float = 0.8,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard (J-verify step).
 
     Verify-join width (the 100 TB decision): candidates are a tiny
@@ -292,8 +349,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     arrays ever shuffle, not the whole corpus's. The candidate set is
     cached (it is consumed three times: two semi filters + the verify
     join); at cluster scale it would be materialized to a table instead.
+    ``max_bucket`` passes through to :func:`minhash_lsh_candidates`
+    (oversized-band star-join safety valve).
     """
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                  max_bucket=max_bucket)
     # eager localCheckpoint instead of persist(): the candidate set is
     # consumed three times, but a CacheManager persist would outlive the
     # call (no safe point to unpersist a lazily-consumed result) and leak
@@ -347,8 +407,12 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
                  F.col("_n").alias("_na"), "_b")
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
                  F.col("_n").alias("_nb"), "_b")
-    cos = (dot_col(F.col("_va"), F.col("_vb"))
-           / (F.col("_na") * F.col("_nb")))
+    # zero-norm guard (r7 review): 0.0/0.0 is NaN and NaN >= threshold
+    # is TRUE under Spark's NaN ordering, so one corrupt all-zero
+    # embedding would be reported as a near-dup of every bucket-mate
+    cos = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                 dot_col(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).otherwise(F.lit(0.0))
     return (a.join(b, "_b")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
@@ -517,13 +581,16 @@ def cluster_pairs(pairs: DataFrame, nodes: DataFrame, *,
 
     def _src_dst(a: str, b: str) -> DataFrame:
         return pairs.select(
-            checked_long(F.col(a), "cluster_pairs").alias("src"),
-            checked_long(F.col(b), "cluster_pairs").alias("dst"))
+            checked_long(F.col(a), "cluster_pairs",
+                         pairs.schema[a].dataType).alias("src"),
+            checked_long(F.col(b), "cluster_pairs",
+                         pairs.schema[b].dataType).alias("dst"))
 
     edges = (_src_dst(a_col, b_col).union(_src_dst(b_col, a_col))
              .distinct()
              .localCheckpoint(eager=True))   # reused every round
-    labels = (nodes.select(checked_long(F.col(id_col), "cluster_pairs")
+    labels = (nodes.select(checked_long(F.col(id_col), "cluster_pairs",
+                                        nodes.schema[id_col].dataType)
                            .alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))
@@ -573,7 +640,8 @@ def near_dedup(df: DataFrame, *, text_col: str = "text",
                id_col: str = "doc_id",
                jaccard_threshold: float = 0.8,
                num_hashes: int = 64, bands: int = 16,
-               max_iter: int = 50) -> DataFrame:
+               max_iter: int = 50,
+               max_bucket: int | None = 4096) -> DataFrame:
     """One-call near-deduplication, the full production chain:
     MinHash-LSH candidates -> exact shingle-Jaccard verify
     (:func:`minhash_dedup_pairs`) -> transitive cluster closure
@@ -597,13 +665,20 @@ def near_dedup(df: DataFrame, *, text_col: str = "text",
     it was always dropped — now it simply never enters the closure.
     Ids must be losslessly long-castable (the closure's label domain;
     ``checked_long`` fails fast otherwise).
+
+    ``max_bucket`` defaults ON here (4096) — this is the production
+    surface, and NEAR-identical mega-groups (which exact_rep_rows cannot
+    collapse) would otherwise make a band bucket quadratic; see
+    :func:`minhash_lsh_candidates` for the star-join semantics and the
+    recall tradeoff. Pass None for the exact all-pairs form.
     """
     rep_src = exact_rep_rows(df.select(id_col, text_col),
                              text_col, id_col, context="near_dedup")
     pairs = minhash_dedup_pairs(rep_src, text_col=text_col,
                                 id_col=id_col, num_hashes=num_hashes,
                                 bands=bands,
-                                jaccard_threshold=jaccard_threshold)
+                                jaccard_threshold=jaccard_threshold,
+                                max_bucket=max_bucket)
     reps = cluster_pairs(pairs, rep_src.select(id_col), a_col="id_a",
                          b_col="id_b", id_col=id_col,
                          max_iter=max_iter)

@@ -67,8 +67,13 @@ def _rerank_topk(joined: DataFrame, k: int, id_col: str,
     """Shared candidate re-rank (r7 review: was triplicated verbatim):
     exact cosine from the precomputed norms, per-anchor row_number
     top-k with the deterministic (cosine desc, id asc) tie-break."""
-    cos = (dot_col(F.col("_a"), F.col("_v"))
-           / (F.col("_an") * F.col("_vn")))
+    # zero-norm guard (r7 review): 0.0/0.0 is NaN, and Spark orders NaN
+    # ABOVE every number, so one corrupt all-zero embedding would rank
+    # as the #1 neighbor of EVERY anchor; cosine to/from a zero vector
+    # is defined 0.0 here (never ranks above a real match)
+    cos = F.when((F.col("_an") > 0) & (F.col("_vn") > 0),
+                 dot_col(F.col("_a"), F.col("_v"))
+                 / (F.col("_an") * F.col("_vn"))).otherwise(F.lit(0.0))
     ranked = (joined.filter(F.col(id_col) != F.col(anchor_id_col))
                     .select(anchor_id_col, id_col, cos.alias("cosine")))
     w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"),

@@ -36,6 +36,12 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None,
     layout is deterministic — re-runs produce identical partition contents
     (resume idempotency depends on this).
     """
+    if "_salt" in df.columns:
+        # withColumn would silently overwrite the caller's data and the
+        # trailing drop would remove the column entirely (r7 review) —
+        # refuse loudly like every other operator's reserved-name guard
+        raise ValueError("input column '_salt' collides with "
+                         "salted_repartition internals")
     salt = F.pmod(F.hash(F.col(order_col)), F.lit(salt_buckets))
     df = df.withColumn("_salt", salt)
     if num_partitions:
@@ -52,13 +58,22 @@ def conversation_window(conv_col: str = "conv_id",
 
 
 def restore_order(df: DataFrame, conv_col: str = "conv_id",
-                  order_col: str = "turn_idx") -> DataFrame:
+                  order_col: str = "turn_idx",
+                  num_partitions: int | None = None) -> DataFrame:
     """Cluster rows back into (conv_id, turn_idx) order for output.
 
     ``repartitionByRange`` + ``sortWithinPartitions`` gives a total order
     across output files without a single-partition bottleneck (range
     exchange samples boundaries; each task sorts locally — the scalable
     form of ``orderBy``).
+
+    The partition count is ALWAYS passed explicitly (r7 review): an
+    unconstrained range exchange is exactly the one AQE coalesces to
+    ~default.parallelism giant straggler tasks (the measured failure
+    plans/pipeline.py documents — CLAUDE.md invariant). Defaults to
+    ``spark.sql.shuffle.partitions``.
     """
-    return (df.repartitionByRange(F.col(conv_col), F.col(order_col))
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (df.repartitionByRange(n, F.col(conv_col), F.col(order_col))
               .sortWithinPartitions(conv_col, order_col))

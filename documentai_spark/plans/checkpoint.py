@@ -359,7 +359,8 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
               "bands": curate_kw.get("bands", 16),
               "jaccard_threshold": curate_kw.get("jaccard_threshold",
                                                  0.8),
-              "max_iter": curate_kw.get("max_iter", 50)}
+              "max_iter": curate_kw.get("max_iter", 50),
+              "max_bucket": curate_kw.get("max_bucket", 4096)}
     prior = read_stage_manifest(out_path, NEAR_REPS_STAGE)
     if prior and prior.get("status") == "done":
         if prior.get("config") != config:
@@ -385,7 +386,8 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
         rep_src, text_col=text_col, id_col=id_col,
         num_hashes=curate_kw.get("num_hashes", 64),
         bands=curate_kw.get("bands", 16),
-        jaccard_threshold=curate_kw.get("jaccard_threshold", 0.8))
+        jaccard_threshold=curate_kw.get("jaccard_threshold", 0.8),
+        max_bucket=curate_kw.get("max_bucket", 4096))
     reps = cluster_pairs(pairs, rep_src.select(id_col), a_col="id_a",
                          b_col="id_b", id_col=id_col,
                          max_iter=curate_kw.get("max_iter", 50))

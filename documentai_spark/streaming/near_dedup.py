@@ -133,8 +133,9 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                                                              watermark)
     payload = F.struct(*[F.col(c) for c in stream.columns])
     sig = (with_minhash_signature_local(src, text_col, num_hashes, "_sig")
-           .withColumn("_id", checked_long(F.col(id_col),
-                                           "streaming_near_dup")))
+           .withColumn("_id",
+                       checked_long(F.col(id_col), "streaming_near_dup",
+                                    stream.schema[id_col].dataType)))
     # barrier before the band explode: the signature is an EXPRESSION
     # (the aggregate/zip_with fold over the UDF's shingle column), and
     # projection collapse would re-inline it into every post-Generate

@@ -270,5 +270,93 @@ def test_cluster_pairs_rejects_non_long_ids(spark):
     pairs = spark.createDataFrame([("doc-a", "doc-b")],
                                   ["doc_a", "doc_b"])
     nodes = spark.createDataFrame([("doc-a",), ("doc-b",)], ["doc_id"])
-    with pytest.raises(Exception, match="long-castable.*xxhash64"):
+    # string columns take the stricter canonical-form message (r7)
+    with pytest.raises(Exception, match="canonical.*xxhash64"):
         cluster_pairs(pairs, nodes)
+
+
+def test_exact_dedup_null_id_fails_fast(spark):
+    import pytest
+
+    from documentai_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "unique text one"), (None, "unique text two")],
+        "doc_id int, text string")
+    with pytest.raises(Exception, match="exact_dedup.*non-NULL id"):
+        exact_dedup(df).collect()
+
+
+def test_band_structs_validates_divisibility(spark):
+    import pytest
+
+    from documentai_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        minhash_lsh_candidates(df, num_hashes=60, bands=16).collect()
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        minhash_lsh_candidates(df, num_hashes=64, bands=100).collect()
+
+
+def test_max_bucket_star_join_bounds_candidates(spark):
+    """An oversized band bucket (near-identical mega-group) switches to
+    star edges: candidate count is linear in the group, and the
+    verify+closure still clusters the whole group (r7 review)."""
+    from documentai_spark.operators.dedup import (
+        minhash_lsh_candidates, near_dedup,
+    )
+
+    base = ("boilerplate template text that repeats across the corpus "
+            "with a serial number inside it somewhere ")
+    rows = [(i, base + f"serial {i}") for i in range(30)]
+    rows.append((99, "totally different content about other things "
+                     "entirely unrelated to the template and long "
+                     "enough to shingle"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = minhash_lsh_candidates(df, max_bucket=None)
+    capped = minhash_lsh_candidates(df, max_bucket=5)
+    n_exact = exact.count()
+    n_capped = capped.count()
+    # all-pairs within the 30-group ~ 435 pairs; the capped form keeps
+    # all-pairs only in the small residual buckets (the serial token
+    # splits some bands), so star edges dominate
+    assert n_exact >= 300 and n_capped < n_exact / 3
+
+    # the chain still collapses the group to ONE survivor either way
+    surv_capped = {r.doc_id for r in
+                   near_dedup(df, jaccard_threshold=0.5,
+                              max_bucket=5).collect()}
+    surv_exact = {r.doc_id for r in
+                  near_dedup(df, jaccard_threshold=0.5,
+                             max_bucket=None).collect()}
+    assert surv_capped == surv_exact == {0, 99}
+
+
+def test_embedding_near_dups_zero_vector_not_nan(spark):
+    """A zero-norm embedding must not NaN-match everything (NaN >=
+    threshold is TRUE under Spark NaN ordering; r7 review)."""
+    from documentai_spark.operators.dedup import embedding_near_dups
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0])]   # corrupt zero vector
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = embedding_near_dups(df, threshold=0.9, m_bits=1, dim=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs), pairs
+
+
+def test_cluster_pairs_noncanonical_string_id_fails(spark):
+    """'007' and '7' are DISTINCT documents that collapse onto one long
+    closure label — fail fast instead of conflating (r7 review)."""
+    import pytest
+
+    from documentai_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame([("3", "11")], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([("3",), ("11",), ("007",)], ["doc_id"])
+    with pytest.raises(Exception, match="canonical"):
+        cluster_pairs(pairs, nodes, a_col="id_a", b_col="id_b").collect()

@@ -145,7 +145,8 @@ def test_pack_rejects_non_long_and_truncating_ids(spark):
 
     docs = spark.createDataFrame([("doc-abc", "a b c")],
                                  ["doc_id", "text"])
-    with pytest.raises(Exception, match="long-castable.*xxhash64"):
+    # string ids take the stricter canonical-form message (r7)
+    with pytest.raises(Exception, match="canonical.*xxhash64"):
         pack_sequences(docs, budget=8).collect()
     frac = spark.createDataFrame([(3.5, "a b c")], ["doc_id", "text"])
     with pytest.raises(Exception, match="'3.5' is not losslessly"):

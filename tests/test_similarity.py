@@ -119,3 +119,20 @@ def test_lsh_m_bits_bounds():
     with pytest.raises(ValueError, match="1..63"):
         _hyperplanes(4, 0)
     assert len(_hyperplanes(4, 63)) == 63
+
+
+def test_zero_norm_vector_never_tops_ranking(spark):
+    """r7 review: 0.0/0.0 cosine is NaN and Spark ranks NaN above every
+    number, so one corrupt all-zero embedding used to be the #1
+    neighbor of every anchor; it now scores 0.0 and ranks last."""
+    from documentai_spark.operators.similarity import brute_force_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.5, 0.5]),
+            (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = df.filter("vec_id = 0") \
+                .selectExpr("vec_id as anchor_id", "embedding")
+    got = brute_force_topk(df, anchors, k=3).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.cosine) for r in got}
+    assert by_rank[1][0] == 1
+    assert by_rank[3] == (3, 0.0)   # the zero vector ranks LAST at 0.0

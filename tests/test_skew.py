@@ -34,3 +34,32 @@ def test_range_partitioning_balances_rows(spark, transcripts_path):
     assert len(counts) == 8
     mean = sum(counts) / len(counts)
     assert max(counts) <= 2 * mean, counts  # no straggler partition
+
+
+def test_salted_repartition_salt_collision_guard(spark):
+    import pytest
+
+    from documentai_spark.operators.skew import salted_repartition
+
+    df = spark.createDataFrame([("c1", 0, 1)],
+                               ["conv_id", "turn_idx", "_salt"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_repartition(df)
+
+
+def test_restore_order_pins_range_partitions(spark):
+    """r7 review (CLAUDE.md invariant): the range exchange must carry an
+    explicit partition count so AQE cannot coalesce it into straggler
+    giant tasks."""
+    from documentai_spark.operators.skew import restore_order
+
+    df = spark.createDataFrame([("c%d" % i, j) for i in range(10)
+                                for j in range(5)],
+                               ["conv_id", "turn_idx"])
+    plan = restore_order(df, num_partitions=13)._jdf \
+        .queryExecution().analyzed().toString()
+    assert "13" in plan
+    # default pulls spark.sql.shuffle.partitions explicitly
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    plan_d = restore_order(df)._jdf.queryExecution().analyzed().toString()
+    assert sp in plan_d
