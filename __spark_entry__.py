@@ -62,8 +62,11 @@ def _lsh_ann_oracle_sql(dim: int = 64, m_bits: int = 6, seed: int = 7,
     planes = _hyperplanes(dim, m_bits, seed)
 
     def dot_lit(plane: list, arr: str) -> str:
+        # string-cast form: bare decimal literals lose the last ulp in
+        # DuckDB's parser (61/384 plane constants round differently),
+        # which would bucket near-zero dot products off-by-one vs Spark
         return " + ".join(
-            f"CAST({x!r} AS DOUBLE) * {arr}[{i + 1}]"
+            f"CAST('{x!r}' AS DOUBLE) * {arr}[{i + 1}]"
             for i, x in enumerate(plane))
 
     bucket = " + ".join(

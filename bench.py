@@ -40,12 +40,14 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
-        if "sf" in sf_dir else 0.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # path's last 'sf' not followed by a number
+        sf = 0.0
 
     import __spark_entry__ as entry
     from documentai_spark.plans.pipeline import extraction_pipeline
-    from documentai_spark.sources.session import build_session
+    from documentai_spark.sources.session import build_session, warm_workers
     from documentai_spark.sources.transcripts import write_transcripts_parquet
 
     # cached deterministic transcripts table for the throughput headline
@@ -64,22 +66,9 @@ def main() -> None:
     spark = build_session("bench", master=f"local[{cpus}]",
                           shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + python workers off the clock. The range-sum only
-    # touches the JVM; an actual pandas UDF over one task per core forces
-    # every python worker to start AND import numpy/pandas + the
-    # quality_vec LUT tables (measured: the first Python-heavy query
-    # otherwise pays multi-second worker spin-up on its own clock).
-    _force(spark.range(1000000).selectExpr("sum(id) as s"))
+    warm_workers(spark, cpus)
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _warm(v):
-        from documentai_spark.operators import quality_vec  # noqa: F401
-        return v * 1.0
-
-    _force(spark.range(cpus * 4).repartition(cpus * 4)
-                .select(_warm(F.col("id").cast("double"))))
 
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 

@@ -53,3 +53,32 @@ def build_session(app_name: str = "documentai_spark",
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warm_workers(spark: SparkSession, cpus: int) -> None:
+    """Warm the JVM and every python worker off the measurement clock.
+
+    The documented bench protocol for this host (CLAUDE.md): session
+    start ~8 s, python workers ~1 s each on first UDF — unwarmed, the
+    first Python-heavy query pays multi-second worker spin-up on its own
+    clock. One range-sum touches JVM codegen; one pandas UDF over
+    ``cpus * 4`` single-row tasks forces every worker to start AND
+    import numpy/pandas plus the quality_vec LUT tables. Shared by
+    bench.py / tools/bench_sf1.py / tools/bench_prepare_sf1.py so the
+    warm-up can never drift between harnesses.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    _force(spark.range(1000000).selectExpr("sum(id) as s"))
+
+    @pandas_udf("double")
+    def _warm(v):
+        from documentai_spark.operators import quality_vec  # noqa: F401
+        return v * 1.0
+
+    _force(spark.range(cpus * 4).repartition(cpus * 4)
+                .select(_warm(F.col("id").cast("double"))))

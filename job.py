@@ -321,10 +321,26 @@ def main() -> None:
         from documentai_spark.plans.checkpoint import run_prepare_stages
 
         def _rates(spec: str) -> dict[str, float]:
+            # friendly failures: a trailing comma / missing weight would
+            # otherwise surface as a bare float('') traceback after the
+            # Spark session is already up
             out = {}
             for part in spec.split(","):
-                name, _, w = part.partition(":")
-                out[name.strip()] = float(w)
+                if not part.strip():
+                    continue  # tolerate a trailing comma
+                name, sep, w = part.partition(":")
+                name = name.strip()
+                try:
+                    weight = float(w)
+                except ValueError:
+                    ap.error(f"bad rate token {part!r} in {spec!r} — "
+                             f"expected name:weight (e.g. train:0.9)")
+                if not sep or not name or weight <= 0:
+                    ap.error(f"bad rate token {part!r} in {spec!r} — "
+                             f"name and a positive weight are required")
+                out[name] = weight
+            if not out:
+                ap.error(f"empty rate spec {spec!r}")
             return out
 
         weights = _rates(args.splits)

@@ -142,18 +142,11 @@ def main() -> None:
     os.makedirs(CACHE, exist_ok=True)
     big = _build_big_docs(spark, copies)
 
-    # warm JVM codegen + every python worker off the clock (bench.py
-    # protocol) so the small run does not pay session warm-up and skew
-    # the wall ratio
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _warm(v):
-        from documentai_spark.operators import quality_vec  # noqa: F401
-        return v * 1.0
-    spark.range(CPUS * 4).repartition(CPUS * 4) \
-         .select(_warm(F.col("id").cast("double"))) \
-         .write.format("noop").mode("overwrite").save()
+    # warm JVM codegen + every python worker off the clock (shared
+    # bench protocol) so the small run does not pay session warm-up and
+    # skew the wall ratio
+    from documentai_spark.sources.session import warm_workers
+    warm_workers(spark, CPUS)
 
     small = run_prepare(spark, f"{SRC_SF}/documents.parquet",
                         "/tmp/prep_sf01_out")

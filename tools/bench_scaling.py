@@ -82,7 +82,15 @@ def main() -> None:
 
     zpath = build_zip()
     sp = 64  # pinned across both runs (protocol requirement)
-    legs = os.environ.get("SCALE_LEGS", "extract,classify").split(",")
+    legs = [l for l in os.environ.get(
+        "SCALE_LEGS", "extract,classify").split(",") if l.strip()]
+    bad = [l for l in legs if l not in ("extract", "classify")]
+    if bad:
+        # validate BEFORE the expensive N/4N runs — a bad leg would
+        # otherwise fail deep inside run() after the good legs already
+        # burned their trials, discarding everything
+        sys.exit(f"SCALE_LEGS has unknown leg(s) {bad}; "
+                 f"valid: extract, classify")
     result = {"n_cores": N_CORES, "legs": {}}
     rows_md = []
     for leg in legs:

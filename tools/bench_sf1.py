@@ -165,16 +165,9 @@ def main() -> None:
     _build_tables(spark)
     meta = json.loads(open(os.path.join(CACHE, "_DONE")).read())
 
-    # warm workers off the clock (see bench.py)
-    _force(spark.range(1000000).selectExpr("sum(id) as s"))
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _warm(v):
-        from documentai_spark.operators import quality_vec  # noqa: F401
-        return v * 1.0
-    _force(spark.range(CPUS * 4).repartition(CPUS * 4)
-                .select(_warm(F.col("id").cast("double"))))
+    # warm workers off the clock (shared bench protocol)
+    from documentai_spark.sources.session import warm_workers
+    warm_workers(spark, CPUS)
 
     names = _eligible_queries(entry)
     rows = []

@@ -79,8 +79,15 @@ def _drain(spark, in_dir: str, tag: str) -> dict:
         out, ck)
     q.awaitTermination()
     wall = time.time() - t0
-    n_batches = len([p for p in q.recentProgress
-                     if int(p["numInputRows"]) > 0]) or None
+    # count COMMITTED batches from the checkpoint, not recentProgress —
+    # Spark retains only the last ~100 progress updates, so a large
+    # drain (STREAM_FILES=1000 STREAM_FPT=2 -> ~500 batches) would be
+    # silently undercounted in the scale evidence
+    try:
+        n_batches = len([f for f in os.listdir(os.path.join(ck, "commits"))
+                         if f.isdigit()]) or None
+    except OSError:
+        n_batches = None
     res = spark.read.parquet(out)
     acc = res.agg(
         F.count(F.lit(1)).alias("rows"),

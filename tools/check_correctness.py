@@ -45,6 +45,14 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise skip everything and print
+        # "0/0 OK" with exit 0 — a false green for whoever asked
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}\n"
+              f"  (valid: {sorted(qs)})")
+        spark.stop()
+        sys.exit(2)
     failures = 0
     n_run = 0
     for name, fn in qs.items():

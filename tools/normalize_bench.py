@@ -197,6 +197,13 @@ def main(argv: list[str] | None = None) -> int:
         new = json.load(f)
     out = compare(old, new, tol=args.tol, suite_tol=args.suite_tol,
                   floor=args.floor, improve=args.improve)
+    if not out["rows"]:
+        # disjoint suites / truncated file: nothing was compared, so a
+        # 0-exit would read as "nothing regressed" when the gate never ran
+        print("ERROR: the two files share no (nonzero-time) queries — "
+              "nothing compared; refusing to report a pass",
+              file=sys.stderr)
+        return 2
     if out["canary_ratios"] is None:
         print("WARNING: canaries missing/zero in one file — raw ratios "
               "only (pre-r6 BENCH files have no canary pair)",
