@@ -966,12 +966,16 @@ TRANSCRIPTS_TEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PIPELINE_EXPECTED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "data", "pipeline_expected.parquet")
 
-# the detect_kind regexes (core/textkind.py), shared verbatim with the SQL
-# oracle — Java regex and DuckDB RE2 agree on this subset (no lookarounds)
-_KIND_HTML_PAT = (r"<(?:html|body|div|p|a|ul|li|table|tr|td|th|h1|h2|span|br)"
-                  r"(?:\s[^>]*)?/?>")
-_KIND_BLOCKSEP = r"\n[ \t]*\n"
-_KIND_MULTICOL = r"\S {2,}\S"
+# the detect_kind regexes, imported from core/textkind (single source of
+# truth) and shared verbatim with the SQL oracle — spelled portable there:
+# explicit ASCII whitespace classes (no bare \s/\S: Java's includes \x0b,
+# RE2's does not) and [hH]-style tag case classes (no (?i): the three
+# engines case-fold differently outside ASCII)
+from documentai_spark.core.textkind import (  # noqa: E402
+    KIND_BLOCKSEP_PAT as _KIND_BLOCKSEP,
+    KIND_HTML_PAT as _KIND_HTML_PAT,
+    KIND_MULTICOL_PAT as _KIND_MULTICOL,
+)
 
 
 def _transcripts(spark: SparkSession) -> DataFrame:

@@ -34,10 +34,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     Raises ValueError on structural corruption, NotImplementedError on
     non-PCM encodings / unsupported bit depths.
     """
-    if len(data) < 12 or data[:4] != b"RIFF":
+    if data[:4] != b"RIFF":
         # unknown container magic (ogg/opus/mp3/...) = the
         # 'decoder_unavailable' lane, mirroring decode_image on JPEG magic
         raise NotImplementedError("not a RIFF container")
+    if len(data) < 12:
+        # RIFF magic but not even a full header: structural damage, so
+        # the 'corrupt' lane — the lane must not flip on truncation depth
+        raise ValueError("truncated RIFF header")
     if data[8:12] != b"WAVE":
         raise ValueError("RIFF but not WAVE")
     pos = 12

@@ -180,6 +180,26 @@ PI_FIELDS = ("invoice_number", "invoice_date", "seller", "buyer",
              "country_of_origin", "currency", "total_amount")
 
 
+def parse_goods_line(line: str) -> dict[str, str] | None:
+    """One goods-table row -> field dict, or None when the row has fewer
+    than 6 right-anchored fields (performa_invoice.py:47-64): split from
+    the RIGHT into 6 — ``rsplit(" ", 5)`` — because the description may
+    itself contain spaces while the trailing 5 fields (HS code, quantity,
+    unit, unit price, amount) are single tokens; each field stripped,
+    commas removed from the amount. Single-sourced here so the Spark
+    column form (functions/goods.parse_goods_row) can pin exact parity."""
+    parts = line.strip().rsplit(" ", 5)
+    if len(parts) != 6:
+        return None
+    desc, hs, qty, unit, price, amount = parts
+    return {"description": desc.strip(),
+            "hs_code": hs.strip(),
+            "quantity": qty.strip(),
+            "unit": unit.strip(),
+            "unit_price": price.strip(),
+            "amount": amount.replace(",", "").strip()}
+
+
 def extract_proforma_invoice(text: str) -> tuple[dict[str, str], list[dict]]:
     """performa_invoice.py:5-71: (scalar fields, goods rows)."""
     t = text or ""
@@ -209,15 +229,9 @@ def extract_proforma_invoice(text: str) -> tuple[dict[str, str], list[dict]]:
             raw = line.strip()
             if not raw or "Total" in raw or raw.startswith("<b>"):
                 break
-            parts = raw.rsplit(" ", 5)
-            if len(parts) == 6:
-                desc, hs, qty, unit, price, amount = parts
-                goods.append({"description": desc.strip(),
-                              "hs_code": hs.strip(),
-                              "quantity": qty.strip(),
-                              "unit": unit.strip(),
-                              "unit_price": price.strip(),
-                              "amount": amount.replace(",", "").strip()})
+            row = parse_goods_line(raw)
+            if row is not None:
+                goods.append(row)
     m = _PI_TOTAL.search(t)
     e["currency"] = m.group(1) if m else ""
     e["total_amount"] = m.group(2).replace(",", "") if m else ""

@@ -43,10 +43,14 @@ def decode_avi(data: bytes) -> tuple[float, list[np.ndarray]]:
     Raises ValueError on structural corruption, NotImplementedError on
     compressed streams / unsupported bit depths / non-AVI containers.
     """
-    if len(data) < 12 or data[:4] != b"RIFF":
+    if data[:4] != b"RIFF":
         # unknown container magic (mp4/mkv/webm/...) = the
         # 'decoder_unavailable' lane, mirroring decode_image on JPEG
         raise NotImplementedError("not a RIFF container")
+    if len(data) < 12:
+        # RIFF magic but not even a full header: structural damage, so
+        # the 'corrupt' lane — the lane must not flip on truncation depth
+        raise ValueError("truncated RIFF header")
     if data[8:12] != b"AVI ":
         raise ValueError("RIFF but not AVI")
 

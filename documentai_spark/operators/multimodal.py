@@ -87,13 +87,6 @@ QUALITY_SCHEMA = StructType([
 N_FEATURES = 16
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """REAL decoder: PNG (zlib + unfilter) / BMP / PGM / PPM via the
-    pure-stdlib codecs; raises NotImplementedError on other formats
-    (JPEG etc. need libs this sandbox lacks)."""
-    return decode_image(payload)
-
-
 def _decode_audio(payload: bytes) -> list[float]:
     """REAL decoder: RIFF/WAVE PCM via core.audiocodec; returns
     N_FEATURES per-frame RMS energies (each in [0, 1]). Raises
@@ -138,7 +131,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     if mt == "image":
-                        gray = _decode_image(bytes(payload))
+                        gray = decode_image(bytes(payload))
                         feats.append(block_features(gray, grid=4))
                         oks.append("ok")
                     elif mt == "audio":
@@ -183,7 +176,7 @@ def extract_media_quality(df: DataFrame) -> DataFrame:
                 if mt != "image" or payload is None:
                     continue
                 try:
-                    gray = _decode_image(bytes(payload))
+                    gray = decode_image(bytes(payload))
                 except (NotImplementedError, ValueError, struct_error,
                         zlib.error):
                     continue

@@ -56,16 +56,19 @@ def pi_udf(text: pd.Series) -> pd.DataFrame:
 
 
 def with_po_entities(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds the 12 purchase-order fields as columns (no shuffle)."""
+    """Adds the 12 purchase-order fields as columns (no shuffle). One
+    projection for all fields — a withColumn-per-field loop builds a
+    nested Project per call that the analyzer re-traverses each time."""
     out = df.withColumn("_po", po_udf(F.col(text_col)))
-    for f in PO_FIELDS:
-        out = out.withColumn(f, F.col(f"_po.{f}"))
-    return out.drop("_po")
+    return out.select(
+        "*", *[F.col(f"_po.{f}").alias(f) for f in PO_FIELDS]).drop("_po")
 
 
 def with_pi_entities(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds the proforma-invoice fields + goods rows (no shuffle)."""
+    """Adds the proforma-invoice fields + goods rows (no shuffle). One
+    projection for all fields (see with_po_entities)."""
     out = df.withColumn("_pi", pi_udf(F.col(text_col)))
-    for f in PI_FIELDS:
-        out = out.withColumn(f, F.col(f"_pi.{f}"))
-    return (out.withColumn("goods", F.col("_pi.goods")).drop("_pi"))
+    return out.select(
+        "*",
+        *[F.col(f"_pi.{f}").alias(f) for f in PI_FIELDS],
+        F.col("_pi.goods").alias("goods")).drop("_pi")

@@ -18,6 +18,27 @@ def test_detect_kind():
     assert detect_kind("one\ntwo") == "plain"  # no block sep, no columns
     assert detect_kind("") == "plain"
     assert detect_kind(None) == "plain"
+    # tag names are case-insensitive (HTML is)
+    assert detect_kind("<P>hi</P>") == "html"
+    assert detect_kind("<TABLE><TR><TD>x</TD></TR></TABLE>") == "html"
+    assert detect_kind("<BR/>") == "html"
+    # but case-folding is ASCII-only: U+017F (long s) is not an 's'
+    assert detect_kind("ſpan test <ſpan>") == "plain"
+    # tab-separated cells are table rows too (layout_extract._CELL_SPLIT
+    # splits on tabs, so detection must route them to the extractor)
+    assert detect_kind("Name\tQty\nSteel\t5") == "layout"
+    assert detect_kind("Name \t Qty\nrow") == "layout"  # space-padded tab
+    assert detect_kind("Name\tQty") == "plain"  # single line stays plain
+
+
+def test_tab_table_reaches_layout_extractor():
+    """A tab-only table must route 'layout' AND parse into cells — the
+    capability existed (_CELL_SPLIT handles tabs) but was unreachable
+    while detection only recognized double-space separators."""
+    kind, text, spans = extract_turn("Name\tQty\nSteel\t5")
+    assert kind == "layout"
+    cells = [s for s in spans if s[2] == "cell"]
+    assert [c[3] for c in cells] == ["Name", "Qty", "Steel", "5"]
 
 
 def test_plain_identity():

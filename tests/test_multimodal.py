@@ -406,3 +406,24 @@ def test_video_corrupt_and_unavailable_lanes(spark):
             for r in extract_media_features(df).collect()}
     assert rows == {0: "decoder_unavailable", 1: "decoder_unavailable",
                     2: "corrupt", 3: "corrupt", 4: "ok"}
+
+
+def test_truncated_riff_header_is_corrupt_not_unavailable():
+    """The error lane must not flip on truncation depth: RIFF magic with
+    a short header is structural damage ('corrupt' -> ValueError), the
+    same lane as the deeper 16-byte truncation; only a genuinely unknown
+    container magic is 'decoder_unavailable' (NotImplementedError)."""
+    import pytest
+
+    from documentai_spark.core.audiocodec import decode_wav
+    from documentai_spark.core.videocodec import decode_avi
+
+    for decode in (decode_wav, decode_avi):
+        with pytest.raises(ValueError):      # 10-byte truncated header
+            decode(b"RIFFxxxxWA")
+        with pytest.raises(ValueError):      # magic alone
+            decode(b"RIFF")
+        with pytest.raises(NotImplementedError):  # unknown magic, short
+            decode(b"OggS")
+        with pytest.raises(NotImplementedError):  # unknown magic, long
+            decode(b"\xff\xfb" + b"\x00" * 64)

@@ -68,22 +68,35 @@ def test_selective_preprocess(spark):
 
 
 def test_parse_goods_row(spark):
-    """O5 right-anchored split (performa_invoice.py rsplit(' ',5))."""
+    """O5 right-anchored split: the Spark column form must agree
+    byte-for-byte with core.typed_extract.parse_goods_line (the
+    reference's rsplit(' ', 5) + per-field strip + amount comma-strip),
+    including on multi-space rows where a naive \\s+ split diverges."""
+    from documentai_spark.core.typed_extract import parse_goods_line
     from documentai_spark.functions.goods import parse_goods_row
     rows = [
-        (0, "steel widgets large size  7208.39  100  PCS  12.50  1,250.00"),
+        (0, "Steel Widgets Mk II 7208.39 100 PCS 12.50 1,250.00"),
         (1, "x 1 2 3 4 5"),
         (2, "too short row"),
+        # consecutive spaces: rsplit(" ", 5) takes the last 5 SINGLE-space
+        # boundaries, so 'PCS' lands in hs_code and two fields are empty
+        (3, "steel widgets large size  7208.39  100  PCS  12.50  1,250.00"),
+        (4, "  padded row 7208.39 100 PCS 12.50 99,000.10  "),
+        (5, ""),
     ]
     df = spark.createDataFrame(rows, ["i", "line"])
     out = {r.i: r.g for r in df.select(
         "i", parse_goods_row(df.line).alias("g")).collect()}
+    for i, line in rows:
+        expect = parse_goods_line(line)
+        got = None if out[i] is None else out[i].asDict()
+        assert got == expect, f"row {i}: {got} != core {expect}"
+    # spot-check the canonical row's values (incl. the comma-strip)
     g = out[0]
-    assert g.description == "steel widgets large size"
-    assert g.hs_code == "7208.39" and g.qty == "100" and g.unit == "PCS"
-    assert g.unit_price == "12.50" and g.amount == "1,250.00"
-    assert out[1].description == "x" and out[1].amount == "5"
-    assert out[2] is None
+    assert g.description == "Steel Widgets Mk II"
+    assert g.hs_code == "7208.39" and g.quantity == "100"
+    assert g.unit == "PCS" and g.unit_price == "12.50"
+    assert g.amount == "1250.00"
 
 
 def test_cross_field_date_comparison_grammar():
