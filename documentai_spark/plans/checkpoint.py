@@ -62,6 +62,12 @@ def read_manifest(out_path: str) -> dict[int, dict]:
                     rec = json.load(f)
             except (json.JSONDecodeError, OSError):
                 continue
+            # valid JSON that is not a bucket record (hand-edited or
+            # foreign tool) must ALSO read as not-done, not KeyError —
+            # per the contract above, never brick resume on a bad file
+            if not isinstance(rec, dict) or \
+                    not isinstance(rec.get("partition"), int):
+                continue
             out[rec["partition"]] = rec
     return out
 
@@ -98,9 +104,11 @@ def read_stage_manifest(out_path: str, name: str) -> dict | None:
         return None
     try:
         with open(path) as f:
-            return json.load(f)
+            rec = json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+    # a non-dict manifest (valid JSON, wrong shape) reads as pending too
+    return rec if isinstance(rec, dict) else None
 
 
 def _commit_stage_manifest(out_path: str, name: str, rec: dict) -> None:
@@ -181,17 +189,25 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str, *,
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     bucket_partitions = max(4, sp // n_buckets)
     src = spark.read.parquet(in_path)
+    if "_bucket" in src.columns:
+        raise ValueError(
+            "input already has a '_bucket' column — the checkpoint loop "
+            "derives its own bucket key under that name and would "
+            "silently clobber and drop the input's; rename it upstream")
     src = src.withColumn("_bucket",
                          F.pmod(F.hash("conv_id"), F.lit(n_buckets)))
     done = read_manifest(out_path)
     # committed buckets are only resumable under the SAME bucketing and
     # output schema (r7 review: resuming an --entities run over a plain
     # one would silently serve half the conversations without entity
-    # columns; a different n_buckets would double-write rows)
+    # columns; a different n_buckets would double-write rows). A manifest
+    # with NO recorded config (pre-guard rounds) must read as a MISMATCH,
+    # not default to the current config — defaulting passed exactly the
+    # legacy outputs the guard exists to protect (r7 review #2).
     config = {"n_buckets": n_buckets,
               "include_entities": include_entities}
     stale = [b for b, rec in done.items()
-             if rec.get("config", config) != config]
+             if rec.get("config") != config]
     if stale:
         raise ValueError(
             f"output {out_path!r} holds buckets committed with a "
@@ -264,6 +280,32 @@ def zero_nulls(metrics) -> dict:
     return {k: (0 if v is None else v) for k, v in dict(metrics).items()}
 
 
+def _effective_curation_config(curate_kw: dict) -> dict:
+    """``curate_kw`` with with_curation_flags' scalar defaults baked in,
+    sorted — so the manifests' 'same configuration' test compares
+    SEMANTICS, not spelling (r7 review: the raw-kwargs form refused a
+    resume that spelled a default explicitly in one run and omitted it
+    in the other, while the reps stage's baked form accepted it; one
+    rule for both now, derived from the signature so a new threshold
+    parameter is covered automatically)."""
+    import inspect
+
+    from documentai_spark.operators.curation import with_curation_flags
+
+    defaults = {
+        k: p.default
+        for k, p in inspect.signature(with_curation_flags)
+                           .parameters.items()
+        if p.default is not inspect.Parameter.empty
+        and isinstance(p.default, (bool, int, float, str, type(None)))}
+    # runtime objects / separately-recorded mode flags, not thresholds
+    for k in ("near_reps", "near_stats", "near_dedup"):
+        defaults.pop(k, None)
+    eff = dict(defaults)
+    eff.update({k: v for k, v in curate_kw.items() if k in defaults})
+    return dict(sorted(eff.items()))
+
+
 NEAR_REPS_DIR = "_near_reps"
 NEAR_REPS_STAGE = "near-reps"
 
@@ -311,7 +353,14 @@ def _bucketize_stage(spark: SparkSession, in_path: str, out_path: str, *,
         return (staged if rows else None), rows
     _clear_stage_manifest(out_path, BUCKETIZE_STAGE)
     started = time.time()
-    src = spark.read.parquet(in_path).withColumn(
+    src = spark.read.parquet(in_path)
+    if "bucket" in src.columns:
+        raise ValueError(
+            "input already has a 'bucket' column — the staged curation "
+            "loop derives its own partition key under that name and "
+            "would silently clobber and then drop the input's; rename "
+            "it upstream")
+    src = src.withColumn(
         "bucket", F.pmod(F.hash(fingerprint_col(F.col(text_col))),
                          F.lit(n_buckets)))
     obs = Observation("bucketize")
@@ -348,19 +397,18 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
     )
 
     reps_dir = os.path.join(out_path, NEAR_REPS_DIR)
-    id_col = curate_kw.get("id_col", "doc_id")
-    text_col = curate_kw.get("text_col", "text")
+    eff = _effective_curation_config(curate_kw)
+    id_col = eff["id_col"]
+    text_col = eff["text_col"]
     # the reps are only valid for the LSH parameters that built them —
     # record them and refuse a resume under different ones (r7 review:
     # silently reusing 0.7-threshold reps on a 0.9-threshold resume
-    # would flag every remaining bucket with the wrong clusters)
-    config = {"id_col": id_col, "text_col": text_col,
-              "num_hashes": curate_kw.get("num_hashes", 64),
-              "bands": curate_kw.get("bands", 16),
-              "jaccard_threshold": curate_kw.get("jaccard_threshold",
-                                                 0.8),
-              "max_iter": curate_kw.get("max_iter", 50),
-              "max_bucket": curate_kw.get("max_bucket", 4096)}
+    # would flag every remaining bucket with the wrong clusters); the
+    # values come from the shared effective config so this guard and
+    # the bucket-manifest guard agree on what "same" means
+    config = {k: eff[k] for k in ("id_col", "text_col", "num_hashes",
+                                  "bands", "jaccard_threshold",
+                                  "max_iter", "max_bucket")}
     prior = read_stage_manifest(out_path, NEAR_REPS_STAGE)
     if prior and prior.get("status") == "done":
         if prior.get("config") != config:
@@ -384,13 +432,13 @@ def _near_reps_stage(spark: SparkSession, in_path: str, out_path: str,
                              id_col, context="near_reps_stage")
     pairs = minhash_dedup_pairs(
         rep_src, text_col=text_col, id_col=id_col,
-        num_hashes=curate_kw.get("num_hashes", 64),
-        bands=curate_kw.get("bands", 16),
-        jaccard_threshold=curate_kw.get("jaccard_threshold", 0.8),
-        max_bucket=curate_kw.get("max_bucket", 4096))
+        num_hashes=eff["num_hashes"],
+        bands=eff["bands"],
+        jaccard_threshold=eff["jaccard_threshold"],
+        max_bucket=eff["max_bucket"])
     reps = cluster_pairs(pairs, rep_src.select(id_col), a_col="id_a",
                          b_col="id_b", id_col=id_col,
-                         max_iter=curate_kw.get("max_iter", 50))
+                         max_iter=eff["max_iter"])
     obs = Observation("near_reps")
     (reps.observe(obs, F.count(F.lit(1)).alias("n"))
          .write.mode("overwrite").parquet(reps_dir))
@@ -449,11 +497,14 @@ def run_checkpointed_curation(spark: SparkSession, in_path: str,
             "use a fresh output directory")
     # beyond the flag mode, committed keep decisions are only resumable
     # under the SAME thresholds (r7 review: a resumed run with a
-    # different min_tokens would mix keep semantics across buckets)
+    # different min_tokens would mix keep semantics across buckets).
+    # Defaults are baked in (_effective_curation_config) so explicit-vs-
+    # omitted spellings of the same thresholds resume; a manifest with
+    # NO config (pre-guard rounds) reads as a mismatch, never as a pass.
     config = {"n_buckets": n_buckets, "near_dedup": near_dedup,
-              "curate": dict(sorted(curate_kw.items()))}
+              "curate": _effective_curation_config(curate_kw)}
     stale = [b for b, rec in done.items()
-             if rec.get("config", config) != config]
+             if rec.get("config") != config]
     if stale:
         raise ValueError(
             f"output {out_path!r} holds buckets committed with a "
@@ -592,7 +643,6 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     ``incomplete: True``. Returns the accounting line ``job.py
     --prepare`` prints.
     """
-    import time as _time
 
     from pyspark.sql.observation import Observation
 
@@ -633,7 +683,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         reasons.append("contaminated")
     flag_col = {"dup": "is_dup", "near_dup": "is_near_dup"}
 
-    t0 = _time.time()
+    t0 = time.time()
     executed = 0
     skipped: list[str] = []
 
@@ -694,7 +744,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
                     for s in mixture_rates]
             return df.observe(obs_flags, *metrics)
 
-        started = _time.time()
+        started = time.time()
         prep = prepare_training_data(
             spark.read.parquet(in_path), benchmark=benchmark,
             near_dedup=near_dedup and near_reps is None,
@@ -719,11 +769,11 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
             "stage": PREPARE_CORPUS_STAGE, "status": "done",
             "acc": acc, "acc_c": acc_c, "config": config,
             "bytes_out": _dir_bytes(corpus_path),
-            "started": started, "finished": _time.time(),
-            "wall_sec": round(_time.time() - started, 3)})
+            "started": started, "finished": time.time(),
+            "wall_sec": round(time.time() - started, 3)})
         executed += 1
         log(f"[prepare] corpus stage: {acc_c['rows']} rows, "
-            f"{round(_time.time() - started, 1)}s")
+            f"{round(time.time() - started, 1)}s")
 
     n_shards = auto_shards(pack_shards, acc_c["rows"])
 
@@ -737,7 +787,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
             "packed_docs": acc_p["rows"], "oversize": acc_p["oversize"],
             "sequences": seqs, "budget": budget,
             "pack_shards": n_shards,
-            "sec": round(_time.time() - t0, 2),
+            "sec": round(time.time() - t0, 2),
             "stages_skipped": skipped,
             "corpus": corpus_path, "assignment": assign_path}
         if mixture_rates:
@@ -766,7 +816,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     if max_stages is not None and executed >= max_stages:
         return _line({"rows": 0, "oversize": 0}, {}, incomplete=True)
     _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
-    started = _time.time()
+    started = time.time()
     if acc_c["rows"] == 0:
         # a partitioned write of nothing leaves no parquet files, so
         # the re-read would die with UNABLE_TO_INFER_SCHEMA after the
@@ -796,8 +846,8 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     _commit_stage_manifest(out_path, PREPARE_ASSIGN_STAGE, {
         "stage": PREPARE_ASSIGN_STAGE, "status": "done",
         "acc_p": acc_p, "seqs": seqs, "config": config,
-        "started": started, "finished": _time.time(),
-        "wall_sec": round(_time.time() - started, 3)})
+        "started": started, "finished": time.time(),
+        "wall_sec": round(time.time() - started, 3)})
     log(f"[prepare] assignment stage: {acc_p['rows']} docs packed, "
-        f"{round(_time.time() - started, 1)}s")
+        f"{round(time.time() - started, 1)}s")
     return _line(acc_p, seqs)

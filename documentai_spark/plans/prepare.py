@@ -130,7 +130,17 @@ def pack_corpus(corpus: DataFrame, *, budget: int = 2048,
     (which re-reads the written corpus — the staging boundary in the
     module docstring) call THIS, so the packing parameters
     (per-split grouping, budget, sharding) cannot drift between the
-    single-call and two-stage forms."""
+    single-call and two-stage forms. Shard self-sizing included:
+    when ``est_rows`` is known the shard count is
+    ``auto_shards(n_shards, est_rows)`` HERE, not just in the job
+    (r7 review: sizing only the two-stage path meant a 100M-row
+    single-call corpus packed at the raw ``n_shards`` with only a
+    ResourceWarning, a different — and OOM-prone — layout than the
+    job's output). Without ``est_rows`` the warning remains the guard
+    (row counts need an action the plan form must not take)."""
+    from documentai_spark.operators.packing import auto_shards
+
     return pack_sequences(corpus, budget=budget, id_col=id_col,
-                          text_col=text_col, n_shards=n_shards,
+                          text_col=text_col,
+                          n_shards=auto_shards(n_shards, est_rows or 0),
                           est_rows=est_rows, group_cols=[split_col])

@@ -119,7 +119,7 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     # error mid-stream or a silently-shadowed column. Refuse loudly up
     # front, matching with_curation_flags' reserved guard (batch side).
     reserved = {"is_near_dup", "near_rep", "near_est",
-                "_id", "_sig", "_band", "_doc", "_ts"}
+                "_id", "_sig", "_band", "_doc", "_ts", "_batch_id"}
     clash = reserved & set(stream.columns)
     if clash:
         raise ValueError(
@@ -301,7 +301,32 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
     ``drop=False`` keeps them with ``is_near_dup`` set (the curation
     flag shape — downstream keep logic folds it, see
     ``with_stateless_flags``).
+
+    Exactly-once holds per CHECKPOINT: a FRESH checkpoint restarts batch
+    ids at 0, and dynamic overwrite only replaces the partitions the new
+    run writes — reusing an out_path that already holds another run's
+    ``_batch_id=`` partitions would silently mix the two runs' docs, so
+    that combination is refused up front (r7 review; local-filesystem
+    check, the parquet stand-in for a real table format's snapshot
+    ownership).
     """
+    import os
+
+    commits = os.path.join(checkpoint, "commits")
+    try:
+        fresh = not any(f.isdigit() for f in os.listdir(commits))
+    except OSError:
+        fresh = True  # no checkpoint yet = a new query
+    if fresh and os.path.isdir(out_path) and \
+            any(e.startswith("_batch_id=") for e in os.listdir(out_path)):
+        raise ValueError(
+            f"output {out_path!r} already holds _batch_id= partitions "
+            "from a previous run, but the checkpoint "
+            f"{checkpoint!r} is fresh — the new query's batch ids "
+            "restart at 0 and would only overwrite a prefix of the old "
+            "partitions, silently mixing two runs' output; clear the "
+            "output directory or reuse the original checkpoint")
+
     def _write(batch_df, batch_id):
         out = recombine_near_verdicts(batch_df)
         if drop:

@@ -490,3 +490,95 @@ def test_curation_staging_prunes_and_resumes(spark, tmp_path):
     with pytest.raises(ValueError, match="mix keep semantics"):
         run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
                                   min_tokens=5, log=lambda *a: None)
+
+
+def test_legacy_manifest_without_config_is_stale(spark, transcripts_path,
+                                                 tmp_path):
+    """A manifest with NO recorded config (pre-guard rounds) must read
+    as a MISMATCH: defaulting the missing field to the current config
+    passed exactly the legacy outputs the guard exists to protect
+    (r7 review) — an --entities resume over such a directory would mix
+    schemas with no error."""
+    import json
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "out_legacy")
+    run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                     max_buckets=2, log=lambda *a: None)
+    victim = os.path.join(out, "_checkpoints", "bucket-00000.json")
+    rec = json.load(open(victim))
+    del rec["config"]
+    json.dump(rec, open(victim, "w"))
+    with pytest.raises(ValueError, match="different configuration"):
+        run_checkpointed(spark, transcripts_path, out, n_buckets=4,
+                         log=lambda *a: None)
+
+
+def test_manifest_wrong_shape_json_reads_as_pending(tmp_path):
+    """Valid JSON that is not a bucket record (a list, or a dict without
+    'partition') must read as not-done — never KeyError-brick resume
+    (the read_manifest contract; r7 review)."""
+    import json
+    import os
+
+    from documentai_spark.plans.checkpoint import read_manifest
+
+    out = str(tmp_path / "out_shape")
+    d = os.path.join(out, "_checkpoints")
+    os.makedirs(d)
+    json.dump([1, 2], open(os.path.join(d, "bucket-00000.json"), "w"))
+    json.dump({"status": "done"},
+              open(os.path.join(d, "bucket-00001.json"), "w"))
+    json.dump({"partition": "2", "status": "done"},
+              open(os.path.join(d, "bucket-00002.json"), "w"))
+    json.dump({"partition": 3, "status": "done"},
+              open(os.path.join(d, "bucket-00003.json"), "w"))
+    m = read_manifest(out)
+    assert set(m) == {3}
+
+
+def test_resume_accepts_explicitly_spelled_defaults(spark, tmp_path):
+    """'Same configuration' must compare semantics, not spelling: run 1
+    passes a threshold explicitly at its default value, run 2 omits it —
+    the resume is semantically identical and must be accepted
+    (r7 review: the raw-kwargs config refused it)."""
+    from documentai_spark.plans.checkpoint import run_checkpointed_curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_in_cfg")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "out_cfg_norm")
+    run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
+                              max_buckets=2, min_tokens=20,
+                              log=lambda *a: None)
+    s = run_checkpointed_curation(spark, in_dir, out, n_buckets=4,
+                                  log=lambda *a: None)
+    assert s["buckets_skipped"] == 2 and s["buckets_done"] == 2
+
+
+def test_input_bucket_column_collision_refused(spark, transcripts_path,
+                                               tmp_path):
+    """Inputs that already carry the loops' derived key names must be
+    refused loudly — the loops would silently clobber and then drop the
+    user's column (r7 review)."""
+    import pytest
+
+    from documentai_spark.plans.checkpoint import run_checkpointed_curation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "docs_bucket_col")
+    docs.withColumn("bucket", F.lit(7)).write.parquet(in_dir)
+    with pytest.raises(ValueError, match="'bucket' column"):
+        run_checkpointed_curation(spark, in_dir,
+                                  str(tmp_path / "out_bc"),
+                                  n_buckets=4, log=lambda *a: None)
+
+    tr_dir = str(tmp_path / "tr_bucket_col")
+    spark.read.parquet(transcripts_path).withColumn(
+        "_bucket", F.lit(1)).write.parquet(tr_dir)
+    with pytest.raises(ValueError, match="'_bucket' column"):
+        run_checkpointed(spark, tr_dir, str(tmp_path / "out_tbc"),
+                         n_buckets=4, log=lambda *a: None)

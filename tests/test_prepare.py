@@ -277,3 +277,24 @@ def test_prepare_per_source_mixture_accounting(spark, docs):
     star_before = acc["surviving"] - known_before
     star_after = sum(after.values()) - known_after
     assert star_before == star_after > 0
+
+
+def test_pack_corpus_autosizes_shards_like_the_job(spark, docs):
+    """The no-drift contract must include shard self-sizing: above
+    MAX_ROWS_PER_SHARD the single-call pack_corpus and the two-stage job
+    (which applies auto_shards to the observed count) must produce the
+    SAME layout, not a raw-n_shards one guarded only by a
+    ResourceWarning (r7 review)."""
+    from documentai_spark.operators.packing import auto_shards
+    from documentai_spark.plans.prepare import pack_corpus
+
+    corpus = with_split(curate_documents(docs).filter("keep"))
+    est = 23_000_000  # > MAX_ROWS_PER_SHARD * 2 -> auto_shards(2,.) = 5
+    sized = auto_shards(2, est)
+    assert sized > 2
+    got = pack_corpus(corpus, budget=BUDGET, n_shards=2, est_rows=est)
+    want = pack_sequences(corpus, budget=BUDGET, n_shards=sized,
+                          est_rows=est, group_cols=["split"])
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.agg(F.max("shard")).first()[0] > 1

@@ -379,3 +379,47 @@ def test_invariants_on_random_corpus(spark, tmp_path):
         else:
             assert rep is None and est is None
     assert run("b") == got
+
+
+def test_batch_id_input_column_refused(spark):
+    """'_batch_id' is the sink's partition column: an input stream
+    already carrying it (e.g. a prior run's flagged output re-ingested
+    without dropping it) would be silently clobbered and consumed as
+    the partition key — the entry guard must name it reserved
+    (r7 review: the reserved set omitted exactly the column its own
+    error message's scenario carries)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "t", 0)],
+                               "doc_id long, text string, "
+                               "_batch_id long")
+    with pytest.raises(ValueError, match="reserves column names"):
+        streaming_near_dup_verdicts(df)
+
+
+def test_fresh_checkpoint_over_stale_output_refused(spark, tmp_path):
+    """Reusing an out_path under a FRESH checkpoint restarts batch ids
+    at 0 and dynamic overwrite would only replace a prefix of the old
+    partitions — two runs' docs silently mixed. Refused up front; the
+    same out_path with the ORIGINAL checkpoint stays legal (that is the
+    exactly-once replay path)."""
+    import shutil
+
+    import pytest
+
+    rows = _star_corpus()
+    in_dir = str(tmp_path / "fr_in")
+    out_dir = str(tmp_path / "fr_out")
+    ck = str(tmp_path / "fr_ck")
+    _append_file(spark, in_dir, rows)
+    _drain(spark, in_dir, out_dir, ck)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # same checkpoint: legal, adds nothing (exactly-once)
+    _drain(spark, in_dir, out_dir, ck)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # fresh checkpoint over the populated output: refused
+    shutil.rmtree(ck)
+    with pytest.raises(ValueError, match="checkpoint .* is fresh"):
+        _drain(spark, in_dir, out_dir, ck)
