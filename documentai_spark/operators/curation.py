@@ -367,7 +367,8 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
 
 def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
                       id_col: str = "doc_id", seed: int = 42,
-                      exact_window: bool = True) -> DataFrame:
+                      exact_window: bool = True,
+                      initial_margin: float = 8.0) -> DataFrame:
     """Deterministic k-per-group sample: rank rows inside each group by
     ``md5(f"strat|{seed}|{id}")`` (uniform, content-independent) and keep
     the k smallest — reservoir sampling made deterministic and
@@ -449,7 +450,17 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
             cond = eq if cond is None else cond & eq
         return left.join(r, cond, how).drop(*gc_alias)
 
-    margin = 8.0
+    from documentai_spark.operators.dedup import _free_local_checkpoint
+
+    if initial_margin <= 0:
+        raise ValueError("initial_margin must be positive")
+    # initial_margin is the prefilter aggressiveness knob: P(a group
+    # under-covers) ~ e^-margin, so the default 8 retries roughly once
+    # per 3000 groups; a smaller value trades retry probability for a
+    # smaller survivor materialization (and is the deterministic
+    # retry-path test hook)
+    margin = float(initial_margin)
+    prev_surv = None
     for _ in range(8):  # P(retry) < ~e^-margin per group; 8 doublings
         thr = F.least(F.lit(1.0), F.lit(margin) * F.lit(float(k))
                       / F.col("_sn"))
@@ -463,6 +474,14 @@ def stratified_sample(df: DataFrame, *, group_cols: list[str], k: int,
         # every consumer action of the returned frame re-scan the whole
         # corpus; with it they read the materialized survivors
         surv = surv.localCheckpoint(eager=True)
+        if prev_surv is not None:
+            # the doubled-margin retry recomputes survivors from the
+            # source scan, not from prev_surv — the superseded
+            # checkpoint would otherwise pin a full survivor copy in
+            # executor storage for the session's lifetime (r7 ADVICE;
+            # dedup.py's closure-loop pattern)
+            _free_local_checkpoint(prev_surv)
+        prev_surv = surv
         # verify the prefilter kept at least min(k, n) rows per group.
         # Anchor the check on the per-group COUNTS table: a group whose
         # rows ALL miss the prefilter contributes no survivor row, so

@@ -602,6 +602,31 @@ PREPARE_CORPUS_STAGE = "prepare-corpus"
 PREPARE_ASSIGN_STAGE = "prepare-assignment"
 
 
+def _benchmark_identity(benchmark) -> dict | None:
+    """Cheap content identity for the --benchmark eval set, recorded in
+    the prepare-stage config (r7 ADVICE: `benchmark is not None` let a
+    resume with a DIFFERENT eval parquet silently skip the corpus stage
+    and serve decontamination computed against the old set). Row count
+    plus an order-insensitive xxhash64 fold over every column — one
+    tiny agg over an eval-sized table, the same identity whether the
+    caller re-reads the same path or hands an equivalent frame.
+    """
+    if benchmark is None:
+        return None
+    from pyspark.sql import functions as F
+    row = benchmark.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a plain long sum of xxhash64 values
+        # overflows under ANSI mode after a handful of rows
+        F.sum(F.xxhash64(*[F.col(c).cast("string")
+                           for c in benchmark.columns])
+              .cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return {"rows": int(row["n"]),
+            "fingerprint": None if row["h"] is None else str(row["h"]),
+            "columns": list(benchmark.columns)}
+
+
 def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
                        *, benchmark=None, near_dedup: bool = False,
                        split_weights: dict[str, float] | None = None,
@@ -632,7 +657,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     LSH chain too). ``resume=False`` ignores existing manifests and
     recomputes both stages (manifests are rewritten). The stage
     manifests record the job CONFIG (splits/mixture/budget/seed/
-    near-dedup/benchmark presence); resuming with a different config
+    near-dedup/benchmark identity); resuming with a different config
     raises instead of silently mixing exports. Resume assumes the
     input (and benchmark) tables are unchanged — the same contract as
     every resume mode here.
@@ -663,7 +688,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     # and report a shard count the served parquet was never packed with
     config = {"splits": weights, "mixture": mixture_rates,
               "budget": budget, "seed": seed, "near_dedup": near_dedup,
-              "benchmark": benchmark is not None,
+              "benchmark": _benchmark_identity(benchmark),
               "pack_shards": pack_shards}
 
     def _check_config(rec: dict, stage: str) -> None:

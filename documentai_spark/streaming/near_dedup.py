@@ -312,11 +312,21 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
     """
     import os
 
-    commits = os.path.join(checkpoint, "commits")
-    try:
-        fresh = not any(f.isdigit() for f in os.listdir(commits))
-    except OSError:
-        fresh = True  # no checkpoint yet = a new query
+    # Freshness derives from the OFFSETS dir, not commits (r7 ADVICE):
+    # batch 0 writes offsets/0 before its data, so a crash after the
+    # batch-0 data write but before commits/0 leaves offsets non-empty —
+    # the restarted query RESUMES batch ids (replaying batch 0 into its
+    # own partition, the exactly-once path), it does not restart at 0.
+    # Only a checkpoint with no offsets at all means a brand-new query
+    # whose ids will start from 0 over the old output.
+    def _has_entries(sub: str) -> bool:
+        try:
+            return any(f.isdigit()
+                       for f in os.listdir(os.path.join(checkpoint, sub)))
+        except OSError:
+            return False
+
+    fresh = not (_has_entries("offsets") or _has_entries("commits"))
     if fresh and os.path.isdir(out_path) and \
             any(e.startswith("_batch_id=") for e in os.listdir(out_path)):
         raise ValueError(

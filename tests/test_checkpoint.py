@@ -298,6 +298,48 @@ def test_prepare_stage_resume(spark, tmp_path):
     assert read_stage_manifest(out, "prepare-assignment")["finished"] > before
 
 
+def test_prepare_resume_benchmark_identity(spark, tmp_path):
+    """r7 ADVICE: the stage config used to record only `benchmark is
+    not None`, so resuming with a DIFFERENT --benchmark parquet (same
+    presence) silently skipped the corpus stage and served
+    decontamination computed against the old eval set. The config now
+    records a content identity (rows + xxhash64 fold + columns): an
+    equivalent benchmark resumes cleanly, a different one refuses."""
+    import pytest
+
+    from documentai_spark.plans.checkpoint import run_prepare_stages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "bid_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "bid_out")
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+
+    bench_a = docs.select("text").limit(5)
+    bench_a_path = str(tmp_path / "bench_a")
+    bench_a.write.parquet(bench_a_path)
+    bench_b = docs.select("text").orderBy("doc_id").limit(8)
+
+    r1 = run_prepare_stages(spark, in_dir, out, resume=True,
+                            benchmark=spark.read.parquet(bench_a_path),
+                            **kw)
+    assert "contaminated" in r1["by_reason"]
+
+    # equivalent benchmark (re-read of the same parquet): pure replay
+    r2 = run_prepare_stages(spark, in_dir, out, resume=True,
+                            benchmark=spark.read.parquet(bench_a_path),
+                            **kw)
+    assert r2["stages_skipped"] == ["corpus", "assignment"]
+
+    # different eval set, same presence: refused, not silently skipped
+    with pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True,
+                           benchmark=bench_b, **kw)
+    # dropping the benchmark entirely still refuses too
+    with pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+
+
 def test_prepare_stage_resume_with_near_dedup_reps(spark, tmp_path):
     """--prepare --resume --near-dedup: the global pairs+closure stage
     commits under its own manifest, so a kill AFTER the reps stage but

@@ -660,3 +660,30 @@ def test_stratified_sample_scale_form_checkpoints_survivors(spark):
     assert "Scan" not in scale._jdf.queryExecution().executedPlan().toString() \
         or "ExistingRDD" in scale._jdf.queryExecution().toString() \
         or True  # plan-shape probe is advisory; equality above is the pin
+
+
+def test_stratified_sample_retries_free_superseded_checkpoints(spark):
+    """r7 ADVICE: each doubled-margin retry localCheckpoints a fresh
+    survivor set; the superseded checkpoint must be freed (dedup.py's
+    _free_local_checkpoint pattern) or every retry pins a full survivor
+    copy in executor storage for the session's lifetime. A deliberately
+    tiny initial_margin forces several retries; afterwards at most the
+    final checkpoint (plus one async-unpersist in-flight entry) may
+    remain — and the retried result still equals the exact form."""
+    from documentai_spark.operators.curation import stratified_sample
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    rows = [(i, "g%d" % (i % 2)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    before = n_persisted()
+    # margin 0.5 -> expected survivors/group = 0.5*k ~ 2.5 < k: the
+    # first iteration(s) under-cover and double until ~4-8 (well inside
+    # the 8-doubling budget; deterministic for a fixed seed)
+    scale = stratified_sample(df, group_cols=["grp"], k=5, seed=1,
+                              exact_window=False, initial_margin=0.5)
+    got = sorted((r.grp, r.doc_id) for r in scale.collect())
+    exact = stratified_sample(df, group_cols=["grp"], k=5, seed=1)
+    assert got == sorted((r.grp, r.doc_id) for r in exact.collect())
+    assert n_persisted() - before <= 2

@@ -423,3 +423,42 @@ def test_fresh_checkpoint_over_stale_output_refused(spark, tmp_path):
     shutil.rmtree(ck)
     with pytest.raises(ValueError, match="checkpoint .* is fresh"):
         _drain(spark, in_dir, out_dir, ck)
+
+
+def test_first_batch_crash_replay_not_refused(spark, tmp_path):
+    """First-batch-crash analog (r7 ADVICE): the stream dies after
+    batch 0's data write but before commits/0 lands. The checkpoint's
+    commits dir is then EMPTY while _batch_id=0 exists in the output —
+    a commits-based freshness check misclassified this as a fresh
+    query over stale output and refused the legitimate exactly-once
+    replay. Freshness now derives from the offsets dir (any offsets
+    file means batch ids resume, not restart): the restart must be
+    accepted and reproduce the single-run output exactly."""
+    rows = _star_corpus(n_clusters=3)
+    in_dir = str(tmp_path / "fb_in")
+    out_dir = str(tmp_path / "fb_out")
+    ck = str(tmp_path / "fb_ck")
+    _append_file(spark, in_dir, rows)
+    _drain(spark, in_dir, out_dir, ck)
+
+    def snapshot():
+        return sorted((r.doc_id, r.is_near_dup, r.near_rep)
+                      for r in spark.read.parquet(out_dir).collect())
+
+    before = snapshot()
+    assert len(before) == len(rows)
+
+    # the crash: remove EVERY commit entry (batch 0's data landed, its
+    # commit never did) — offsets/0 stays, which is what a real
+    # first-batch crash leaves behind
+    for p in glob.glob(os.path.join(ck, "commits", "*")):
+        os.remove(p)
+    crc_dir = os.path.join(ck, "commits")
+    for p in glob.glob(os.path.join(crc_dir, ".*.crc")):
+        if os.path.exists(p):
+            os.remove(p)
+    assert glob.glob(os.path.join(ck, "offsets", "*")), \
+        "test setup: offsets dir must be non-empty"
+
+    _drain(spark, in_dir, out_dir, ck)  # must NOT raise; replays batch 0
+    assert snapshot() == before
