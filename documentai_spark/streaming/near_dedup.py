@@ -79,6 +79,7 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                                 ttl: str | None = None,
                                 ts_col: str = "ts",
                                 watermark: str = "10 minutes",
+                                state_shards: int = 1024,
                                 ) -> DataFrame:
     """Per-band near-dup verdict stream (the stateful half; pair with
     :func:`start_near_dedup_to_parquet`, which recombines per doc).
@@ -104,6 +105,25 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     an overflow doc are missed; at the default geometry that needs 8
     mutually-dissimilar docs colliding in all 16 of a doc's buckets,
     vanishingly unlikely for hash-distributed content.
+
+    **State sharding (r8 — the 0.527 N->4N scaling fix).** The natural
+    state key is the band bucket ``(band_idx, band_hash)``, but LSH
+    buckets are mostly singletons, and ``applyInPandasWithState`` pays
+    ~1.4 ms of pandas/Arrow framing PER GROUP INVOCATION — measured
+    ~20x the actual numpy work, and the dominant cost of the whole
+    drain (profile: tools/profile_stream_near_dedup.py). The state is
+    therefore keyed on ``shard = xxhash64(band_idx, band_hash) %
+    state_shards``; each shard's state holds the reps of MANY true
+    buckets as parallel per-rep arrays tagged with their bucket, and
+    the update function replays each true bucket independently
+    (compare/store only against reps with the SAME (band_idx,
+    band_hash), ascending-id order within the bucket) — bucket
+    semantics, verdicts, and determinism are unchanged, only the
+    grouping granularity moves. ``state_shards`` bounds total group
+    invocations per micro-batch; larger values reduce per-shard state
+    traffic (a touched shard re-ships its whole value through Arrow),
+    smaller values amortize framing harder. A checkpoint written under
+    a different sharding is refused by Spark's state-schema check.
     """
     import numpy as np
     import pandas as pd
@@ -112,6 +132,8 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes ({num_hashes}) must be a multiple "
                          f"of bands ({bands})")
+    if state_shards < 1:
+        raise ValueError("state_shards must be positive")
     # the sink re-emits the payload columns NEXT TO the verdict columns
     # (recombine_near_verdicts selects `_doc.*` + is_near_dup/near_rep/
     # near_est), and the stateful plan projects working columns over the
@@ -119,7 +141,8 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
     # error mid-stream or a silently-shadowed column. Refuse loudly up
     # front, matching with_curation_flags' reserved guard (batch side).
     reserved = {"is_near_dup", "near_rep", "near_est",
-                "_id", "_sig", "_band", "_doc", "_ts", "_batch_id"}
+                "_id", "_sig", "_band", "_doc", "_ts", "_batch_id",
+                "_shard"}
     clash = reserved & set(stream.columns)
     if clash:
         raise ValueError(
@@ -155,6 +178,10 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
             .select("_id", "_sig",
                     F.col("_band.band_idx").alias("band_idx"),
                     F.col("_band.band_hash").alias("band_hash"),
+                    F.pmod(F.xxhash64(F.col("_band.band_idx"),
+                                      F.col("_band.band_hash")),
+                           F.lit(state_shards)).cast("int")
+                     .alias("_shard"),
                     # payload rides ONLY the band-0 row through the
                     # state shuffle — nulling it here keeps shuffle
                     # volume at 1x the corpus, not bands x
@@ -169,39 +196,133 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
         StructField("est", DoubleType()),
         StructField("_doc", StructType(stream.schema.fields)),
     ])
-    state_type = ("rep_ids array<bigint>, sigs array<array<bigint>>, "
-                  "expiry bigint")
+    # parallel per-rep arrays; bidx/bhash tag each rep with its TRUE
+    # band bucket, expiry is the rep's bucket's expiry (same value for
+    # every rep of a bucket; 0 when ttl is off). Signatures live in ONE
+    # little-endian int64 blob (rep j = bytes [j*8*num_hashes,
+    # (j+1)*8*num_hashes)): a nested array<array<bigint>> state column
+    # pays per-element boxing on the JVM->Arrow->Python round-trip of
+    # every UNTOUCHED rep each batch — the blob is a zero-copy
+    # np.frombuffer on load and one memcpy on save (measured 2.9x CPU
+    # inflation at 32 cores with the nested form; state traffic is the
+    # drain's memory-bandwidth floor)
+    state_type = ("bidx array<int>, bhash array<bigint>, "
+                  "rep_ids array<bigint>, sigs binary, "
+                  "expiry array<bigint>")
+
+    def _load_buckets(state, wm):
+        """State arrays -> {(bidx, bhash): [rep_ids, sigs, expiry]},
+        lazily dropping buckets the watermark has expired (a bucket
+        whose data raced its timeout re-admits as fresh, same contract
+        as first_wins). Each sig is a read-only row view of the blob."""
+        buckets: dict = {}
+        if state.exists:
+            s_bidx, s_bhash, s_ids, s_blob, s_exp = state.get
+            sig_mat = np.frombuffer(s_blob, dtype="<i8").reshape(
+                -1, num_hashes)
+            for j in range(len(s_ids)):
+                if ttl_ms is not None and wm >= s_exp[j]:
+                    continue
+                b = buckets.get((s_bidx[j], s_bhash[j]))
+                if b is None:
+                    buckets[(s_bidx[j], s_bhash[j])] = b = \
+                        [[], [], s_exp[j]]
+                b[0].append(s_ids[j])
+                b[1].append(sig_mat[j])
+        return buckets
+
+    def _save_buckets(state, buckets, wm):
+        """Flatten back to parallel arrays + one sig blob (bucket-key
+        order — state bytes deterministic), update or remove, re-arm
+        the timeout at the min live expiry."""
+        n_bidx: list = []
+        n_bhash: list = []
+        n_ids: list = []
+        n_sig_rows: list = []
+        n_exp: list = []
+        for (bi, bh) in sorted(buckets):
+            ids, sigs, exp = buckets[(bi, bh)]
+            e = int(exp) if exp is not None else 0
+            for rid, s in zip(ids, sigs):
+                n_bidx.append(int(bi))
+                n_bhash.append(int(bh))
+                n_ids.append(int(rid))
+                n_sig_rows.append(s)
+                n_exp.append(e)
+        if not n_ids:
+            if state.exists:
+                state.remove()
+            return
+        blob = np.ascontiguousarray(
+            np.vstack(n_sig_rows).astype("<i8", copy=False)).tobytes()
+        state.update((n_bidx, n_bhash, n_ids, blob, n_exp))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(max(min(n_exp), wm + 1))
 
     def update(key, pdfs, state):
+        wm = state.getCurrentWatermarkMs() if ttl_ms is not None else 0
         if state.hasTimedOut:
-            state.remove()
+            # sweep expired buckets only; live buckets re-arm at their
+            # min expiry (per-bucket eviction granularity survives the
+            # shard-level timeout)
+            buckets = _load_buckets(state, wm)
+            _save_buckets(state, buckets, wm)
             return
-        rep_ids: list = []
-        sigs: list = []
-        expiry = None
-        if state.exists:
-            s_ids, s_sigs, s_exp = state.get
-            if ttl_ms is None or state.getCurrentWatermarkMs() < s_exp:
-                rep_ids = list(s_ids)
-                sigs = [list(s) for s in s_sigs]
-                expiry = s_exp
-            # else: expired bucket whose data raced the timeout in this
-            # batch — treat as fresh (re-admission), same as first_wins
+        buckets = _load_buckets(state, wm)
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        # ascending-id processing: first-wins is deterministic within a
-        # batch regardless of partition/arrival order. Column-list
-        # access, NOT itertuples — pandas renames underscore-prefixed
-        # fields positionally in namedtuples.
-        pdf = pdf.sort_values("_id", kind="mergesort")
+        # bucket-major, ascending-id within bucket: each true bucket
+        # replays exactly the pre-shard semantics (first-wins is
+        # deterministic within a batch regardless of partition/arrival
+        # order); bucket-vs-bucket order is irrelevant — buckets are
+        # independent. Column-list access, NOT itertuples — pandas
+        # renames underscore-prefixed fields positionally.
+        pdf = pdf.sort_values(["band_idx", "band_hash", "_id"],
+                              kind="mergesort")
         r_ids = pdf["_id"].tolist()
         r_sigs = pdf["_sig"].tolist()
         r_bidx = pdf["band_idx"].tolist()
+        r_bhash = pdf["band_hash"].tolist()
         r_docs = pdf["_doc"].tolist()
-        mat = (np.array(sigs, dtype=np.int64) if sigs
-               else np.empty((0, num_hashes), dtype=np.int64))
+        r_ts = pdf["_ts"].tolist() if ttl_ms is not None else None
         out = []
-        stored_this_batch: set = set()
+        cur_key = None
+        bucket = None          # [rep_ids, sigs, expiry] of cur_key
+        mat = None             # np matrix of bucket's sigs
+        stored_this_batch: set = set()   # per-bucket
+        new_ts_max = 0         # max event ms of a NEW bucket's rows
+        new_bucket = False
+
+        def _finish_bucket():
+            # expiry fixed at the bucket's FIRST sighting (house style:
+            # duplicates and later reps do not slide the window). An
+            # all-null-ts batch anchors at the WATERMARK, not epoch 0
+            # (r7 review): a 0-anchored expiry is already in the past,
+            # so the bucket evicted immediately and near-identical
+            # content re-admitted every batch
+            if ttl_ms is not None and new_bucket and bucket is not None \
+                    and bucket[2] is None:
+                anchor = new_ts_max if new_ts_max > 0 else wm
+                bucket[2] = anchor + ttl_ms
+
         for i in range(len(r_ids)):
+            k = (r_bidx[i], r_bhash[i])
+            if k != cur_key:
+                _finish_bucket()
+                cur_key = k
+                bucket = buckets.get(k)
+                new_bucket = bucket is None
+                if new_bucket:
+                    bucket = [[], [], 0 if ttl_ms is None else None]
+                    buckets[k] = bucket
+                mat = (np.array(bucket[1], dtype=np.int64) if bucket[0]
+                       else np.empty((0, num_hashes), dtype=np.int64))
+                stored_this_batch = set()
+                new_ts_max = 0
+            if ttl_ms is not None and r_ts[i] is not None \
+                    and r_ts[i] == r_ts[i]:   # NaT != NaT
+                ms = int(r_ts[i].timestamp() * 1000)
+                if ms > new_ts_max:
+                    new_ts_max = ms
             cur = int(r_ids[i])
             sig_arr = np.asarray(r_sigs[i], dtype=np.int64)
             rep = None
@@ -217,47 +338,35 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                     # rep out (a rep with this id stored by a PRIOR
                     # batch stays matchable: cross-batch re-ingest is
                     # the documented first-wins drop)
-                    for j, rid in enumerate(rep_ids):
+                    for j, rid in enumerate(bucket[0]):
                         if rid == cur:
                             sims[j] = -1.0
                 best = float(sims.max())
                 if best >= threshold:
                     # deterministic attribution: best estimate, then
                     # min rep id among ties
-                    tied = [rep_ids[j] for j in np.flatnonzero(
+                    tied = [bucket[0][j] for j in np.flatnonzero(
                         sims == best)]
                     rep, est = min(tied), best
             if (rep is None and cur not in stored_this_batch
-                    and len(rep_ids) < max_reps_per_bucket):
-                rep_ids.append(cur)
-                sigs.append([int(v) for v in sig_arr])
+                    and len(bucket[0]) < max_reps_per_bucket):
+                bucket[0].append(cur)
+                bucket[1].append(sig_arr)
                 mat = np.vstack([mat, sig_arr[None, :]])
                 stored_this_batch.add(cur)
             if r_bidx[i] == 0 or rep is not None:
-                out.append({"_id": int(r_ids[i]),
+                out.append({"_id": cur,
                             "band_idx": int(r_bidx[i]),
                             "rep": rep, "est": est,
                             "_doc": r_docs[i]})
-        if ttl_ms is not None and expiry is None:
-            # expiry fixed at the bucket's FIRST sighting (house style:
-            # duplicates and later reps do not slide the window). An
-            # all-null-ts batch anchors at the WATERMARK, not epoch 0
-            # (r7 review): a 0-anchored expiry is already in the past,
-            # so the bucket evicted immediately and near-identical
-            # content re-admitted every batch
-            ev = _event_ms(pdf["_ts"])
-            anchor = ev if ev > 0 else state.getCurrentWatermarkMs()
-            expiry = anchor + ttl_ms
-        state.update((rep_ids, sigs, expiry if expiry is not None else 0))
-        if ttl_ms is not None:
-            state.setTimeoutTimestamp(
-                max(expiry, state.getCurrentWatermarkMs() + 1))
+        _finish_bucket()
+        _save_buckets(state, buckets, wm)
         if out:
             yield pd.DataFrame(out)
 
     timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
                else GroupStateTimeout.EventTimeTimeout)
-    return (ex.groupBy("band_idx", "band_hash")
+    return (ex.groupBy("_shard")
               .applyInPandasWithState(update, out_type, state_type,
                                       "append", timeout))
 
