@@ -191,6 +191,49 @@ def test_all_sub_floor_suite_never_gates():
     assert out["suite"]["verdict"] == "sub-floor"
 
 
+def test_sub_floor_family_subtotal_gates_systemic_slowdown():
+    """r8 (VERDICT r7 review #1): each sub-floor query is individually
+    ungateable, so a uniform 2x slowdown spread across MANY of them was
+    invisible unless it moved the whole suite past 1.5x. The family
+    subtotal (here 8 x 0.8 s = 6.4 s, well above the floor) must gate
+    at the suite tolerance — while each member still reads sub-floor."""
+    old = {"queries": {f"q{i}": 0.8 for i in range(8)} | {"big": 20.0},
+           "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    new = {"queries": {f"q{i}": 1.4 for i in range(8)} | {"big": 20.5},
+           "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    out = compare(old, new)
+    assert out["regressions"] == ["<sub-floor-subtotal>"]
+    assert out["sub_floor_subtotal"]["verdict"] == "REGRESSION"
+    # the suite total (26.4 -> 31.7 = 1.2x) alone would NOT have caught it
+    assert out["suite"]["verdict"] != "REGRESSION"
+    assert all(r["verdict"] == "sub-floor" for r in out["rows"]
+               if r["query"] != "big")
+
+
+def test_sub_floor_subtotal_ab_and_partial_file_stay_clean():
+    """Acceptance for the subtotal gate: the identical-tree A/B's
+    sub-floor members (real judge-measured jitter) must keep exiting 0,
+    and a quick bench file whose subtotal BASELINE is under the floor
+    must label, not gate."""
+    # identical-tree A/B sub-floor rows (from the r6 judge measurement)
+    old = {"queries": {"user_set_ops": 0.56, "mixture_sample": 0.54,
+                       "t_mega_skew": 0.51},
+           "canary_jvm_sec": 0.292, "canary_udf_sec": 0.973}
+    new = {"queries": {"user_set_ops": 0.93, "mixture_sample": 0.28,
+                       "t_mega_skew": 0.29},
+           "canary_jvm_sec": 0.30, "canary_udf_sec": 0.95}
+    out = compare(old, new)
+    assert out["regressions"] == []
+    # tiny-baseline blowup: labeled sub-floor, not gated
+    old2 = {"queries": {"a": 0.1, "b": 0.1},
+            "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    new2 = {"queries": {"a": 1.0, "b": 1.0},
+            "canary_jvm_sec": 0.2, "canary_udf_sec": 0.8}
+    out2 = compare(old2, new2)
+    assert out2["regressions"] == []
+    assert out2["sub_floor_subtotal"]["verdict"] == "sub-floor"
+
+
 def test_slow_canary_window_cannot_fake_an_improvement():
     # r7 review: the raw veto is symmetric — a query that got 3x
     # SLOWER raw must not be advertised as 'improved' just because a

@@ -38,6 +38,14 @@ min_norm 2.0). The r7 rule, calibrated to that A/B evidence:
   both under ``--floor`` (default 1.5 s) is never a regression — the
   judge A/B showed sub-1.5 s queries jitter +/-2x even after
   normalization (verdict ``sub-floor``).
+- **Sub-floor family subtotal** (r8, VERDICT r7 review #1): the floor
+  makes each sub-floor query individually ungateable, which would hide
+  a SYSTEMIC slowdown spread across the ~25 sub-1.5 s queries unless it
+  moved the whole suite past 1.5x. Their summed wall time (>15 s in the
+  full suite — well above the noise floor even though each member
+  jitters) gates separately at ``--suite-tol`` under the same
+  raw-AND-normalized rule, reported as ``<sub-floor-subtotal>``. A
+  subtotal itself under the floor (a partial bench file) never gates.
 - **Suite-total gate**: per-query tolerance at 2.5 means a lone 2x code
   regression on one query is under this host's per-query noise floor —
   genuinely indistinguishable from jitter. What IS detectable is a
@@ -125,6 +133,7 @@ def compare(old: dict, new: dict, *, tol: float = 2.5,
         }
     rows, regressions, improvements = [], [], []
     tot_old = tot_new = 0.0
+    sf_old = sf_new = 0.0
     for q in sorted(set(oq) & set(nq)):
         if not oq[q]:
             continue
@@ -140,6 +149,9 @@ def compare(old: dict, new: dict, *, tol: float = 2.5,
             min_norm = min(norm.values())
             row["min_norm"] = round(min_norm, 3)
         sub_floor = max(oq[q], nq[q]) < floor
+        if sub_floor:
+            sf_old += oq[q]
+            sf_new += nq[q]
         row["verdict"] = _classify(raw, min_norm, tol=tol,
                                    improve=improve, sub_floor=sub_floor)
         if row["verdict"] == "REGRESSION":
@@ -147,6 +159,25 @@ def compare(old: dict, new: dict, *, tol: float = 2.5,
         elif row["verdict"] == "improved":
             improvements.append(q)
         rows.append(row)
+    sub_total = None
+    if sf_old > 0:
+        sf_raw = sf_new / sf_old
+        sf_norm = (min(sf_raw / r for r in canaries.values())
+                   if canaries else None)
+        sub_total = {"old_sec": round(sf_old, 3),
+                     "new_sec": round(sf_new, 3),
+                     "raw_ratio": round(sf_raw, 3),
+                     # a subtotal with a sub-floor BASELINE (partial /
+                     # quick bench file) has nothing to average — label,
+                     # never gate (min() = the old side whenever a
+                     # regression is even possible)
+                     "verdict": _classify(
+                         sf_raw, sf_norm, tol=suite_tol, improve=improve,
+                         sub_floor=min(sf_old, sf_new) < floor)}
+        if sf_norm is not None:
+            sub_total["min_norm"] = round(sf_norm, 3)
+        if sub_total["verdict"] == "REGRESSION":
+            regressions.append("<sub-floor-subtotal>")
     suite = None
     if tot_old > 0:
         s_raw = tot_new / tot_old
@@ -170,6 +201,7 @@ def compare(old: dict, new: dict, *, tol: float = 2.5,
             regressions.append("<suite-total>")
     return {"rows": rows, "regressions": regressions,
             "improvements": improvements, "suite": suite,
+            "sub_floor_subtotal": sub_total,
             "canary_ratios": canaries}
 
 
@@ -219,11 +251,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  {r['query']:<{width}}  {r['old_sec']:7.3f} -> "
               f"{r['new_sec']:7.3f}  raw {r['raw_ratio']:6.3f}{norm}"
               f"  {r['verdict']}")
-    if out["suite"]:
-        s = out["suite"]
+    for label, key in (("<sub-floor-subtotal>", "sub_floor_subtotal"),
+                       ("<suite-total>", "suite")):
+        s = out[key]
+        if not s:
+            continue
         norm = (f"  min_norm {s['min_norm']:6.3f}"
                 if "min_norm" in s else "")
-        print(f"  {'<suite-total>':<{width}}  {s['old_sec']:7.3f} -> "
+        print(f"  {label:<{width}}  {s['old_sec']:7.3f} -> "
               f"{s['new_sec']:7.3f}  raw {s['raw_ratio']:6.3f}{norm}"
               f"  {s['verdict']}")
     print(f"== {len(out['regressions'])} regression(s), "
