@@ -177,6 +177,109 @@ def _ivf_ann_oracle_sql(k: int = 5, n_probe: int = 2,
     """
 
 
+# ---- Spark xxhash64-for-longs, re-derived in DuckDB SQL (r8) ----
+# The streaming near-dedup's candidate geometry (operators/dedup.py
+# band_structs, shared verbatim by batch LSH and the streaming state
+# op) hashes LONG signature elements with Spark's xxhash64 — the
+# XXH64 "hashLong" closed form (one 8-byte round + avalanche, chained
+# arg-to-arg from seed 42; verified bit-exact against
+# org.apache.spark.sql.functions.xxhash64 incl. negatives and
+# multi-arg chaining). DuckDB has no xxhash64, but HUGEINT gives exact
+# 64-bit modular arithmetic (mul via 32-bit limbs — a 64x64 product
+# would overflow the signed int128), so the whole fold is expressible
+# as a chain of one-step lateral projections. This is what promotes
+# the geometry from pytest-only bit-identity to a driver-gate
+# hash-checked row (stream_band_keys).
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = "18446744073709551616"
+
+
+def _xxh_mulmod(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for a HUGEINT column/alias and a constant,
+    via 32-bit limbs of b (all intermediates < 2^65, inside HUGEINT)."""
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (f"((({a} & 4294967295) * {bl} + "
+            f"(((({a} >> 32) * {bl} + ({a} & 4294967295) * {bh}) "
+            f"% 4294967296) * 4294967296)) % {_M64})")
+
+
+def _xxh_rotl(a: str, r: int) -> str:
+    return f"((({a} << {r}) % {_M64}) | ({a} >> {64 - r}))"
+
+
+def _xxh64_long_layers(prefix: str, input_col: str,
+                       seed_expr: str) -> list[str]:
+    """One `expr AS alias` per algorithm step (layered into nested
+    SELECTs by the caller — one step per layer keeps every alias
+    computed once; inlining the chain textually would blow up
+    exponentially). Result alias: {prefix}_out (unsigned HUGEINT)."""
+    p = prefix
+    return [
+        f"(({seed_expr}) + {_XXH_P5} + 8) % {_M64} AS {p}_h0",
+        f"{_xxh_mulmod(input_col, _XXH_P2)} AS {p}_k1a",
+        f"{_xxh_rotl(p + '_k1a', 31)} AS {p}_k1b",
+        f"{_xxh_mulmod(p + '_k1b', _XXH_P1)} AS {p}_k1c",
+        f"xor({p}_h0, {p}_k1c) AS {p}_h1",
+        f"{_xxh_rotl(p + '_h1', 27)} AS {p}_h2",
+        f"({_xxh_mulmod(p + '_h2', _XXH_P1)} + {_XXH_P4}) % {_M64} "
+        f"AS {p}_h3",
+        f"xor({p}_h3, {p}_h3 >> 33) AS {p}_f1",
+        f"{_xxh_mulmod(p + '_f1', _XXH_P2)} AS {p}_f2",
+        f"xor({p}_f2, {p}_f2 >> 29) AS {p}_f3",
+        f"{_xxh_mulmod(p + '_f3', _XXH_P3)} AS {p}_f4",
+        f"xor({p}_f4, {p}_f4 >> 32) AS {p}_out",
+    ]
+
+
+def _xxh_layered(inner: str, layers: list[str]) -> str:
+    q = inner
+    for expr in layers:
+        q = f"SELECT *, {expr} FROM ({q})"
+    return q
+
+
+def _stream_band_keys_oracle_sql(n_docs: int = 64, num_hashes: int = 64,
+                                 bands: int = 16) -> str:
+    """stream_band_keys mirror: synthetic per-doc signature
+    sig[i] = xxhash64(i::long, doc_id) (the long-domain stand-in for
+    the minhash fold, whose batch-vs-streaming bit-identity is
+    pytest-pinned), then the banded bucket keys
+    band_hash = xxhash64(sig[b*r] .. sig[b*r+r-1]) — exactly
+    operators/dedup.band_structs. Unsigned chain throughout; final
+    values re-signed to Spark's long domain."""
+    r = num_hashes // bands
+    u64 = (f"CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + {_M64} "
+           f"ELSE doc_id::HUGEINT END AS did_u")
+    grid = (f"SELECT doc_id, i, {u64}, i::HUGEINT AS i_u FROM "
+            f"(SELECT doc_id FROM documents ORDER BY doc_id "
+            f"LIMIT {n_docs}) ids, "
+            f"(SELECT range AS i FROM range({num_hashes})) hs")
+    sig_q = _xxh_layered(grid,
+                         _xxh64_long_layers("sa", "i_u", "42")
+                         + _xxh64_long_layers("sb", "did_u", "sa_out"))
+    pivot_cols = ", ".join(
+        f"MAX(CASE WHEN i % {r} = {j} THEN sb_out END) AS v{j}"
+        for j in range(r))
+    band_base = (f"SELECT doc_id, CAST(i // {r} AS INT) AS band_idx, "
+                 f"{pivot_cols} FROM ({sig_q}) GROUP BY doc_id, i // {r}")
+    layers: list[str] = []
+    seed = "42"
+    for j in range(r):
+        layers += _xxh64_long_layers(f"b{j}", f"v{j}", seed)
+        seed = f"b{j}_out"
+    band_q = _xxh_layered(band_base, layers)
+    return (f"SELECT doc_id, band_idx, "
+            f"CAST(CASE WHEN {seed} >= 9223372036854775808 "
+            f"THEN {seed} - {_M64} ELSE {seed} END AS BIGINT) "
+            f"AS band_hash FROM ({band_q}) "
+            f"ORDER BY doc_id, band_idx")
+
+
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """simhash_dups mirror: the md5-fold bit source is DuckDB-computable
     (('0x' || substr(md5(tok), 1/9, 8))::BIGINT — the r3 re-base away from
@@ -1058,6 +1161,33 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_stream_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candidate-geometry gate row (r8, VERDICT r7 #4): the
+    banded LSH bucket keys the streaming state op groups on — the REAL
+    ``operators/dedup.band_structs``, shared verbatim by the batch
+    candidate join and ``streaming/near_dedup.py`` — computed over a
+    deterministic synthetic signature ``sig[i] = xxhash64(i::long,
+    doc_id)`` and hash-checked against a from-scratch DuckDB
+    re-derivation of Spark's XXH64 long-chain (HUGEINT modular
+    arithmetic; see ``_stream_band_keys_oracle_sql``). The synthetic
+    signature stands in for the minhash fold, whose batch-vs-streaming
+    bit-identity is pytest-pinned
+    (tests/test_streaming_near_dedup.py::test_local_signature_bit_identity);
+    this row puts the hash+banding arithmetic itself under the
+    round-over-round CORRECTNESS contract."""
+    from documentai_spark.operators.dedup import band_structs
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id").orderBy("doc_id").limit(64))
+    sig = F.array(*[F.xxhash64(F.lit(i).cast("long"), F.col("doc_id"))
+                    for i in range(64)])
+    return (docs.select("doc_id",
+                        F.explode(band_structs(sig, 64, 16)).alias("_b"))
+                .select("doc_id",
+                        F.col("_b.band_idx").alias("band_idx"),
+                        F.col("_b.band_hash").alias("band_hash"))
+                .orderBy("doc_id", "band_idx"))
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, oracle-checked: the md5-fold bit source
     is replayed in DuckDB and the banded candidate set equals the direct
@@ -1599,7 +1729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "majority_vote": q_majority_vote,
         "sessionize": q_sessionize,
-        "topk_per_user": q_topk_per_user,
+        # r8: stream_band_keys takes the windowed topk_per_user's gate
+        # slot (registry-budget contract — the driver caps at 50 rows);
+        # topk_per_user joins the pytest-pinned windowed tail below
+        "stream_band_keys": q_stream_band_keys,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_quality": q_doc_lang_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1640,7 +1773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "ml_scores": q_ml_scores,
         "classify_vote": q_classify_vote,
-        # --- past-the-gate tail: redundant shapes, judge-replayable ---
+        # --- past-the-gate tail: redundant shapes, judge-replayable
+        # AND pytest-pinned (test_entry_contract.py::
+        # test_tail_rows_stay_oracle_green) ---
+        "topk_per_user": q_topk_per_user,
         "running_total": q_running_total,
         "lag_delta": q_lag_delta,
         "hourly_rollup": q_hourly_rollup,
@@ -2154,6 +2290,10 @@ def oracle_sql() -> dict[str, str]:
                        AS extraction_confidence
             FROM m ORDER BY conv_id, turn_idx
         """,
+        # the streaming/batch-shared banded bucket keys over a synthetic
+        # long-domain signature, vs a from-scratch DuckDB XXH64
+        # re-derivation (HUGEINT modular arithmetic; r8)
+        "stream_band_keys": _stream_band_keys_oracle_sql(),
         # exact shingle-Jaccard pairs at 0.9 (equals the deterministic
         # banded-LSH verified set; see q_minhash_dedup docstring)
         "minhash_dedup": r"""

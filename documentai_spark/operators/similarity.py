@@ -225,16 +225,57 @@ def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
 def lsh_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  anchor_id_col: str = "anchor_id", m_bits: int = 8,
-                 dim: int | None = None, seed: int = 7) -> DataFrame:
+                 dim: int | None = None, seed: int = 7,
+                 n_probe: int = 1) -> DataFrame:
     """Approximate top-k: same-bucket candidates, exact cosine re-rank.
 
     Recall < 1.0 by construction; tests measure it against brute force.
-    At scale, bucket the corpus ONCE (write bucketed table) and reuse."""
+    At scale, bucket the corpus ONCE (write bucketed table) and reuse.
+
+    ``n_probe`` (r8, VERDICT r7 #6): classic multi-probe LSH — each
+    anchor probes its own bucket plus the ``n_probe - 1`` Hamming-1
+    neighbor buckets whose sign bits have the SMALLEST |dot| margin
+    (the planes the anchor sits closest to, i.e. the flips most likely
+    to hold its true neighbors). Recall becomes tunable WITHOUT
+    re-hashing the corpus: candidates grow to ~n_probe * 2^-m of the
+    corpus while the bucketed table is reused as-is. ``n_probe = 1``
+    (default) is the original single-bucket form the driver-gate
+    ``lsh_ann`` row oracle-checks; probe buckets are pairwise distinct
+    (distinct flipped bits), so no candidate pair is scored twice."""
     if dim is None:
         dim = embedding_dim(vectors, vec_col)
+    if not (1 <= n_probe <= m_bits + 1):
+        raise ValueError(
+            f"n_probe must be in 1..m_bits+1 (got {n_probe} with "
+            f"m_bits={m_bits}): each extra probe flips one distinct "
+            "sign bit of the m-bit bucket key")
     planes = _hyperplanes(dim, m_bits, seed)
     v, a = _sides(vectors, anchors, id_col, vec_col, anchor_id_col)
     v = v.withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
-    a = a.withColumn("_bucket", lsh_bucket_col(F.col("_a"), planes))
+    if n_probe == 1:
+        a = a.withColumn("_bucket", lsh_bucket_col(F.col("_a"), planes))
+    else:
+        # margins staged as PROJECTED columns before the per-element
+        # flip lambda (house rule: no expression subtree inside a HOF
+        # lambda — attribute references only)
+        # struct fields: (margin asc, flip-mask asc) — 2^j is monotone
+        # in j, so array_sort's lexicographic order keeps the j-index
+        # tie-break deterministic
+        margins = F.array_sort(F.array(*[
+            F.struct(F.abs(dot_col(F.array(*[F.lit(float(x)) for x in p]),
+                                   F.col("_a"))).alias("margin"),
+                     F.lit(2 ** j).cast("long").alias("flip"))
+            for j, p in enumerate(planes)]))
+        a = (a.withColumn("_b0", lsh_bucket_col(F.col("_a"), planes))
+              .withColumn("_flips", F.slice(margins, 1, n_probe - 1))
+              .withColumn(
+                  "_bucket",
+                  F.explode(F.concat(
+                      F.array(F.col("_b0")),
+                      F.transform(
+                          F.col("_flips"),
+                          lambda s: F.col("_b0")
+                                     .bitwiseXOR(s["flip"])))))
+              .drop("_b0", "_flips"))
     return _rerank_topk(F.broadcast(a).join(v, "_bucket"), k, id_col,
                         anchor_id_col)

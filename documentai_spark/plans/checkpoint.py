@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import SparkSession
@@ -634,6 +635,7 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
                        budget: int = 2048, pack_shards: int = 16,
                        seed: int = 42, resume: bool = False,
                        max_stages: int | None = None,
+                       max_assign_splits: int | None = None,
                        log=print) -> dict:
     """The --prepare job body as manifest-committed stages (r7): the
     export a 100 TB pipeline actually runs is hours long, and a crash
@@ -665,8 +667,11 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     ``max_stages`` limits how many of the two NAMED stages execute
     this call (the kill-analog test hook; minimum 1 — the first
     pending stage always executes); a partial run returns
-    ``incomplete: True``. Returns the accounting line ``job.py
-    --prepare`` prints.
+    ``incomplete: True``. ``max_assign_splits`` (r8) is the
+    finer-grained kill hook inside the assignment stage: at most that
+    many PENDING splits pack this call (completed splits still skip),
+    so the kill-mid-packing resume path is testable. Returns the
+    accounting line ``job.py --prepare`` prints.
     """
 
     from pyspark.sql.observation import Observation
@@ -726,9 +731,13 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         # stage (r7 review): a crash mid-recompute must not leave a
         # prior run's 'done' corpus manifest over half-overwritten
         # data, and any corpus re-execution makes a prior assignment
-        # (packed from the OLD corpus) stale too
+        # (packed from the OLD corpus) stale too — including every
+        # per-split pack manifest (r8: split-granular commits)
         _clear_stage_manifest(out_path, PREPARE_CORPUS_STAGE)
         _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
+        for _s in weights:
+            _clear_stage_manifest(out_path,
+                                  f"{PREPARE_ASSIGN_STAGE}-{_s}")
         near_reps = None
         if not (near_dedup and resume):
             # a corpus recompute on any path that does NOT stage through
@@ -830,7 +839,17 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
             line["incomplete"] = True
         return line
 
-    # ---- stage 2: assignment ----
+    # ---- stage 2: assignment (split-granular since r8) ----
+    # VERDICT r7 #5: corpus and assignment each committed ONCE, so at
+    # 100 TB a kill during packing re-ran the ENTIRE assignment even
+    # though the corpus stage was safe. Packing is deterministic per
+    # (split, shard) — it depends only on (doc_id, n_tokens, budget,
+    # n_shards), never on co-packed groups — so each split now packs
+    # and commits under its own manifest (prepare-assignment-<split>);
+    # a resume skips completed splits and the per-split outputs are
+    # byte-identical to the single-pass pack. The aggregate
+    # PREPARE_ASSIGN_STAGE manifest still commits last (the fast
+    # full-replay path and the _line() accounting source).
     prior = read_stage_manifest(out_path, PREPARE_ASSIGN_STAGE) \
         if resume else None
     if prior and prior.get("status") == "done":
@@ -842,32 +861,75 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
         return _line({"rows": 0, "oversize": 0}, {}, incomplete=True)
     _clear_stage_manifest(out_path, PREPARE_ASSIGN_STAGE)
     started = time.time()
-    if acc_c["rows"] == 0:
-        # a partitioned write of nothing leaves no parquet files, so
-        # the re-read would die with UNABLE_TO_INFER_SCHEMA after the
-        # (empty) corpus write already succeeded — report the empty
-        # export instead
-        acc_p = {"rows": 0, "oversize": 0}
-        seqs: dict = {}
-    else:
-        obs_pack = Observation("prepare_pack")
-        assign = pack_corpus(
-            spark.read.parquet(corpus_path), budget=budget,
-            n_shards=n_shards, est_rows=acc_c["rows"])
-        (assign.observe(
-                obs_pack, F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("oversize").cast("int")).alias("oversize"))
-            .write.mode("overwrite").partitionBy("split")
-            .parquet(assign_path))
-        acc_p = zero_nulls(obs_pack.get)
-        # sequences per split: one tiny agg over the narrow written
-        # assignment (end-of-job reporting)
-        seqs = {r["split"]: r["n"]
-                for r in (spark.read.parquet(assign_path)
-                          .groupBy("split")
-                          .agg(F.countDistinct("shard", "bin")
-                               .alias("n"))
-                          .collect())}
+    acc_p = {"rows": 0, "oversize": 0}
+    seqs: dict = {}
+    split_names = sorted(weights)
+    if not resume:
+        # a non-resumed recompute must not inherit any prior run's
+        # per-split packs (same invalidation rule as the corpus stage)
+        for s in split_names:
+            _clear_stage_manifest(out_path,
+                                  f"{PREPARE_ASSIGN_STAGE}-{s}")
+        shutil.rmtree(assign_path, ignore_errors=True)
+    packed_now = 0
+    for s in split_names:
+        stage_s = f"{PREPARE_ASSIGN_STAGE}-{s}"
+        pm = read_stage_manifest(out_path, stage_s) if resume else None
+        if pm and pm.get("status") == "done":
+            _check_config(pm, stage_s)
+            acc_p["rows"] += pm["acc_p"]["rows"]
+            acc_p["oversize"] += pm["acc_p"]["oversize"]
+            if pm["n_sequences"]:
+                seqs[s] = pm["n_sequences"]
+            log(f"[prepare] assignment split {s!r}: skipped "
+                f"({pm['acc_p']['rows']} docs committed)")
+            continue
+        if max_assign_splits is not None \
+                and packed_now >= max_assign_splits:
+            # kill-analog hook: some splits committed, the rest (and
+            # the aggregate manifest) pending — a resume finishes them
+            return _line(acc_p, seqs, incomplete=True)
+        _clear_stage_manifest(out_path, stage_s)
+        s_started = time.time()
+        split_rows = acc_c.get(f"split_{s}", 0)
+        split_dir = os.path.join(assign_path, f"split={s}")
+        if split_rows == 0:
+            # a write of nothing leaves no parquet files, so the seqs
+            # re-read would die with UNABLE_TO_INFER_SCHEMA — record
+            # the empty split instead
+            n_seq = 0
+            p_acc = {"rows": 0, "oversize": 0}
+            shutil.rmtree(split_dir, ignore_errors=True)
+        else:
+            obs_pack = Observation(f"prepare_pack_{s}")
+            assign_s = pack_corpus(
+                spark.read.parquet(corpus_path)
+                     .filter(F.col("split") == s),
+                budget=budget, n_shards=n_shards, est_rows=split_rows)
+            # write into the hive split=<s> leaf directly (the same
+            # layout partitionBy produced); overwrite replaces only
+            # this split's data on a mid-split resume
+            (assign_s.observe(
+                    obs_pack, F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("oversize").cast("int"))
+                     .alias("oversize"))
+                .drop("split")
+                .write.mode("overwrite").parquet(split_dir))
+            p_acc = zero_nulls(obs_pack.get)
+            n_seq = (spark.read.parquet(split_dir)
+                     .select("shard", "bin").distinct().count())
+        _commit_stage_manifest(out_path, stage_s, {
+            "stage": stage_s, "status": "done", "acc_p": p_acc,
+            "n_sequences": n_seq, "config": config,
+            "started": s_started, "finished": time.time(),
+            "wall_sec": round(time.time() - s_started, 3)})
+        acc_p["rows"] += p_acc["rows"]
+        acc_p["oversize"] += p_acc["oversize"]
+        if n_seq:
+            seqs[s] = n_seq
+        packed_now += 1
+        log(f"[prepare] assignment split {s!r}: {p_acc['rows']} docs "
+            f"packed, {round(time.time() - s_started, 1)}s")
     _commit_stage_manifest(out_path, PREPARE_ASSIGN_STAGE, {
         "stage": PREPARE_ASSIGN_STAGE, "status": "done",
         "acc_p": acc_p, "seqs": seqs, "config": config,

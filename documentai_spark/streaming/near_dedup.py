@@ -211,17 +211,21 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                   "expiry array<bigint>")
 
     def _load_buckets(state, wm):
-        """State arrays -> {(bidx, bhash): [rep_ids, sigs, expiry]},
-        lazily dropping buckets the watermark has expired (a bucket
-        whose data raced its timeout re-admits as fresh, same contract
-        as first_wins). Each sig is a read-only row view of the blob."""
+        """State arrays -> ({(bidx, bhash): [rep_ids, sigs, expiry]},
+        dropped_any), lazily dropping buckets the watermark has expired
+        (a bucket whose data raced its timeout re-admits as fresh, same
+        contract as first_wins). Each sig is a read-only row view of
+        the blob; ``dropped_any`` marks the shard dirty so the sweep
+        persists."""
         buckets: dict = {}
+        dropped = False
         if state.exists:
             s_bidx, s_bhash, s_ids, s_blob, s_exp = state.get
             sig_mat = np.frombuffer(s_blob, dtype="<i8").reshape(
                 -1, num_hashes)
             for j in range(len(s_ids)):
                 if ttl_ms is not None and wm >= s_exp[j]:
+                    dropped = True
                     continue
                 b = buckets.get((s_bidx[j], s_bhash[j]))
                 if b is None:
@@ -229,7 +233,7 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                         [[], [], s_exp[j]]
                 b[0].append(s_ids[j])
                 b[1].append(sig_mat[j])
-        return buckets
+        return buckets, dropped
 
     def _save_buckets(state, buckets, wm):
         """Flatten back to parallel arrays + one sig blob (bucket-key
@@ -265,10 +269,10 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
             # sweep expired buckets only; live buckets re-arm at their
             # min expiry (per-bucket eviction granularity survives the
             # shard-level timeout)
-            buckets = _load_buckets(state, wm)
+            buckets, _ = _load_buckets(state, wm)
             _save_buckets(state, buckets, wm)
             return
-        buckets = _load_buckets(state, wm)
+        buckets, dirty = _load_buckets(state, wm)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         # bucket-major, ascending-id within bucket: each true bucket
         # replays exactly the pre-shard semantics (first-wins is
@@ -354,13 +358,19 @@ def streaming_near_dup_verdicts(stream: DataFrame, *,
                 bucket[1].append(sig_arr)
                 mat = np.vstack([mat, sig_arr[None, :]])
                 stored_this_batch.add(cur)
+                dirty = True
             if r_bidx[i] == 0 or rep is not None:
                 out.append({"_id": cur,
                             "band_idx": int(r_bidx[i]),
                             "rep": rep, "est": est,
                             "_doc": r_docs[i]})
         _finish_bucket()
-        _save_buckets(state, buckets, wm)
+        if dirty:
+            # rows that only MATCH existing reps mutate nothing — on a
+            # dup-heavy stream most touched shards are clean, and
+            # skipping the save halves the state's Arrow round-trip
+            # (the armed timeout persists with the untouched value)
+            _save_buckets(state, buckets, wm)
         if out:
             yield pd.DataFrame(out)
 
@@ -391,12 +401,87 @@ def recombine_near_verdicts(batch_df: DataFrame) -> DataFrame:
         "near_rep", "near_est")
 
 
+def exact_verify_flags(out: DataFrame, out_path: str, batch_id: int, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.8, w: int = 3) -> DataFrame:
+    """Batch-domain exact re-verify of streamed near-dup flags (r8,
+    VERDICT r7 #2): recompute the TRUE shingle Jaccard (the batch
+    chain's verify — ``normalized_text`` -> ``shingle_udf(w)`` ->
+    array_intersect, round(6)) between each FLAGGED doc and its
+    attributed representative, and DEMOTE flags whose true similarity
+    is below ``threshold``. The MinHash estimator's std is
+    ~sqrt(p(1-p)/num_hashes) (~0.05 at 64 hashes), so borderline pairs
+    (|J - threshold| within ~2 sigma) can flag spuriously; this pass
+    makes every SURVIVING flag batch-true. One-sided by construction:
+    it removes false positives but cannot restore pairs the estimator
+    missed, and a demoted doc was already not stored as a rep in the
+    claimed bucket — both inherent to online dedup.
+
+    Representative text comes from the docs already written to
+    ``out_path`` (reps are kept docs, so they are always present) plus
+    the current batch, earliest ``_batch_id`` wins. Only FLAGGED docs
+    and their reps are shingled — cost scales with flag density, not
+    corpus size. At very large outputs the rep-text lookup should read
+    a dedicated rep table instead of the full output scan (the same
+    deployment note as the Iceberg stand-in).
+    """
+    import os
+
+    from documentai_spark.operators.dedup import with_shingles
+
+    spark = out.sparkSession
+    flagged = out.filter(F.col("is_near_dup"))
+    cur = out.select(F.col(id_col), F.col(text_col),
+                     F.lit(int(batch_id)).cast("long").alias("_bid"))
+    pool = cur
+    if os.path.isdir(out_path) and any(
+            e.startswith("_batch_id=") for e in os.listdir(out_path)):
+        prior = (spark.read.parquet(out_path)
+                 .select(F.col(id_col), F.col(text_col),
+                         F.col("_batch_id").cast("long").alias("_bid")))
+        pool = prior.unionByName(cur)
+    rep_ids = flagged.select(F.col("near_rep").alias(id_col)).distinct()
+    reps = (pool.join(rep_ids, id_col, "left_semi")
+                .groupBy(id_col)
+                .agg(F.min_by(text_col, F.col("_bid")).alias("_rep_text")))
+    f_sh = with_shingles(flagged.select(id_col, text_col), text_col,
+                         "_sh_doc", id_col, w)
+    r_sh = with_shingles(reps, "_rep_text", "_sh_rep", id_col, w)
+    inter = F.size(F.array_intersect("_sh_doc", "_sh_rep"))
+    union = F.size("_sh_doc") + F.size("_sh_rep") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    demoted = (flagged.select(F.col(id_col), F.col("near_rep"))
+               .join(f_sh, id_col)
+               .join(r_sh.select(F.col(id_col).alias("near_rep"),
+                                 "_sh_rep"), "near_rep")
+               .filter(F.round(jac, 6) < threshold)
+               .select(id_col, F.lit(True).alias("_demote")))
+    return (out.join(demoted, id_col, "left")
+               .withColumn("is_near_dup",
+                           F.when(F.col("_demote"), F.lit(False))
+                            .otherwise(F.col("is_near_dup")))
+               .withColumn("near_rep",
+                           F.when(F.col("_demote"),
+                                  F.lit(None).cast("long"))
+                            .otherwise(F.col("near_rep")))
+               .withColumn("near_est",
+                           F.when(F.col("_demote"),
+                                  F.lit(None).cast("double"))
+                            .otherwise(F.col("near_est")))
+               .drop("_demote"))
+
+
 def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
                                 checkpoint: str, *,
                                 finish: Callable[[DataFrame], DataFrame]
                                 | None = None,
                                 drop: bool = False,
-                                trigger_once: bool = True):
+                                trigger_once: bool = True,
+                                exact_verify: bool = False,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.8,
+                                shingle_w: int = 3):
     """Exactly-once sink for :func:`streaming_near_dup_verdicts`:
     recombines band verdicts per doc, optionally applies a stateless
     ``finish`` transform (e.g. :func:`near_curate_finish`), and writes
@@ -410,6 +495,13 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
     ``drop=False`` keeps them with ``is_near_dup`` set (the curation
     flag shape — downstream keep logic folds it, see
     ``with_stateless_flags``).
+
+    ``exact_verify=True`` re-verifies every flag with the batch
+    chain's TRUE shingle Jaccard before the drop/finish steps
+    (:func:`exact_verify_flags`) — borderline estimator false-flags
+    are demoted, so only batch-true flags survive;
+    ``text_col``/``id_col``/``threshold``/``shingle_w`` must match the
+    values given to :func:`streaming_near_dup_verdicts`.
 
     Exactly-once holds per CHECKPOINT: a FRESH checkpoint restarts batch
     ids at 0, and dynamic overwrite only replaces the partitions the new
@@ -448,6 +540,10 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
 
     def _write(batch_df, batch_id):
         out = recombine_near_verdicts(batch_df)
+        if exact_verify:
+            out = exact_verify_flags(out, out_path, batch_id,
+                                     text_col=text_col, id_col=id_col,
+                                     threshold=threshold, w=shingle_w)
         if drop:
             out = out.filter(~F.col("is_near_dup"))
         if finish is not None:

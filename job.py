@@ -157,6 +157,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir for --stream-curate "
                          "(default: <output>/_checkpoint)")
+    ap.add_argument("--exact-verify", action="store_true",
+                    help="with --stream-curate --near-dedup: re-verify "
+                         "every near-dup flag against the TRUE shingle "
+                         "Jaccard in the sink's batch domain — "
+                         "estimator false-flags demote, surviving flags "
+                         "are batch-true (only flagged docs pay)")
     args = ap.parse_args()
 
     # mode flags are mutually exclusive (ADVICE r4: --classified --resume
@@ -179,6 +185,8 @@ def main() -> None:
                  "--stream-curate")
     if (args.benchmark or args.mixture) and not args.prepare:
         ap.error("--benchmark/--mixture are --prepare options")
+    if args.exact_verify and not (args.stream_curate and args.near_dedup):
+        ap.error("--exact-verify requires --stream-curate --near-dedup")
     if args.input_format != "parquet" and (modes or args.resume):
         ap.error("--input-format json/csv is only supported in the "
                  "default pipeline mode")
@@ -267,7 +275,8 @@ def main() -> None:
                          "column (the long-label near-dedup contract)")
             q = start_near_dedup_to_parquet(
                 streaming_near_dup_verdicts(stream),
-                args.output, ckpt, finish=near_curate_finish())
+                args.output, ckpt, finish=near_curate_finish(),
+                exact_verify=args.exact_verify)
         else:
             q = start_to_parquet(streaming_curate(stream,
                                                   id_cols=id_cols),

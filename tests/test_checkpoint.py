@@ -298,6 +298,60 @@ def test_prepare_stage_resume(spark, tmp_path):
     assert read_stage_manifest(out, "prepare-assignment")["finished"] > before
 
 
+def test_prepare_assignment_split_granular_resume(spark, tmp_path):
+    """r8 (VERDICT r7 #5): the assignment stage commits per SPLIT — a
+    kill mid-packing (max_assign_splits hook) resumes past the
+    completed splits' packs instead of re-running the whole
+    assignment, and the resumed export's corpus + assignment row sets
+    equal a single-run export's exactly (packing is deterministic per
+    (split, shard))."""
+    from documentai_spark.plans.checkpoint import (
+        read_stage_manifest, run_prepare_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "sg_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "sg_out")
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+
+    # kill analog: corpus commits, then only ONE split packs
+    r1 = run_prepare_stages(spark, in_dir, out, resume=True,
+                            max_assign_splits=1, **kw)
+    assert r1["incomplete"]
+    done = [s for s in ("test", "train", "val") if read_stage_manifest(
+        out, f"prepare-assignment-{s}")]
+    assert len(done) == 1, done
+    assert read_stage_manifest(out, "prepare-assignment") is None
+    first = read_stage_manifest(out, f"prepare-assignment-{done[0]}")
+    assert first["status"] == "done"
+
+    # resume: the committed split skips (manifest untouched), the rest
+    # pack, the aggregate manifest commits
+    r2 = run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+    assert "incomplete" not in r2
+    assert r2["stages_skipped"] == ["corpus"]
+    assert read_stage_manifest(
+        out, f"prepare-assignment-{done[0]}")["finished"] == \
+        first["finished"]
+    assert read_stage_manifest(out, "prepare-assignment")["status"] \
+        == "done"
+
+    # equality vs a fresh single-run export: corpus AND assignment
+    ref_out = str(tmp_path / "sg_ref")
+    ref = run_prepare_stages(spark, in_dir, ref_out, resume=False, **kw)
+    for k in ("rows", "kept", "by_reason", "splits", "packed_docs",
+              "oversize", "sequences", "pack_shards"):
+        assert r2[k] == ref[k], k
+
+    def rows(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path)
+                      .select("split", "doc_id", "shard", "bin",
+                              "n_tokens", "oversize").collect())
+
+    assert rows(out + "/assignment") == rows(ref_out + "/assignment")
+
+
 def test_prepare_resume_benchmark_identity(spark, tmp_path):
     """r7 ADVICE: the stage config used to record only `benchmark is
     not None`, so resuming with a DIFFERENT --benchmark parquet (same

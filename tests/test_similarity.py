@@ -70,6 +70,47 @@ def test_lsh_ann_recall_and_validity(vectors, anchors):
         assert len(ids) <= 5 and len(set(ids)) == len(ids)
 
 
+def test_lsh_multi_probe_recall_knob(vectors, anchors):
+    """r8 (VERDICT r7 #6): n_probe probes the anchor's bucket plus the
+    lowest-|margin| Hamming-1 buckets — recall must be monotonically
+    non-decreasing in n_probe at fixed m (no corpus re-hash), the
+    n_probe=1 form must equal the original single-bucket result
+    exactly, results stay valid (no dup neighbors, k-capped), and a
+    full probe sweep (n_probe = m+1 at tiny m) approaches brute-force
+    coverage of every bucket within Hamming-1."""
+    exact = _numpy_topk(5)
+
+    def run(n_probe):
+        got = {}
+        for r in lsh_ann_topk(vectors, anchors, k=5, m_bits=4, dim=DIM,
+                              n_probe=n_probe).collect():
+            got.setdefault(r.anchor_id, []).append(r.neighbor_id)
+        return got
+
+    def recall(got):
+        return sum(len(set(got.get(a, [])) & set(exact[a]))
+                   for a in range(4))
+
+    single = run(1)
+    base = {a: sorted(ids) for a, ids in single.items()}
+    legacy = {}
+    for r in lsh_ann_topk(vectors, anchors, k=5, m_bits=4,
+                          dim=DIM).collect():
+        legacy.setdefault(r.anchor_id, []).append(r.neighbor_id)
+    assert base == {a: sorted(ids) for a, ids in legacy.items()}
+
+    r1, r3, r5 = recall(single), recall(run(3)), recall(run(5))
+    assert r1 <= r3 <= r5
+    assert r5 > r1, "probing 4 extra buckets must add recall here"
+    for got in (run(3), run(5)):
+        for ids in got.values():
+            assert len(ids) <= 5 and len(set(ids)) == len(ids)
+
+    import pytest
+    with pytest.raises(ValueError, match="n_probe"):
+        lsh_ann_topk(vectors, anchors, k=5, m_bits=4, dim=DIM, n_probe=6)
+
+
 def test_lsh_deterministic(vectors, anchors):
     a = sorted(map(tuple, lsh_ann_topk(vectors, anchors, k=5,
                                        m_bits=4, dim=DIM).collect()))

@@ -425,6 +425,183 @@ def test_fresh_checkpoint_over_stale_output_refused(spark, tmp_path):
         _drain(spark, in_dir, out_dir, ck)
 
 
+def _true_jaccard(a: str, b: str, w: int = 3) -> float:
+    """Pure-python replica of the batch verify on pre-normalized
+    token-soup text (w-token shingles, distinct, intersection over
+    union) — exact for the _VOCAB corpora, which normalization leaves
+    unchanged."""
+    def sh(t):
+        toks = t.split(" ")
+        return set(" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)) \
+            if len(toks) >= w else {t}
+    sa, sb = sh(a), sh(b)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def _find_estimator_false_flag(spark, threshold=0.7):
+    """Search for a pair whose TRUE Jaccard is below the threshold but
+    whose 64-hash MinHash estimate is at-or-above it AND shares at
+    least one band bucket — the borderline false-flag the streaming
+    estimator produces and exact_verify must demote. Deterministic:
+    fixed seeds, first hit wins."""
+    from documentai_spark.operators.dedup import (
+        with_minhash_signature_local,
+    )
+
+    cands = []
+    for seed in range(80):
+        base = _doc(seed, k=120)
+        for n_swap in (7, 8, 9, 10, 11, 12):
+            v = _variant(base, n_swap, seed * 100 + n_swap)
+            tj = _true_jaccard(base, v)
+            if 0.58 <= tj <= 0.695:
+                cands.append((seed, n_swap, base, v, tj))
+    rows = []
+    for i, (seed, n_swap, base, v, tj) in enumerate(cands):
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, v))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: list(r["_sig"]) for r in
+            with_minhash_signature_local(df, "text", 64)
+            .select("doc_id", "_sig").collect()}
+    for i, (seed, n_swap, base, v, tj) in enumerate(cands):
+        sa, sb = sigs[i * 2], sigs[i * 2 + 1]
+        eq = [x == y for x, y in zip(sa, sb)]
+        est = sum(eq) / 64.0
+        band_hit = any(all(eq[b * 4:(b + 1) * 4]) for b in range(16))
+        if est >= threshold and band_hit and tj < threshold:
+            return base, v, tj, est
+    raise AssertionError("no estimator false-flag pair found in the "
+                         "search space — widen the seed range")
+
+
+def test_exact_verify_demotes_estimator_false_flags(spark, tmp_path):
+    """exact_verify=True recomputes the TRUE shingle Jaccard for every
+    flag in the sink's batch domain: an estimator false-flag (true J
+    below threshold, estimate at/above it) is demoted to unflagged,
+    while a genuine near-dup stays flagged — surviving flags are
+    batch-true."""
+    base, fp_variant, tj, est = _find_estimator_false_flag(spark)
+    assert tj < 0.7 <= est
+    true_dup = _variant(base, 2, 9999)       # true J ~0.9: stays
+    rows = [(1, base), (2, fp_variant), (3, true_dup)]
+    in_dir = str(tmp_path / "ev_in")
+    _append_file(spark, in_dir, rows)
+
+    # control: without exact_verify the estimator false-flag sticks
+    out_a = str(tmp_path / "ev_out_a")
+    _drain(spark, in_dir, out_a, str(tmp_path / "ev_ck_a"))
+    got_a = {r.doc_id: r.is_near_dup
+             for r in spark.read.parquet(out_a).collect()}
+    assert got_a[2] is True, "setup: estimator must flag the pair"
+    assert got_a[3] is True
+
+    # exact_verify: the false flag demotes, the true dup stays
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(in_dir))
+    out_b = str(tmp_path / "ev_out_b")
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream, threshold=0.7),
+        out_b, str(tmp_path / "ev_ck_b"),
+        exact_verify=True, threshold=0.7)
+    q.awaitTermination(300)
+    got_b = {r.doc_id: (r.is_near_dup, r.near_rep)
+             for r in spark.read.parquet(out_b).collect()}
+    assert got_b[1] == (False, None)
+    assert got_b[2] == (False, None), "false flag must be demoted"
+    assert got_b[3] == (True, 1), "true near-dup must stay flagged"
+
+
+def test_exact_verify_cross_batch_rep_lookup(spark, tmp_path):
+    """exact_verify fetches the representative's text from the already
+    written output when the rep landed in an EARLIER micro-batch."""
+    base = _doc(77)
+    in_dir = str(tmp_path / "ev2_in")
+    out = str(tmp_path / "ev2_out")
+    ck = str(tmp_path / "ev2_ck")
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet(in_dir))
+        q = start_near_dedup_to_parquet(
+            streaming_near_dup_verdicts(stream, threshold=0.7),
+            out, ck, exact_verify=True, threshold=0.7)
+        q.awaitTermination(300)
+
+    _append_file(spark, in_dir, [(1, base), (50, _doc(50))])
+    drain()
+    _append_file(spark, in_dir, [(2, _variant(base, 2, 5))])
+    drain()
+    got = {r.doc_id: (r.is_near_dup, r.near_rep)
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1), \
+        "true near-dup must survive exact re-verify across batches"
+
+
+def test_borderline_agreement_outside_two_sigma(spark, tmp_path):
+    """VERDICT r7 #2: the streaming estimator's verdicts must agree
+    with batch near_dedup for every pair whose true Jaccard sits
+    OUTSIDE the estimator's ~2-sigma band around the threshold
+    (|J - 0.7| > 0.1 here), and with exact_verify the flag set must
+    additionally contain NO below-threshold pair at ANY margin (false
+    flags demote exhaustively). Deterministic corpus: measured true J,
+    fixed seeds, the salted-xxhash64 MinHash is seed-stable."""
+    from documentai_spark.operators.dedup import near_dedup
+
+    clear_below, clear_above = [], []
+    seed = 5000
+    while (len(clear_below) < 12 or len(clear_above) < 12) \
+            and seed < 5600:
+        base = _doc(seed, k=140)
+        for n_swap, sink in ((2, clear_above), (18, clear_below)):
+            if len(sink) >= 12:
+                continue
+            v = _variant(base, n_swap, seed * 7 + n_swap)
+            tj = _true_jaccard(base, v)
+            if sink is clear_above and tj >= 0.82:
+                sink.append((base, v, tj))
+                break
+            if sink is clear_below and tj <= 0.58:
+                sink.append((base, v, tj))
+                break
+        seed += 1
+    assert len(clear_below) == 12 and len(clear_above) == 12
+
+    pairs = clear_above + clear_below
+    rows = []
+    tj_of = {}
+    for i, (b, v, tj) in enumerate(pairs):
+        rows.append((i * 2, b))
+        rows.append((i * 2 + 1, v))
+        tj_of[i * 2 + 1] = tj
+    in_dir = str(tmp_path / "ba_in")
+    # bases then variants: verdicts cross the state store
+    _append_file(spark, in_dir, [r for r in rows if r[0] % 2 == 0])
+    _append_file(spark, in_dir, [r for r in rows if r[0] % 2 == 1])
+    all_docs = spark.read.parquet(in_dir)
+
+    kept = {r.doc_id for r in near_dedup(
+        all_docs, jaccard_threshold=0.7).collect()}
+    batch_flag = {i for i in tj_of if i not in kept}
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = str(tmp_path / "ba_out")
+    q = start_near_dedup_to_parquet(
+        streaming_near_dup_verdicts(stream, threshold=0.7),
+        out, str(tmp_path / "ba_ck"), exact_verify=True, threshold=0.7)
+    q.awaitTermination(300)
+    ev_flag = {r.doc_id for r in spark.read.parquet(out)
+               .filter(F.col("is_near_dup")).collect()}
+
+    # clear margins (|J - thr| > 2 sigma): full agreement with batch
+    assert ev_flag == batch_flag
+    # and the exact_verify invariant at ANY margin: no false flags
+    assert all(tj_of[i] >= 0.7 for i in ev_flag)
+
+
 def test_first_batch_crash_replay_not_refused(spark, tmp_path):
     """First-batch-crash analog (r7 ADVICE): the stream dies after
     batch 0's data write but before commits/0 lands. The checkpoint's
