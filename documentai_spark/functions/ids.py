@@ -19,8 +19,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _FIX = (" — these surfaces label rows in the long domain; use a "
-        "numeric id column, or derive a long surrogate first (e.g. "
-        "xxhash64(id), collision-checked, or a dictionary join)")
+        "numeric id column, or derive a long surrogate first "
+        "(functions.ids.with_surrogate_id — collision-checked "
+        "xxhash64 — or a dictionary join)")
 
 
 def checked_long(col: Column, context: str, dtype=None) -> Column:
@@ -99,3 +100,61 @@ def checked_id(col: Column, context: str) -> Column:
         "hash-bucket decisions need a stable non-NULL id per row; "
         "filter NULL-id rows or derive a stable surrogate first")
     return F.when(F.assert_true(ok, msg).isNull(), col.cast("string"))
+
+
+class SurrogateCollisionError(ValueError):
+    """All salt attempts of :func:`with_surrogate_id` collided."""
+
+
+def with_surrogate_id(df, id_col: str, out_col: str = "surrogate_id",
+                      *, max_attempts: int = 4, _hash=None):
+    """``df`` plus a deterministic, collision-checked LONG surrogate for
+    an arbitrary-typed id column — the fix-path that every
+    :func:`checked_long` error names for ids the long-label surfaces
+    reject (zero-padded strings like ``'007'``, UUIDs, composite keys
+    cast to string upstream).
+
+    Surrogate = ``xxhash64(id, salt)`` with the FIRST salt (of
+    ``max_attempts``) that is collision-free over THIS DataFrame's
+    distinct ids. The check is not optional because it is the entire
+    point: a silent 64-bit birthday collision would conflate two
+    documents onto one dedup/closure/shard label — at 10^12 ids the
+    collision probability is ~2.7%, so at corpus scale a collision is
+    EXPECTED occasionally and the salted retry (each salt an
+    independent hash family) makes the whole derivation succeed with
+    probability 1 - (2.7%)^max_attempts while staying deterministic:
+    re-running on the same id set always lands on the same first
+    collision-free salt, so resume/replay paths see stable surrogates.
+
+    Cost: per attempt, one narrow probe job over ``select(id).
+    distinct()`` (two shuffles of a single column — at 10^12 ids a big
+    but shuffle-friendly scan, paid once per corpus, not per query);
+    attempt 0 almost always wins. The output column itself is a pure
+    map-side expression on the full df (no join back), so downstream
+    partitioning on the surrogate is exactly as cheap as on a native
+    long id. NULL ids fail fast via :func:`checked_non_null` on the
+    same pass.
+
+    ``_hash(col, salt) -> Column`` is a test seam (the real xxhash64
+    cannot be made to collide on purpose); production callers leave it
+    unset.
+    """
+    if max_attempts < 1:
+        raise ValueError("with_surrogate_id: max_attempts must be >= 1")
+    hash_fn = _hash or (lambda c, salt: F.xxhash64(c, F.lit(salt)))
+    ctx = f"with_surrogate_id({id_col})"
+    ids = df.select(
+        checked_non_null(F.col(id_col), ctx).alias("_sid_src")).distinct()
+    for salt in range(max_attempts):
+        collided = (ids
+                    .groupBy(hash_fn(F.col("_sid_src"), salt).alias("_sid"))
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1))
+        if collided.isEmpty():
+            return df.withColumn(
+                out_col,
+                hash_fn(checked_non_null(F.col(id_col), ctx), salt))
+    raise SurrogateCollisionError(
+        f"{ctx}: every salt in 0..{max_attempts - 1} produced at least "
+        "one 64-bit collision over the distinct ids — raise "
+        "max_attempts, or use a dictionary join to assign dense labels")
