@@ -107,7 +107,8 @@ class SurrogateCollisionError(ValueError):
 
 
 def with_surrogate_id(df, id_col: str, out_col: str = "surrogate_id",
-                      *, max_attempts: int = 4, _hash=None):
+                      *, max_attempts: int = 4, salt: int | None = None,
+                      _hash=None):
     """``df`` plus a deterministic, collision-checked LONG surrogate for
     an arbitrary-typed id column — the fix-path that every
     :func:`checked_long` error names for ids the long-label surfaces
@@ -135,13 +136,35 @@ def with_surrogate_id(df, id_col: str, out_col: str = "surrogate_id",
     long id. NULL ids fail fast via :func:`checked_non_null` on the
     same pass.
 
+    ``salt`` (pass a value :func:`find_surrogate_salt` returned)
+    skips the probe — the shape for a caller that already probed once
+    for its accounting line (``job.py --derive-surrogates``).
     ``_hash(col, salt) -> Column`` is a test seam (the real xxhash64
     cannot be made to collide on purpose); production callers leave it
     unset.
     """
+    if salt is None:
+        salt = find_surrogate_salt(df, id_col,
+                                   max_attempts=max_attempts,
+                                   _hash=_hash)
+    hash_fn = _hash or (lambda c, s: F.xxhash64(c, F.lit(s)))
+    ctx = f"with_surrogate_id({id_col})"
+    return df.withColumn(
+        out_col, hash_fn(checked_non_null(F.col(id_col), ctx), salt))
+
+
+def find_surrogate_salt(df, id_col: str, *, max_attempts: int = 4,
+                        _hash=None) -> int:
+    """The first salt in ``0..max_attempts-1`` whose hash family is
+    collision-free over ``df``'s distinct ``id_col`` values (the
+    deterministic core of :func:`with_surrogate_id`, exposed so callers
+    can RECORD which salt a corpus was derived with — e.g. the
+    ``job.py --derive-surrogates`` accounting line). One narrow
+    distinct+groupBy probe job per attempt; raises
+    :class:`SurrogateCollisionError` when every salt collides."""
     if max_attempts < 1:
         raise ValueError("with_surrogate_id: max_attempts must be >= 1")
-    hash_fn = _hash or (lambda c, salt: F.xxhash64(c, F.lit(salt)))
+    hash_fn = _hash or (lambda c, s: F.xxhash64(c, F.lit(s)))
     ctx = f"with_surrogate_id({id_col})"
     ids = df.select(
         checked_non_null(F.col(id_col), ctx).alias("_sid_src")).distinct()
@@ -151,9 +174,7 @@ def with_surrogate_id(df, id_col: str, out_col: str = "surrogate_id",
                     .agg(F.count(F.lit(1)).alias("_n"))
                     .filter(F.col("_n") > 1))
         if collided.isEmpty():
-            return df.withColumn(
-                out_col,
-                hash_fn(checked_non_null(F.col(id_col), ctx), salt))
+            return salt
     raise SurrogateCollisionError(
         f"{ctx}: every salt in 0..{max_attempts - 1} produced at least "
         "one 64-bit collision over the distinct ids — raise "

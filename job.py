@@ -163,6 +163,14 @@ def main() -> None:
                          "Jaccard in the sink's batch domain — "
                          "estimator false-flags demote, surviving flags "
                          "are batch-true (only flagged docs pay)")
+    ap.add_argument("--derive-surrogates", action="store_true",
+                    help="rewrite a documents parquet whose doc_id is "
+                         "NOT canonical-long (UUIDs, zero-padded "
+                         "strings) with a collision-checked xxhash64 "
+                         "long surrogate as doc_id (original kept as "
+                         "doc_id_orig) — run once, then every other "
+                         "mode (incl. --resume paths) works on the "
+                         "derived copy unchanged")
     args = ap.parse_args()
 
     # mode flags are mutually exclusive (ADVICE r4: --classified --resume
@@ -172,7 +180,9 @@ def main() -> None:
                              ("--curate", args.curate),
                              ("--prepare", args.prepare),
                              ("--classified", args.classified is not None),
-                             ("--stream-curate", args.stream_curate))
+                             ("--stream-curate", args.stream_curate),
+                             ("--derive-surrogates",
+                              args.derive_surrogates))
              if on]
     if len(modes) > 1:
         ap.error(f"mutually exclusive modes: {' '.join(modes)}")
@@ -239,6 +249,35 @@ def main() -> None:
                           "master": spark.sparkContext.master,
                           "shuffle_partitions": spark.conf.get(
                               "spark.sql.shuffle.partitions"),
+                          "output": args.output}))
+        spark.stop()
+        return
+
+    if args.derive_surrogates:
+        from pyspark.sql import functions as F
+        from pyspark.sql.observation import Observation
+
+        from documentai_spark.functions.ids import (find_surrogate_salt,
+                                                    with_surrogate_id)
+        t0 = time.time()
+        df = spark.read.parquet(args.input)
+        if "doc_id" not in df.columns:
+            ap.error("--derive-surrogates needs a doc_id column")
+        if "doc_id_orig" in df.columns:
+            ap.error("--derive-surrogates: input already carries "
+                     "doc_id_orig — surrogates were already derived; "
+                     "re-deriving would stack renames")
+        # one probe for the accounting line, then the derivation reuses
+        # the found salt (no second probe)
+        salt = find_surrogate_salt(df, "doc_id")
+        obs = Observation("surrogate_rows")
+        out = with_surrogate_id(
+            df.withColumnRenamed("doc_id", "doc_id_orig"),
+            "doc_id_orig", out_col="doc_id", salt=salt)
+        (out.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("overwrite").parquet(args.output))
+        print(json.dumps({"rows": obs.get["rows"], "salt": salt,
+                          "sec": round(time.time() - t0, 2),
                           "output": args.output}))
         spark.stop()
         return
