@@ -418,12 +418,16 @@ def exact_verify_flags(out: DataFrame, out_path: str, batch_id: int, *,
     claimed bucket — both inherent to online dedup.
 
     Representative text comes from the docs already written to
-    ``out_path`` (reps are kept docs, so they are always present) plus
-    the current batch, earliest ``_batch_id`` wins. Only FLAGGED docs
-    and their reps are shingled — cost scales with flag density, not
-    corpus size. At very large outputs the rep-text lookup should read
-    a dedicated rep table instead of the full output scan (the same
-    deployment note as the Iceberg stand-in).
+    ``out_path`` plus the current batch, earliest ``_batch_id`` wins.
+    Only FLAGGED docs and their reps are shingled — cost scales with
+    flag density, not corpus size. With ``drop=True`` a prior-batch rep
+    that was ITSELF flagged (a doc flagged in one bucket still reps its
+    other buckets) is absent from the written output; its dependents'
+    re-verify join finds no text and the flag conservatively SURVIVES
+    (the pass only ever demotes, never invents flags). At very large
+    outputs the rep-text lookup should read a dedicated rep table
+    instead of the full output scan (the same deployment note as the
+    Iceberg stand-in).
     """
     import os
 
@@ -540,19 +544,32 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
 
     def _write(batch_df, batch_id):
         out = recombine_near_verdicts(batch_df)
+        persisted = None
         if exact_verify:
-            out = exact_verify_flags(out, out_path, batch_id,
+            # the re-verify plan references the recombined batch
+            # several times (the flagged set, the rep-text pool, and
+            # the final demotion join) — inside foreachBatch each
+            # reference would otherwise RE-EXECUTE the stateful
+            # micro-batch subtree (state reload + identical re-commit
+            # per reference; deterministic, so correct, but ~6x the
+            # drain's dominant cost). Materialize the batch once.
+            persisted = out.persist()
+            out = exact_verify_flags(persisted, out_path, batch_id,
                                      text_col=text_col, id_col=id_col,
                                      threshold=threshold, w=shingle_w)
         if drop:
             out = out.filter(~F.col("is_near_dup"))
         if finish is not None:
             out = finish(out)
-        (out.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path))
+        try:
+            (out.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path))
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     w = (verdicts.writeStream.foreachBatch(_write)
          .option("checkpointLocation", checkpoint))
