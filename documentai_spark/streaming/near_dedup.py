@@ -435,6 +435,11 @@ def exact_verify_flags(out: DataFrame, out_path: str, batch_id: int, *,
 
     spark = out.sparkSession
     flagged = out.filter(F.col("is_near_dup"))
+    if flagged.isEmpty():
+        # a flag-free batch pays nothing: skip the rep-text pool (which
+        # scans the whole prior output) and the demotion join. The
+        # caller persisted `out`, so this probe reads the cache.
+        return out
     cur = out.select(F.col(id_col), F.col(text_col),
                      F.lit(int(batch_id)).cast("long").alias("_bid"))
     pool = cur
