@@ -688,3 +688,92 @@ def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     df = with_verdict(with_quality(with_extraction(docs, text_col=text_col),
                                    raw_col=text_col))
     return with_curation_flags(df, **kw)
+
+
+def load_lm_model(model_dir: str) -> dict:
+    """Load the frozen curation bigram LM (tools/freeze_lm_model.py's
+    artifact: meta.json + unigram/bigram cost LUT parquets) into the
+    dict ``core.lm.score_doc`` takes. ``_vset`` is precomputed once here
+    so per-row scoring never rebuilds the vocab set."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(model_dir, "meta.json")) as f:
+        meta = json.load(f)
+    uni = pq.read_table(os.path.join(model_dir, "unigrams.parquet"))
+    bi = pq.read_table(os.path.join(model_dir, "bigrams.parquet"))
+    model = {
+        "vocab": meta["vocab"],
+        "unigram_cost": dict(zip(uni["w"].to_pylist(),
+                                 uni["cost"].to_pylist())),
+        "bigram_cost": dict(zip(bi["bigram"].to_pylist(),
+                                bi["cost"].to_pylist())),
+        "backoff_cost": meta["backoff_cost"],
+        "scale": meta["scale"],
+    }
+    model["_vset"] = set(model["vocab"])
+    return model
+
+
+def with_lm_perplexity(df: DataFrame, model: dict, *,
+                       text_col: str = "text",
+                       threshold: float | None = None) -> DataFrame:
+    """CCNet-style LM quality scoring under a FROZEN bigram model
+    (core/lm.py — stupid backoff, integer-quantized costs; the
+    data/ml_frozen pattern: gate queries LOAD the artifact via
+    :func:`load_lm_model`, never refit). Adds:
+
+    - ``lm_bigrams``  — max(token_count - 1, 0), long;
+    - ``lm_cost``     — sum of integer bigram costs (1e-4 digits of
+      -log10 p; exact across engines by construction);
+    - ``lm_mean_cost`` — round(cost / bigrams / scale, 6) double, the
+      mean -log10 probability per bigram (perplexity = 10**mean);
+      NULL when the doc has < 2 tokens;
+    - ``high_perplexity`` (only when ``threshold`` is given) — the
+      drop flag, evaluated EXACTLY in the integer domain:
+      ``lm_cost > round(threshold * scale) * lm_bigrams`` (docs with
+      no bigrams never flag — too short to judge, the min_tokens gate
+      owns them).
+
+    Scale shape: pure map-side — the model (a few hundred LUT entries)
+    ships in the UDF closure, no join, no shuffle; Arrow-batched rows
+    delegate row-wise to ``core.lm.score_doc`` (the oracle invariant:
+    UDFs import and delegate to core/).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from documentai_spark.core import lm as _lm
+
+    reserved = {"lm_bigrams", "lm_cost", "lm_mean_cost", "_lm"} | \
+        ({"high_perplexity"} if threshold is not None else set())
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with with_lm_perplexity outputs: "
+            f"{sorted(clash)}")
+
+    @pandas_udf("struct<b: long, c: long>")
+    def score(texts):  # no hints: annotations future + local imports
+        rows = [_lm.score_doc(t, model) for t in texts]
+        return pd.DataFrame({"b": [r[0] for r in rows],
+                             "c": [r[1] for r in rows]})
+
+    out = (df.withColumn("_lm", score(F.col(text_col)))
+             .withColumn("lm_bigrams", F.col("_lm.b"))
+             .withColumn("lm_cost", F.col("_lm.c"))
+             .withColumn(
+                 "lm_mean_cost",
+                 F.when(F.col("lm_bigrams") > 0,
+                        F.round(F.col("lm_cost") / F.col("lm_bigrams")
+                                / F.lit(float(model["scale"])), 6)))
+             .drop("_lm"))
+    if threshold is not None:
+        thr_e4 = int(round(threshold * model["scale"]))
+        out = out.withColumn(
+            "high_perplexity",
+            (F.col("lm_cost") > F.lit(thr_e4) * F.col("lm_bigrams"))
+            & (F.col("lm_bigrams") > 0))
+    return out

@@ -31,11 +31,13 @@ def test_gate_window_covers_essentials():
     flagship = ["transcript_pipeline", "classify_grouping",
                 "preprocess_route", "text_tables"]
     assert names[:4] == flagship
-    # r8: topk_per_user joined the tail (its gate slot went to
-    # stream_band_keys, the streaming-geometry row); like the other
-    # four it stays pytest-pinned by test_tail_rows_stay_oracle_green
-    redundant = {"topk_per_user", "running_total", "lag_delta",
-                 "hourly_rollup", "user_set_ops"}
+    # r8: topk_per_user and sessionize joined the tail (their gate
+    # slots went to stream_band_keys and lm_perplexity; W2
+    # gaps-and-islands stays driver-checked via t_role_islands); like
+    # the other four they stay pytest-pinned by
+    # test_tail_rows_stay_oracle_green
+    redundant = {"sessionize", "topk_per_user", "running_total",
+                 "lag_delta", "hourly_rollup", "user_set_ops"}
     assert set(tail) <= redundant, \
         f"non-redundant queries fell past the driver's 50-row gate: " \
         f"{set(tail) - redundant}"
@@ -65,9 +67,9 @@ def test_entry_returns_rows(spark):
     assert "verdict" in df.columns
 
 
-@pytest.mark.parametrize("name", ["topk_per_user", "running_total",
-                                  "lag_delta", "hourly_rollup",
-                                  "user_set_ops"])
+@pytest.mark.parametrize("name", ["sessionize", "topk_per_user",
+                                  "running_total", "lag_delta",
+                                  "hourly_rollup", "user_set_ops"])
 def test_tail_rows_stay_oracle_green(spark, name):
     """ADVICE r6: the registry reorder intentionally parks these four
     redundant shapes past the driver gate's 50-row cap, which left them
