@@ -107,6 +107,14 @@ def main() -> None:
                          "--resume the global pairs+closure stage runs "
                          "ONCE under its own checkpoint manifest and "
                          "each bucket joins the written reps table")
+    ap.add_argument("--lm-threshold", type=float, default=None,
+                    metavar="DIGITS",
+                    help="with --curate (non-resume): score every doc "
+                         "under the frozen bigram LM (data/lm_frozen) "
+                         "and also drop docs whose mean cost exceeds "
+                         "this many -log10-probability digits per "
+                         "bigram (e.g. 1.45); adds high_perplexity to "
+                         "by_reason (exact integer-domain comparison)")
     ap.add_argument("--prepare", action="store_true",
                     help="training-data export mode: --input is a "
                          "documents table; runs curate [-> decontaminate "
@@ -197,6 +205,13 @@ def main() -> None:
         ap.error("--benchmark/--mixture are --prepare options")
     if args.exact_verify and not (args.stream_curate and args.near_dedup):
         ap.error("--exact-verify requires --stream-curate --near-dedup")
+    if args.lm_threshold is not None and not args.curate:
+        ap.error("--lm-threshold requires --curate")
+    if args.lm_threshold is not None and args.resume:
+        # the checkpointed bucket manifests do not record an LM config,
+        # so a resume could silently mix LM-filtered and unfiltered
+        # buckets — refuse, the r6 --near-dedup --resume precedent
+        ap.error("--lm-threshold is not supported with --resume")
     if args.input_format != "parquet" and (modes or args.resume):
         ap.error("--input-format json/csv is only supported in the "
                  "default pipeline mode")
@@ -415,6 +430,17 @@ def main() -> None:
         t0 = time.time()
         out = curate_documents(spark.read.parquet(args.input),
                                near_dedup=args.near_dedup)
+        if args.lm_threshold is not None:
+            from documentai_spark.operators.curation import (
+                load_lm_model, with_lm_perplexity,
+            )
+            model = load_lm_model(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "lm_frozen"))
+            out = with_lm_perplexity(out, model,
+                                     threshold=args.lm_threshold)
+            out = out.withColumn(
+                "keep", F.col("keep") & ~F.col("high_perplexity"))
         # drop accounting rides the write job itself (Observation) —
         # no output re-read, and `keep` stays boolean here (the hive
         # partition directory stringifies it on disk)
@@ -431,6 +457,10 @@ def main() -> None:
             reasons.insert(1, "near_dup")
             metrics.append(F.sum(F.col("is_near_dup").cast("int"))
                            .alias("near_dup"))
+        if args.lm_threshold is not None:
+            reasons.append("high_perplexity")
+            metrics.append(F.sum(F.col("high_perplexity").cast("int"))
+                           .alias("high_perplexity"))
         out = out.observe(obs, *metrics)
         (out.write.mode("overwrite").partitionBy("keep")
             .parquet(args.output))
