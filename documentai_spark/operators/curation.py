@@ -248,6 +248,11 @@ def with_stateless_flags(df: DataFrame, *, text_col: str = "text",
         # (with_curation_flags(near_dedup=True)) — folded, not created,
         # so the batch/streaming default schemas stay unchanged
         keep = keep & ~F.col("is_near_dup")
+    if "high_perplexity" in df.columns:
+        # present only when the caller ran with_lm_perplexity with a
+        # threshold (streaming_curate/near_curate_finish lm_threshold=,
+        # job.py --lm-threshold) — same fold-if-present contract
+        keep = keep & ~F.col("high_perplexity")
     return out.withColumn("keep", keep)
 
 

@@ -584,6 +584,8 @@ def start_near_dedup_to_parquet(verdicts: DataFrame, out_path: str,
 
 
 def near_curate_finish(text_col: str = "text",
+                       lm_model: dict | None = None,
+                       lm_threshold: float | None = None,
                        **flag_kw) -> Callable[[DataFrame], DataFrame]:
     """``finish`` factory for the curation composition: extraction +
     quality + verdict + the row-local curation flags over the
@@ -593,10 +595,15 @@ def near_curate_finish(text_col: str = "text",
     the kept corpus but stay in the output for accounting), matching
     the batch ``with_curation_flags(near_dedup=True)`` semantics.
     ``flag_kw`` forwards thresholds (min_tokens / max_tokens /
-    min_confidence / min_stopword_ratio).
+    min_confidence / min_stopword_ratio). ``lm_model`` +
+    ``lm_threshold`` (r8): also score under the frozen bigram LM and
+    fold ``high_perplexity`` into ``keep`` (stateless, so it runs in
+    the same batch domain; the ``streaming_curate`` twin).
     """
     from documentai_spark.functions.verdict import with_verdict
-    from documentai_spark.operators.curation import with_stateless_flags
+    from documentai_spark.operators.curation import (
+        with_lm_perplexity, with_stateless_flags,
+    )
     from documentai_spark.operators.extraction import (
         with_extraction_and_quality,
     )
@@ -604,6 +611,10 @@ def near_curate_finish(text_col: str = "text",
     def _finish(df: DataFrame) -> DataFrame:
         extracted = with_verdict(
             with_extraction_and_quality(df, text_col=text_col))
+        if lm_model is not None and lm_threshold is not None:
+            extracted = with_lm_perplexity(extracted, lm_model,
+                                           text_col=text_col,
+                                           threshold=lm_threshold)
         return with_stateless_flags(extracted, text_col=text_col,
                                     **flag_kw)
 

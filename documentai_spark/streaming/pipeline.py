@@ -336,6 +336,8 @@ def streaming_curate(stream: DataFrame,
                      ttl: str | None = None,
                      ts_col: str = "ts",
                      watermark: str = "10 minutes",
+                     lm_model: dict | None = None,
+                     lm_threshold: float | None = None,
                      **flag_kw) -> DataFrame:
     """Streaming corpus curation: the continuously-landing training-data
     shape. Composes the stateful first-wins dedup (cross-batch exact
@@ -353,8 +355,16 @@ def streaming_curate(stream: DataFrame,
     bad_lang / bad_len / low_conf / keep byte-identical to the batch
     formulation on the same rows. ``flag_kw`` forwards thresholds
     (min_tokens / max_tokens / min_confidence / min_stopword_ratio).
+
+    ``lm_model`` + ``lm_threshold`` (r8): also score survivors under
+    the frozen bigram LM (``curation.with_lm_perplexity`` — stateless,
+    pure map-side, so it streams as-is) and fold ``high_perplexity``
+    into ``keep`` (``with_stateless_flags``' fold-if-present contract,
+    same as the batch ``--curate --lm-threshold`` composition).
     """
-    from documentai_spark.operators.curation import with_stateless_flags
+    from documentai_spark.operators.curation import (
+        with_lm_perplexity, with_stateless_flags,
+    )
 
     survivors = streaming_first_wins_dedup(
         stream, text_col=text_col, id_cols=id_cols, ttl=ttl,
@@ -370,6 +380,10 @@ def streaming_curate(stream: DataFrame,
     survivors = survivors.filter(F.spark_partition_id() >= 0)
     extracted = with_verdict(
         with_extraction_and_quality(survivors, text_col=text_col))
+    if lm_model is not None and lm_threshold is not None:
+        extracted = with_lm_perplexity(extracted, lm_model,
+                                       text_col=text_col,
+                                       threshold=lm_threshold)
     return with_stateless_flags(extracted, text_col=text_col, **flag_kw)
 
 

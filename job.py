@@ -109,12 +109,13 @@ def main() -> None:
                          "each bucket joins the written reps table")
     ap.add_argument("--lm-threshold", type=float, default=None,
                     metavar="DIGITS",
-                    help="with --curate (non-resume): score every doc "
-                         "under the frozen bigram LM (data/lm_frozen) "
-                         "and also drop docs whose mean cost exceeds "
-                         "this many -log10-probability digits per "
-                         "bigram (e.g. 1.45); adds high_perplexity to "
-                         "by_reason (exact integer-domain comparison)")
+                    help="with --curate (non-resume) or --stream-curate: "
+                         "score every doc under the frozen bigram LM "
+                         "(data/lm_frozen) and also drop docs whose "
+                         "mean cost exceeds this many "
+                         "-log10-probability digits per bigram (e.g. "
+                         "1.45); adds high_perplexity to the "
+                         "accounting (exact integer-domain comparison)")
     ap.add_argument("--prepare", action="store_true",
                     help="training-data export mode: --input is a "
                          "documents table; runs curate [-> decontaminate "
@@ -205,8 +206,9 @@ def main() -> None:
         ap.error("--benchmark/--mixture are --prepare options")
     if args.exact_verify and not (args.stream_curate and args.near_dedup):
         ap.error("--exact-verify requires --stream-curate --near-dedup")
-    if args.lm_threshold is not None and not args.curate:
-        ap.error("--lm-threshold requires --curate")
+    if args.lm_threshold is not None and not (args.curate
+                                              or args.stream_curate):
+        ap.error("--lm-threshold requires --curate or --stream-curate")
     if args.lm_threshold is not None and args.resume:
         # the checkpointed bucket manifests do not record an LM config,
         # so a resume could silently mix LM-filtered and unfiltered
@@ -312,6 +314,14 @@ def main() -> None:
         id_cols = (("doc_id",) if "doc_id" in schema.names
                    else ("conv_id", "turn_idx"))
         ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
+        lm_kw = {}
+        if args.lm_threshold is not None:
+            from documentai_spark.operators.curation import load_lm_model
+            lm_kw = {"lm_model": load_lm_model(
+                         os.path.join(os.path.dirname(
+                             os.path.abspath(__file__)),
+                             "data", "lm_frozen")),
+                     "lm_threshold": args.lm_threshold}
         t0 = time.time()
         stream = spark.readStream.schema(schema).parquet(args.input)
         if args.near_dedup:
@@ -329,11 +339,12 @@ def main() -> None:
                          "column (the long-label near-dedup contract)")
             q = start_near_dedup_to_parquet(
                 streaming_near_dup_verdicts(stream),
-                args.output, ckpt, finish=near_curate_finish(),
+                args.output, ckpt, finish=near_curate_finish(**lm_kw),
                 exact_verify=args.exact_verify)
         else:
             q = start_to_parquet(streaming_curate(stream,
-                                                  id_cols=id_cols),
+                                                  id_cols=id_cols,
+                                                  **lm_kw),
                                  args.output, ckpt)
         q.awaitTermination()
         out = spark.read.parquet(args.output)
@@ -342,6 +353,9 @@ def main() -> None:
         if args.near_dedup:
             aggs.append(F.sum(F.col("is_near_dup").cast("int"))
                         .alias("near_dup"))
+        if args.lm_threshold is not None:
+            aggs.append(F.sum(F.col("high_perplexity").cast("int"))
+                        .alias("high_perplexity"))
         acc = out.agg(*aggs).first()
         wall = time.time() - t0
         line = {"rows": acc["rows"], "kept": acc["kept"],
@@ -350,6 +364,8 @@ def main() -> None:
                 "output": args.output}
         if args.near_dedup:
             line["near_dup"] = acc["near_dup"]
+        if args.lm_threshold is not None:
+            line["high_perplexity"] = acc["high_perplexity"]
         print(json.dumps(line))
         spark.stop()
         return

@@ -130,3 +130,20 @@ def test_operator_reserved_collision_raises(spark):
                                ["doc_id", "text", "lm_cost"])
     with pytest.raises(ValueError, match="lm_cost"):
         with_lm_perplexity(df, model)
+
+
+def test_stateless_flags_fold_high_perplexity(spark):
+    """with_stateless_flags folds high_perplexity into keep when the
+    caller ran with_lm_perplexity (the streaming composition —
+    streaming_curate / near_curate_finish lm_threshold=); absent, the
+    schema and keep logic are unchanged."""
+    from documentai_spark.operators.curation import with_stateless_flags
+
+    good = " ".join(["the scan sort merge join order"] * 5)
+    df = spark.createDataFrame(
+        [(1, good, 0.9, False), (2, good, 0.9, True)],
+        ["doc_id", "text", "confidence", "high_perplexity"])
+    out = {r.doc_id: r for r in
+           with_stateless_flags(df, min_stopword_ratio=0.0).collect()}
+    assert out[1].keep
+    assert not out[2].keep  # identical row except the LM flag
