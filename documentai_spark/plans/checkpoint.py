@@ -636,6 +636,8 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
                        seed: int = 42, resume: bool = False,
                        max_stages: int | None = None,
                        max_assign_splits: int | None = None,
+                       lm_model: dict | None = None,
+                       lm_threshold: float | None = None,
                        log=print) -> dict:
     """The --prepare job body as manifest-committed stages (r7): the
     export a 100 TB pipeline actually runs is hours long, and a crash
@@ -659,7 +661,8 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     LSH chain too). ``resume=False`` ignores existing manifests and
     recomputes both stages (manifests are rewritten). The stage
     manifests record the job CONFIG (splits/mixture/budget/seed/
-    near-dedup/benchmark identity); resuming with a different config
+    near-dedup/benchmark identity/lm-threshold); resuming with a
+    different config
     raises instead of silently mixing exports. Resume assumes the
     input (and benchmark) tables are unchanged — the same contract as
     every resume mode here.
@@ -691,10 +694,18 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     # stage consumes it (r7 review): resuming with a different
     # --pack-shards would otherwise silently skip the assignment stage
     # and report a shard count the served parquet was never packed with
+    if (lm_model is None) != (lm_threshold is None):
+        raise ValueError("lm_model and lm_threshold go together")
+    # lm_threshold is config like everything else: a resume with a
+    # different (or newly absent/present) LM filter refuses instead of
+    # serving a corpus curated under other rules. The MODEL identity is
+    # the committed data/lm_frozen artifact (frozen, test-pinned fresh),
+    # so the threshold is the only free parameter to record.
     config = {"splits": weights, "mixture": mixture_rates,
               "budget": budget, "seed": seed, "near_dedup": near_dedup,
               "benchmark": _benchmark_identity(benchmark),
-              "pack_shards": pack_shards}
+              "pack_shards": pack_shards,
+              "lm_threshold": lm_threshold}
 
     def _check_config(rec: dict, stage: str) -> None:
         if rec.get("config") != config:
@@ -709,6 +720,8 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
     reasons = ["dup", "bad_lang", "bad_len", "low_conf"]
     if near_dedup:
         reasons.insert(1, "near_dup")
+    if lm_threshold is not None:
+        reasons.append("high_perplexity")
     if benchmark is not None:
         reasons.append("contaminated")
     flag_col = {"dup": "is_dup", "near_dup": "is_near_dup"}
@@ -784,7 +797,8 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
             near_dedup=near_dedup and near_reps is None,
             near_reps=near_reps, split_weights=weights,
             mixture_rates=mixture_rates, budget=budget,
-            n_shards=pack_shards, seed=seed, observer=observe_flags)
+            n_shards=pack_shards, seed=seed, observer=observe_flags,
+            lm_model=lm_model, lm_threshold=lm_threshold)
         obs_corpus = Observation("prepare_corpus")
         corpus_metrics = [F.count(F.lit(1)).alias("rows")] + [
             F.sum((F.col("split") == s).cast("int")).alias(f"split_{s}")

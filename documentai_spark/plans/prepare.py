@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from documentai_spark.operators.curation import (
-    curate_documents, decontaminate, mixture_sample, with_split,
+    curate_documents, decontaminate, mixture_sample, with_lm_perplexity,
+    with_split,
 )
 from documentai_spark.operators.packing import pack_sequences
 
@@ -78,6 +79,8 @@ def prepare_training_data(docs: DataFrame, *,
                           est_rows: int | None = None,
                           split_col: str = "split",
                           observer=None,
+                          lm_model: dict | None = None,
+                          lm_threshold: float | None = None,
                           **curation_kw) -> PreparedData:
     """Compose the full preparation chain over ``docs``; see module
     docstring for stage order and determinism guarantees.
@@ -94,12 +97,22 @@ def prepare_training_data(docs: DataFrame, *,
     fully-flagged table before the keep-filter — the job mode attaches
     an ``Observation`` here so drop accounting rides the corpus write
     itself (single pass, no output re-read, single-counted).
+    ``lm_model`` + ``lm_threshold`` (r8): also score under the frozen
+    bigram LM (``curation.with_lm_perplexity``, stateless map-side) and
+    fold ``high_perplexity`` into ``keep`` before the keep-filter —
+    the same composition as ``--curate --lm-threshold``.
     ``curation_kw``: forwarded to ``with_curation_flags`` (thresholds,
     LSH parameters).
     """
     flagged = curate_documents(docs, near_dedup=near_dedup,
                                id_col=id_col, text_col=text_col,
                                **curation_kw)
+    if lm_model is not None and lm_threshold is not None:
+        flagged = with_lm_perplexity(flagged, lm_model,
+                                     text_col=text_col,
+                                     threshold=lm_threshold)
+        flagged = flagged.withColumn(
+            "keep", F.col("keep") & ~F.col("high_perplexity"))
     if benchmark is not None:
         flagged = decontaminate(flagged, benchmark, text_col=text_col,
                                 id_col=id_col)

@@ -109,13 +109,14 @@ def main() -> None:
                          "each bucket joins the written reps table")
     ap.add_argument("--lm-threshold", type=float, default=None,
                     metavar="DIGITS",
-                    help="with --curate (non-resume) or --stream-curate: "
-                         "score every doc under the frozen bigram LM "
-                         "(data/lm_frozen) and also drop docs whose "
-                         "mean cost exceeds this many "
+                    help="with --curate (non-resume), --stream-curate, "
+                         "or --prepare: score every doc under the "
+                         "frozen bigram LM (data/lm_frozen) and also "
+                         "drop docs whose mean cost exceeds this many "
                          "-log10-probability digits per bigram (e.g. "
                          "1.45); adds high_perplexity to the "
-                         "accounting (exact integer-domain comparison)")
+                         "accounting (exact integer-domain comparison; "
+                         "--prepare records it in the resume config)")
     ap.add_argument("--prepare", action="store_true",
                     help="training-data export mode: --input is a "
                          "documents table; runs curate [-> decontaminate "
@@ -207,13 +208,18 @@ def main() -> None:
     if args.exact_verify and not (args.stream_curate and args.near_dedup):
         ap.error("--exact-verify requires --stream-curate --near-dedup")
     if args.lm_threshold is not None and not (args.curate
-                                              or args.stream_curate):
-        ap.error("--lm-threshold requires --curate or --stream-curate")
-    if args.lm_threshold is not None and args.resume:
-        # the checkpointed bucket manifests do not record an LM config,
-        # so a resume could silently mix LM-filtered and unfiltered
-        # buckets — refuse, the r6 --near-dedup --resume precedent
-        ap.error("--lm-threshold is not supported with --resume")
+                                              or args.stream_curate
+                                              or args.prepare):
+        ap.error("--lm-threshold requires --curate, --stream-curate, "
+                 "or --prepare")
+    if args.lm_threshold is not None and args.curate and args.resume:
+        # the checkpointed CURATION bucket manifests do not record an
+        # LM config, so a resume could silently mix LM-filtered and
+        # unfiltered buckets — refuse, the r6 --near-dedup --resume
+        # precedent. (--prepare --resume is fine: its stage config
+        # records lm_threshold and refuses mismatches itself.)
+        ap.error("--lm-threshold is not supported with --curate "
+                 "--resume")
     if args.input_format != "parquet" and (modes or args.resume):
         ap.error("--input-format json/csv is only supported in the "
                  "default pipeline mode")
@@ -426,12 +432,19 @@ def main() -> None:
         mixture = _rates(args.mixture) if args.mixture else None
         bench_df = (spark.read.parquet(args.benchmark)
                     if args.benchmark else None)
+        lm_model = None
+        if args.lm_threshold is not None:
+            from documentai_spark.operators.curation import load_lm_model
+            lm_model = load_lm_model(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "lm_frozen"))
         line = run_prepare_stages(
             spark, args.input, args.output, benchmark=bench_df,
             near_dedup=args.near_dedup, split_weights=weights,
             mixture_rates=mixture, budget=args.budget,
             pack_shards=args.pack_shards, seed=args.seed,
             resume=args.resume,
+            lm_model=lm_model, lm_threshold=args.lm_threshold,
             log=lambda *a: print(*a, file=sys.stderr))
         print(json.dumps(line))
         spark.stop()

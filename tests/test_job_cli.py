@@ -51,10 +51,10 @@ def test_modes_mutually_exclusive(combo):
     (["--exact-verify", "--curate", "--near-dedup"],
      "--exact-verify requires --stream-curate --near-dedup"),
     (["--lm-threshold", "1.45"], "--lm-threshold requires --curate"),
-    (["--lm-threshold", "1.45", "--prepare"],
+    (["--lm-threshold", "1.45", "--classified"],
      "--lm-threshold requires --curate"),
     (["--lm-threshold", "1.45", "--curate", "--resume"],
-     "--lm-threshold is not supported with --resume"),
+     "--lm-threshold is not supported with --curate --resume"),
 ])
 def test_flag_dependencies(combo, needle):
     assert needle in _err(combo)

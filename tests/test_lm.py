@@ -147,3 +147,45 @@ def test_stateless_flags_fold_high_perplexity(spark):
            with_stateless_flags(df, min_stopword_ratio=0.0).collect()}
     assert out[1].keep
     assert not out[2].keep  # identical row except the LM flag
+
+
+def test_prepare_lm_threshold_config_and_accounting(spark, tmp_path):
+    """--prepare --lm-threshold: high_perplexity rides the corpus-stage
+    Observation into by_reason, the threshold is part of the resume
+    config (a resume with a different — or newly absent — LM filter
+    refuses; an identical resume skips both stages with the same
+    accounting), and lm_model/lm_threshold must be passed together."""
+    import pytest as _pytest
+
+    from documentai_spark.operators.curation import load_lm_model
+    from documentai_spark.plans.checkpoint import run_prepare_stages
+    from tools.freeze_lm_model import OUT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "lm_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "lm_out")
+    model = load_lm_model(OUT)
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+
+    r = run_prepare_stages(spark, in_dir, out, resume=True,
+                           lm_model=model, lm_threshold=1.45, **kw)
+    # 95 of the 500 sf0.001 docs sit above 1.45 digits/bigram (the
+    # committed-model measurement the gate threshold was chosen from)
+    assert r["by_reason"]["high_perplexity"] == 95
+    assert r["kept"] <= r["rows"] - 95
+
+    with _pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True,
+                           lm_model=model, lm_threshold=1.5, **kw)
+    with _pytest.raises(ValueError, match="different configuration"):
+        run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+    with _pytest.raises(ValueError, match="go together"):
+        run_prepare_stages(spark, in_dir, str(tmp_path / "lm_out2"),
+                           lm_model=model, **kw)
+
+    r2 = run_prepare_stages(spark, in_dir, out, resume=True,
+                            lm_model=model, lm_threshold=1.45, **kw)
+    assert r2["stages_skipped"] == ["corpus", "assignment"]
+    assert r2["by_reason"] == r["by_reason"]
+    assert r2["kept"] == r["kept"]
