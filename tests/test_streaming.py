@@ -554,3 +554,69 @@ def test_first_wins_fp_collision_guard(spark):
                                "text string, _fp string")
     with pytest.raises(ValueError, match="_fp"):
         streaming_first_wins_dedup(df)
+
+
+def test_streaming_curate_lm_threshold_matches_batch(spark, tmp_path):
+    """streaming_curate(lm_model=, lm_threshold=) scores survivors under
+    the frozen bigram LM across MICRO-BATCHES and its high_perplexity /
+    keep columns byte-match the batch composition (curate_documents ->
+    with_lm_perplexity -> fold) on the same rows. The threshold is
+    derived from core scores inside the test (midpoint of the two
+    docs' mean costs), so exactly one doc flags by construction —
+    whichever the model scores costlier. (Direction is a MODEL fact,
+    not an intuition: an all-OOV doc collapses to the cheap
+    (<unk>, <unk>) LUT pair, while in-vocab words in unseen orders pay
+    rare-unigram backoffs — the same reason CCNet thresholds are
+    tuned per model, never assumed.)"""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.core.lm import score_doc
+    from documentai_spark.operators.curation import (
+        curate_documents, load_lm_model, with_lm_perplexity,
+    )
+    from documentai_spark.streaming.pipeline import streaming_curate
+    from tools.freeze_lm_model import OUT
+
+    model = load_lm_model(OUT)
+    soup = " ".join(["the fast scan sort merge join order window"] * 4)
+    english = ("the quick brown fox jumps over the lazy dog and then "
+               "it runs far away into the woods where it was happy to "
+               "rest for a while before returning home to the den")
+
+    def mean_cost(t):
+        b, c = score_doc(t, model)
+        return c / b / model["scale"]
+
+    thr = (mean_cost(soup) + mean_cost(english)) / 2
+    assert mean_cost(soup) != mean_cost(english)
+    flags_hi = 1 if mean_cost(soup) > mean_cost(english) else 2
+
+    in_dir = str(tmp_path / "lm_in")
+    out_dir = str(tmp_path / "lm_out")
+    ckpt = str(tmp_path / "lm_ck")
+
+    def build(stream):
+        return streaming_curate(stream, id_cols=("doc_id",),
+                                lm_model=model, lm_threshold=thr,
+                                min_stopword_ratio=0.0)
+
+    _append_file(spark, in_dir, [(1, soup, _T0)], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+    _append_file(spark, in_dir, [(2, english, _mins(1))], _DOCS_DDL)
+    _drain(spark, in_dir, _DOCS_DDL, out_dir, ckpt, build)
+
+    cols = ["lm_bigrams", "lm_cost", "high_perplexity", "keep"]
+    got = {r.doc_id: tuple(r[c] for c in cols)
+           for r in spark.read.parquet(out_dir)
+                         .select("doc_id", *cols).collect()}
+    assert set(got) == {1, 2}
+    assert got[flags_hi][2] and not got[3 - flags_hi][2]
+
+    flagged = curate_documents(spark.read.parquet(in_dir),
+                               id_col="doc_id", min_stopword_ratio=0.0)
+    batch = with_lm_perplexity(flagged, model, threshold=thr)
+    batch = batch.withColumn("keep", F.col("keep")
+                             & ~F.col("high_perplexity"))
+    want = {r.doc_id: tuple(r[c] for c in cols)
+            for r in batch.select("doc_id", *cols).collect()}
+    assert got == want
