@@ -31,6 +31,17 @@ sum the IDENTICAL integers:
   bigram (perplexity = 10**mean); consumers threshold on the integer
   form ``lm_cost > thr_e4 * lm_bigrams`` for an exact comparison.
 
+Model-regime caveat (measured, pinned by
+tests/test_streaming.py::test_streaming_curate_lm_threshold_matches_batch):
+``<unk>``'s cost is its TRUE trained frequency (closed-vocab MLE), so
+with a tiny vocab — where the excluded types carry real mass — an
+all-OOV document collapses onto the frequent ``(<unk>, <unk>)`` pair
+and can score CHEAPER than in-vocab words in unseen orders. That is
+faithful stupid-backoff, not a scoring bug; deployment models should
+freeze a vocab large enough that ``<unk>`` is genuinely rare (the
+standard CCNet/KenLM regime, where OOV-heavy text scores expensive),
+and thresholds are per-model facts to be picked from a scored sample.
+
 Reference parity note: the reference has no LM filter (SURVEY §2 is
 complete without this); the op belongs to the build brief's
 training-data-pipeline family, next to the Gopher repetition signals
