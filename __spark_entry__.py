@@ -1106,7 +1106,11 @@ def _lm_perplexity_oracle_sql(threshold: float = 1.45) -> str:
     import json as _json
     with open(os.path.join(LM_FROZEN, "meta.json")) as f:
         meta = _json.load(f)
-    vocab_sql = "[" + ", ".join(f"'{w}'" for w in meta["vocab"]) + "]"
+    # tokens are whitespace-split, so apostrophes survive inside them —
+    # a natural-English refreeze whose top-24 includes "don't" must not
+    # emit broken SQL (r8 review): SQL-escape every vocab literal
+    vocab_sql = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in meta["vocab"]) + "]"
     back = meta["backoff_cost"]
     thr_e4 = int(round(threshold * meta["scale"]))
     uni = os.path.join(LM_FROZEN, "unigrams.parquet")

@@ -695,16 +695,24 @@ def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     return with_curation_flags(df, **kw)
 
 
-def load_lm_model(model_dir: str) -> dict:
+def load_lm_model(model_dir: str | None = None) -> dict:
     """Load the frozen curation bigram LM (tools/freeze_lm_model.py's
     artifact: meta.json + unigram/bigram cost LUT parquets) into the
     dict ``core.lm.score_doc`` takes. ``_vset`` is precomputed once here
-    so per-row scoring never rebuilds the vocab set."""
+    so per-row scoring never rebuilds the vocab set.
+
+    ``model_dir`` defaults to the COMMITTED artifact (repo-root
+    ``data/lm_frozen``) so the job modes and the gate cannot drift onto
+    different paths; pass a dir only for a custom model."""
     import json
     import os
 
     import pyarrow.parquet as pq
 
+    if model_dir is None:
+        model_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "data", "lm_frozen")
     with open(os.path.join(model_dir, "meta.json")) as f:
         meta = json.load(f)
     uni = pq.read_table(os.path.join(model_dir, "unigrams.parquet"))

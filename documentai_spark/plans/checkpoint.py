@@ -708,10 +708,18 @@ def run_prepare_stages(spark: SparkSession, in_path: str, out_path: str,
               "lm_threshold": lm_threshold}
 
     def _check_config(rec: dict, stage: str) -> None:
-        if rec.get("config") != config:
+        rec_config = rec.get("config")
+        if isinstance(rec_config, dict):
+            # pre-r8 manifests predate the lm_threshold key; absent
+            # means the stage was committed with no LM filter, which is
+            # exactly lm_threshold=None — keep those exports resumable
+            # instead of refusing with an unsatisfiable error
+            rec_config = dict(rec_config)
+            rec_config.setdefault("lm_threshold", None)
+        if rec_config != config:
             raise ValueError(
                 f"stage {stage!r} in {out_path!r} was committed with a "
-                f"different configuration ({rec.get('config')} vs "
+                f"different configuration ({rec_config} vs "
                 f"{config}); resuming would mix exports — use a fresh "
                 "output directory or matching arguments")
 

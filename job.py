@@ -320,13 +320,37 @@ def main() -> None:
         id_cols = (("doc_id",) if "doc_id" in schema.names
                    else ("conv_id", "turn_idx"))
         ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
+        # Curation-REGIME guard (r8 review): restarting an existing
+        # checkpoint with a different --near-dedup/--exact-verify/
+        # --lm-threshold silently mixes regimes — new batches carry a
+        # different schema and keep rule than the already-written
+        # partitions, and the end-of-run accounting reads an arbitrary
+        # footer. Record the regime next to the output on first start
+        # and refuse mismatched resumes (the prepare stage-config
+        # pattern applied to the streaming surface).
+        regime = {"near_dedup": args.near_dedup,
+                  "exact_verify": args.exact_verify,
+                  "lm_threshold": args.lm_threshold}
+        marker = os.path.join(args.output, "_stream_curate_config.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior_regime = json.load(f)
+            prior_regime.setdefault("lm_threshold", None)
+            if prior_regime != regime:
+                raise ValueError(
+                    f"output {args.output!r} was written under a "
+                    f"different streaming curation regime "
+                    f"({prior_regime} vs {regime}); resuming would mix "
+                    "schemas and keep rules across batch partitions — "
+                    "use a fresh output+checkpoint or matching flags")
+        else:
+            os.makedirs(args.output, exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump(regime, f)
         lm_kw = {}
         if args.lm_threshold is not None:
             from documentai_spark.operators.curation import load_lm_model
-            lm_kw = {"lm_model": load_lm_model(
-                         os.path.join(os.path.dirname(
-                             os.path.abspath(__file__)),
-                             "data", "lm_frozen")),
+            lm_kw = {"lm_model": load_lm_model(),
                      "lm_threshold": args.lm_threshold}
         t0 = time.time()
         stream = spark.readStream.schema(schema).parquet(args.input)
@@ -435,9 +459,7 @@ def main() -> None:
         lm_model = None
         if args.lm_threshold is not None:
             from documentai_spark.operators.curation import load_lm_model
-            lm_model = load_lm_model(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "data", "lm_frozen"))
+            lm_model = load_lm_model()
         line = run_prepare_stages(
             spark, args.input, args.output, benchmark=bench_df,
             near_dedup=args.near_dedup, split_weights=weights,
@@ -463,9 +485,7 @@ def main() -> None:
             from documentai_spark.operators.curation import (
                 load_lm_model, with_lm_perplexity,
             )
-            model = load_lm_model(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "data", "lm_frozen"))
+            model = load_lm_model()
             out = with_lm_perplexity(out, model,
                                      threshold=args.lm_threshold)
             out = out.withColumn(

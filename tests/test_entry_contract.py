@@ -71,10 +71,10 @@ def test_entry_returns_rows(spark):
                                   "running_total", "lag_delta",
                                   "hourly_rollup", "user_set_ops"])
 def test_tail_rows_stay_oracle_green(spark, name):
-    """ADVICE r6: the registry reorder intentionally parks these four
-    redundant shapes past the driver gate's 50-row cap, which left them
-    with NO automated re-verification (the r6 judge replayed them by
-    hand). Run the gate's own queries-vs-oracle value compare here, so
+    """ADVICE r6: the registry reorder intentionally parks these (by r8,
+    six) redundant shapes past the driver gate's 50-row cap, which left
+    them with NO automated re-verification (the r6 judge replayed them
+    by hand). Run the gate's own queries-vs-oracle value compare here, so
     a future regression in the tail is a test failure, not invisible."""
     import duckdb
     import pandas as pd

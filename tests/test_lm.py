@@ -189,3 +189,36 @@ def test_prepare_lm_threshold_config_and_accounting(spark, tmp_path):
     assert r2["stages_skipped"] == ["corpus", "assignment"]
     assert r2["by_reason"] == r["by_reason"]
     assert r2["kept"] == r["kept"]
+
+
+def test_prepare_resume_tolerates_pre_lm_manifests(spark, tmp_path):
+    """A stage manifest committed BEFORE the lm_threshold config key
+    existed (r8 review: the key is setdefault'd to None on read) must
+    still resume for an LM-less run — otherwise every pre-r8 export is
+    permanently unresumable with an unsatisfiable error."""
+    import json
+    import os
+
+    from documentai_spark.plans.checkpoint import run_prepare_stages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "pl_in")
+    docs.write.parquet(in_dir)
+    out = str(tmp_path / "pl_out")
+    kw = dict(budget=120, pack_shards=4, log=lambda *_: None)
+    r1 = run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+
+    # simulate pre-r8 manifests: strip the lm_threshold key everywhere
+    ckdir = os.path.join(out, "_checkpoints")
+    for name in os.listdir(ckdir):
+        path = os.path.join(ckdir, name)
+        with open(path) as f:
+            rec = json.load(f)
+        if isinstance(rec.get("config"), dict):
+            rec["config"].pop("lm_threshold", None)
+            with open(path, "w") as f:
+                json.dump(rec, f)
+
+    r2 = run_prepare_stages(spark, in_dir, out, resume=True, **kw)
+    assert r2["stages_skipped"] == ["corpus", "assignment"]
+    assert r2["by_reason"] == r1["by_reason"]
