@@ -177,3 +177,87 @@ def test_zero_norm_vector_never_tops_ranking(spark):
     by_rank = {r.rank: (r.neighbor_id, r.cosine) for r in got}
     assert by_rank[1][0] == 1
     assert by_rank[3] == (3, 0.0)   # the zero vector ranks LAST at 0.0
+
+
+def test_multi_probe_matches_duckdb_mirror(spark):
+    """Cross-engine pin for the r8 multi-probe path (the gate's lsh_ann
+    row oracle-checks only n_probe=1): the Hamming-1 probe choice —
+    smallest |dot| margin, flip-mask tie-break — and the probed
+    candidate ranking replay in DuckDB with the same literal
+    hyperplanes and left-associative double folds the single-bucket
+    oracle proved bit-identical."""
+    import duckdb
+
+    from documentai_spark.operators.similarity import _hyperplanes
+
+    dim, m_bits, seed, k, n_anchors = 64, 6, 7, 5, 10
+    planes = _hyperplanes(dim, m_bits, seed)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    vectors = spark.read.parquet(emb).select("vec_id", "embedding")
+    anchors = (vectors.filter(f"vec_id < {n_anchors}")
+               .withColumnRenamed("vec_id", "anchor_id"))
+    got = sorted(
+        (r.anchor_id, r.rank, r.neighbor_id)
+        for r in lsh_ann_topk(vectors, anchors, k=k, m_bits=m_bits,
+                              dim=dim, seed=seed, n_probe=2).collect())
+
+    def dot_lit(plane, arr):
+        # string-cast literals: bare decimals lose the last ulp in
+        # DuckDB's parser (the gate oracle's documented trap)
+        return " + ".join(f"CAST('{x!r}' AS DOUBLE) * {arr}[{i + 1}]"
+                          for i, x in enumerate(plane))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot_lit(p, 'v')}) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(planes))
+    margins = ", ".join(
+        f"{{'m': abs({dot_lit(p, 'av')}), 'f': {2 ** j}}}"
+        for j, p in enumerate(planes))
+    dot_vv = " + ".join(f"av[{i + 1}] * v[{i + 1}]" for i in range(dim))
+
+    def norm(a):
+        return ("sqrt(" + " + ".join(f"{a}[{i + 1}] * {a}[{i + 1}]"
+                                     for i in range(dim)) + ")")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM read_parquet('{emb}')")
+    rows = con.execute(f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, v, ({bucket}) AS bucket FROM v
+        ), a0 AS (
+          SELECT vec_id AS anchor_id, v AS av, bucket,
+                 list_sort([{margins}]) AS ms
+          FROM b WHERE vec_id < {n_anchors}
+        ), probes AS (
+          SELECT anchor_id, av, bucket AS probe FROM a0
+          UNION ALL
+          SELECT anchor_id, av,
+                 xor(bucket, struct_extract(ms[1], 'f')) FROM a0
+        ), cand AS (
+          SELECT a.anchor_id, b.vec_id,
+                 ({dot_vv}) / ({norm('av')} * {norm('v')}) AS cos
+          FROM probes a JOIN b ON a.probe = b.bucket
+          WHERE b.vec_id <> a.anchor_id
+        )
+        SELECT anchor_id, rank, neighbor_id FROM (
+          SELECT anchor_id, vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, vec_id ASC)
+                     AS rank
+          FROM cand
+        ) WHERE rank <= {k} ORDER BY anchor_id, rank
+    """).fetchall()
+    con.close()
+    want = sorted(tuple(r) for r in rows)
+    assert got == want
+    # multi-probe genuinely widened at least one anchor's view
+    single = sorted(
+        (r.anchor_id, r.rank, r.neighbor_id)
+        for r in lsh_ann_topk(vectors, anchors, k=k, m_bits=m_bits,
+                              dim=dim, seed=seed, n_probe=1).collect())
+    assert got != single
