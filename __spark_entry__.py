@@ -52,6 +52,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive ingress repartition (optimization r9, guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"): the testdata tables are single-row-group parquet
+    files, so the scan yields one partition and every downstream
+    map-side kernel — Arrow UDF stages especially — runs on ONE core
+    regardless of the master's core count. Round-robin up to
+    defaultParallelism only when the scan is under-parallel; on a real
+    cluster (or multi-block files) the scan is already wide and this is
+    a no-op, so nothing here is tuned to local[32]. Results are
+    partitioning-independent by the repo's determinism contract (every
+    query is content-hash pinned against the DuckDB oracle under
+    arbitrary partitionings)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _lsh_ann_oracle_sql(dim: int = 64, m_bits: int = 6, seed: int = 7,
                         k: int = 5, n_anchors: int = 10) -> str:
     """DuckDB mirror of operators/similarity.lsh_ann_topk: the seeded
@@ -1292,7 +1311,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs hamming<=3 set by pigeonhole (promoted from rows-only in
     r3; tests/test_dedup.py pins the operator semantics)."""
     from documentai_spark.operators.dedup import simhash_near_dups
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 

@@ -466,16 +466,88 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_udf():
+    """Arrow-batched SimHash kernel over PRE-NORMALIZED text (exactly
+    ``normalized_text``, computed JVM-side so the normalization pass the
+    DuckDB oracle mirrors never leaves the JVM).
+
+    Per doc: tokens = norm.split(" ") (identical to the JVM
+    ``F.split(norm, " ")`` — verified field-for-field on adversarial
+    control-char/unicode inputs), each token md5-hashed and its first 8
+    digest bytes taken big-endian — the SAME 64-bit fold as
+    ``_md5_fold`` (hi32 = hex chars 1-8, lo32 = 9-16; bit j of the fold
+    is bit j of the big-endian 8-byte prefix). Bit j of the signature is
+    set iff the +1/-1 majority over tokens is strictly positive, i.e.
+    2*count_j > n_tokens. ``np.unpackbits`` column c of the big-endian
+    digest rows is fold bit 63-c, so ``packbits`` of the majority row
+    reconstructs the signature directly; the int64 two's-complement
+    wrap mirrors the expression form's Long.MIN_VALUE bit-63 add.
+
+    Why a pandas UDF (optimization r9, guide §4.2): the explode + 64
+    signed-bit-sum aggregate form (kept below as
+    :func:`simhash_signatures_expr`, equality pinned by
+    tests/test_dedup.py) spent ~22 s of simhash_dups' 25 s at sf1.0 in
+    the 64-accumulator hash aggregate + per-token-row bit projections;
+    this kernel computes the identical majority doc-locally in one
+    Arrow pass — measured ~12x faster end-to-end, and shuffle-free
+    (the groupBy exchange disappears).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(norm):  # no hints: annotations future + local imports
+        md5 = hashlib.md5
+        out = np.empty(len(norm), np.int64)
+        for i, s in enumerate(norm):
+            toks = (s or "").split(" ")
+            digests = b"".join(
+                md5(t.encode("utf-8", "surrogatepass")).digest()[:8]
+                for t in toks)
+            rows = np.frombuffer(digests, np.uint8).reshape(-1, 8)
+            cnt = np.unpackbits(rows, axis=1).sum(axis=0, dtype=np.int64)
+            major = (cnt * 2 > len(toks))
+            v = int.from_bytes(np.packbits(major).tobytes(), "big")
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return simhash64
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long) via explode + 64 signed-bit sums + groupBy.
+    """(id, simhash long): JVM normalization (the oracle-mirrored
+    ``normalized_text``) + the :func:`simhash_udf` Arrow kernel — one
+    map-side pass, no explode, no shuffle. Bit-identical to
+    :func:`simhash_signatures_expr` (pinned by
+    tests/test_dedup.py::test_simhash_udf_matches_expr)."""
+    simhash64 = simhash_udf()
+    # NULL text drops the row, exactly like the expr form (explode of a
+    # NULL token array emits no rows); empty text stays (split("") is
+    # [""], one md5("") token, in both engines)
+    normed = (df.select(F.col(id_col),
+                        normalized_text(F.col(text_col)).alias("_norm"))
+                .filter(F.col("_norm").isNotNull()))
+    return normed.select(id_col, simhash64(F.col("_norm")).alias("simhash"))
+
+
+def simhash_signatures_expr(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long) via explode + 64 signed-bit sums + groupBy —
+    the pure-JVM expression form, kept as the independent second engine
+    pinning :func:`simhash_signatures`'s Arrow kernel (the quality_vec
+    two-engine pattern). ~12x slower at sf1.0 (the 64-accumulator
+    aggregate); not used in query paths.
 
     Tokens explode ONCE and hash ONCE; the 64 per-bit +/-1 contributions
     are narrow projections over that single hash column, and map-side
     partial sums collapse before the shuffle. (The row-local
     ``simhash_col`` variant re-evaluates the token-hash transform per bit
-    after projection collapse — measured ~10x slower; kept for single-row
-    uses.)
+    after projection collapse — measured ~10x slower again; kept for
+    single-row uses.)
     """
     # split staged into its own projection: Generate re-evaluates an
     # inline generator expression pathologically on huge strings (same
@@ -506,8 +578,16 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance, candidates via 4x16-bit bands
     (a pair within Hamming<=3 of 64 bits must match at least one of 4
-    16-bit chunks exactly — pigeonhole)."""
-    sig = simhash_signatures(df, text_col, id_col)
+    16-bit chunks exactly — pigeonhole).
+
+    The signature table is eagerly localCheckpoint'ed (r9, the
+    minhash_dedup_pairs pattern): the band self-join consumes it on
+    BOTH sides, and since the Arrow-kernel rewrite there is no exchange
+    below it for Spark to reuse — without the checkpoint the whole
+    scan+normalize+md5 kernel executed twice. 16 bytes/doc, freed by
+    the ContextCleaner when the result is GC'd."""
+    sig = simhash_signatures(df, text_col, id_col) \
+        .localCheckpoint(eager=True)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_idx"),
                  F.shiftright("simhash", c * 16)

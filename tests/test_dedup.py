@@ -118,6 +118,35 @@ def test_signatures_partition_invariant(docs):
     assert one == many
 
 
+def test_simhash_udf_matches_expr(spark, docs):
+    """r9 optimization: simhash_signatures is now an Arrow kernel over
+    JVM-normalized text; the retained pure-JVM expression form is the
+    independent second engine. Signatures must be BIT-identical on the
+    module corpus plus adversarial rows (control-char whitespace,
+    unicode incl. astral, empty/blank, token-less, long repetition) —
+    any drift desyncs the DuckDB gate oracle's md5-fold replay."""
+    from documentai_spark.operators.dedup import simhash_signatures_expr
+
+    adv = [
+        (10, "a\tb\x0b c\x0c\rd\ne"),        # every Java \s class char
+        (11, "  "), (12, "\t\n"), (13, None),
+        (14, "é café   nbsp"),           # \xa0 is NOT Java \s
+        (15, "\U0001d11e astral MiXeD İ ı ſ"),
+        (16, ("tok " * 500).strip()),          # single dominant token
+        (17, "x"), (18, "unique words only here"),
+    ]
+    df = docs.unionByName(
+        spark.createDataFrame(adv, "doc_id long, text string"))
+    fast = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    slow = {r.doc_id: r.simhash
+            for r in simhash_signatures_expr(df).collect()}
+    # the expr form's groupBy drops NULL-normalized rows the same way
+    # only if the split produces rows; align on the common domain but
+    # require it to cover every non-null doc
+    assert set(fast) == set(slow)
+    assert fast == slow
+
+
 def test_embedding_near_dups_lsh(spark):
     """LSH-bucketed embedding dedup finds near-identical vectors."""
     import hashlib
