@@ -1565,7 +1565,8 @@ def q_ml_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FrozenTextClassifier, integer_scores,
     )
     model = FrozenTextClassifier.load(spark, ML_FROZEN)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
     return integer_scores(model, docs, text_col="text",
                           id_col="doc_id").orderBy("doc_id")
 
@@ -1591,8 +1592,8 @@ def q_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipping": {"keywords": ["vessel", "port", "freight"]},
     })
     model = FrozenTextClassifier.load(spark, ML_FROZEN)
-    docs = _t(spark, sf_dir, "documents") \
-        .withColumnRenamed("text", "extracted_text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .withColumnRenamed("text", "extracted_text"))
     out = classify_with_ml_vote(docs, cfg, model, id_col="doc_id")
     return out.select("doc_id", "technique_1", "technique_2",
                       "technique_3", "technique_4", "category",

@@ -168,6 +168,19 @@ class FrozenTextClassifier:
     def __post_init__(self):
         if self.f_lut is None:
             self.f_lut = sublinear_lut(self.tf_cap, self.fscale)
+        self._wmap = None
+
+    def weight_map(self) -> dict:
+        """``{term: (w_0, ..., w_{k-1})}`` — the compiled weights as a
+        driver-side dict for the Arrow scorer closure. One bounded
+        collect per model instance (vocab_size-capped, same bound the
+        trainer's vocab collect documents), cached."""
+        if self._wmap is None:
+            kcls = len(self.labels)
+            self._wmap = {
+                r["term"]: tuple(int(r[f"w_{c}"]) for c in range(kcls))
+                for r in self.weights.collect()}
+        return self._wmap
 
     def save(self, path: str) -> None:
         self.weights.coalesce(1).write.mode("overwrite") \
@@ -293,6 +306,69 @@ def _score_sums(model: FrozenTextClassifier, handled: DataFrame,
                      for c in range(kcls)]))
 
 
+def _score_sums_udf(model: FrozenTextClassifier):
+    """Arrow-batched integer scorer: LOWERED text -> array<long> of the
+    k raw weighted sums (no intercepts) — the per-row form of
+    :func:`_score_sums` (optimization r9, guide §4.2).
+
+    Why: the explode-terms form spent ~7 s of ml_scores' 9 s at sf1.0
+    constructing every 1..4-gram as a JVM ``array_join(slice(...))``
+    before the broadcast join dropped ~99% of them. Here grams are only
+    materialized when their FIRST token starts some multi-word vocab
+    term (the starter set — sound: a gram not starting with a starter
+    cannot be in the vocab, and skipped grams contribute nothing to any
+    vocab term's tf), and the whole tf -> sublinear-LUT -> integer-sum
+    pipeline runs on exact Python ints (overflow-free, same integers as
+    the groupBy form — equality pinned by
+    tests/test_ml_classify.py::test_scorer_udf_matches_expr and the
+    DuckDB gate oracle). Lowercasing stays JVM-side (``F.lower``) so
+    unicode case mapping never depends on Python.
+
+    Per-row scoring also removes the score join entirely: no handle
+    column, no monotonically_increasing_id fallback, no localCheckpoint
+    pin — every input row scores in place, which is the same semantics
+    the join-by-unique-key form had.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    wmap = model.weight_map()
+    f_lut = [int(x) for x in model.f_lut]
+    cap = model.tf_cap
+    kcls = len(model.labels)
+    max_ngram = model.max_ngram
+    starters = frozenset(t.split(" ", 1)[0] for t in wmap if " " in t)
+    ws_re = _re.compile(_WS_SPLIT)
+
+    @pandas_udf("array<long>")
+    def score(lowered):  # no hints: annotations future + local imports
+        from collections import Counter
+        out = []
+        zeros = [0] * kcls
+        for s in lowered:
+            toks = [t for t in ws_re.split(s or "") if t]
+            cnt = Counter(toks)
+            n = len(toks)
+            for g in range(2, max_ngram + 1):
+                joiner = " ".join
+                for i in range(n - g + 1):
+                    if toks[i] in starters:
+                        cnt[joiner(toks[i:i + g])] += 1
+            acc = list(zeros)
+            for term, tf in cnt.items():
+                w = wmap.get(term)
+                if w is not None:
+                    f = f_lut[tf - 1] if tf <= cap else f_lut[cap - 1]
+                    for c in range(kcls):
+                        acc[c] += w[c] * f
+            out.append(acc)
+        return pd.Series(out)
+
+    return score
+
+
 def integer_scores(model: FrozenTextClassifier, df: DataFrame,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -301,12 +377,19 @@ def integer_scores(model: FrozenTextClassifier, df: DataFrame,
     cap)] — for every input row (no-hit rows score intercept-only).
     This is EXACTLY the integer the DuckDB oracle replays, exposed for
     score-level gate checks (stronger than the argmax-only
-    classify_vote hash)."""
+    classify_vote hash).
+
+    r9: scores come from the per-row Arrow scorer
+    (:func:`_score_sums_udf`) — no term explode, no score join; the
+    grouped expression form stays as :func:`_score_sums` (equality
+    pinned by tests/test_ml_classify.py::test_scorer_udf_matches_expr).
+    """
     kcls = len(model.labels)
-    sums = _score_sums(model, df, id_col, text_col)
-    out = df.select(id_col).join(sums, id_col, "left")
+    score = _score_sums_udf(model)
+    out = df.select(id_col,
+                    score(F.lower(F.col(text_col))).alias("_sums"))
     score_cols = [
-        (F.coalesce(F.col(f"_s{c}"), F.lit(0))
+        (F.coalesce(F.element_at(F.col("_sums"), c + 1), F.lit(0))
          + F.lit(model.intercepts[c] * model.fscale)).cast("long")
         .alias(f"s{c}")
         for c in range(kcls)]
@@ -327,21 +410,15 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
     fresh internal handle column — the input is never renamed, so a
     caller-side 'text' column cannot collide (ADVICE r2).
 
-    ``id_col``: a UNIQUE row key the score join uses directly — the
-    at-scale path; every internal caller passes one. Without one, the
-    fallback synthesizes a handle via ``monotonically_increasing_id``
-    and pins it with a lazy ``localCheckpoint``: the handle is consumed
-    by BOTH sides of the self-join, and on a post-shuffle input the two
-    evaluations could otherwise see different row orders (reducer fetch
-    interleaving is nondeterministic) and mis-join scores. The
-    checkpoint makes the handled rows materialize exactly once — which
-    HOLDS EXECUTOR STORAGE for the whole input, so the fallback warns
-    loudly: at 100 TB callers must pass ``id_col``.
+    ``id_col``: kept for API compatibility; scoring is per-row since r9
+    (the Arrow scorer computes every row's sums in place — see
+    :func:`_score_sums_udf`), so there is no score join, no
+    ``monotonically_increasing_id`` fallback and no localCheckpoint pin
+    — the historical no-id_col storage hazard is gone.
     """
     kcls = len(model.labels)
-    reserved = {f"_s{c}" for c in range(kcls)} | {"_ranked", "_denom"}
-    if id_col is None:
-        reserved.add("_mlid")
+    reserved = {f"_s{c}" for c in range(kcls)} | {"_ranked", "_denom",
+                                                 "_sums"}
     clash = reserved & set(df.columns)
     if clash:
         # exact-name collisions would be silently clobbered by the score
@@ -349,28 +426,14 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
         raise ValueError(
             f"input columns collide with predict_with_topk internals: "
             f"{sorted(clash)}")
-    if id_col is None:
-        import warnings
-        warnings.warn(
-            "predict_with_topk without id_col pins the input with a "
-            "localCheckpoint (executor storage for every row). Pass a "
-            "unique id_col for at-scale scoring.", ResourceWarning,
-            stacklevel=2)
-        handled = df.withColumn("_mlid", F.monotonically_increasing_id()) \
-                    .localCheckpoint(eager=False)
-        key = "_mlid"
-    else:
-        handled = df
-        key = id_col
-    sums = _score_sums(model, handled, key, text_col)
-    out = handled.join(sums, key, "left")
+    score = _score_sums_udf(model)
+    out = df.withColumn("_sums", score(F.lower(F.col(text_col))))
     score_cols = []
     for c in range(kcls):
-        s = (F.coalesce(F.col(f"_s{c}"), F.lit(0))
+        s = (F.coalesce(F.element_at(F.col("_sums"), c + 1), F.lit(0))
              + F.lit(model.intercepts[c] * model.fscale)).cast("long")
         score_cols.append(s.alias(f"_s{c}"))
-    snames = {f"_s{c}" for c in range(kcls)}
-    out = out.select(*[cc for cc in out.columns if cc not in snames],
+    out = out.select(*[cc for cc in out.columns if cc != "_sums"],
                      *score_cols)
     # ranked structs: sort asc by (-score, label) == desc score, asc label
     ranked = F.array_sort(F.array(*[
@@ -417,8 +480,6 @@ def predict_with_topk(model: FrozenTextClassifier, df: DataFrame,
                        / F.col("_denom")).alias("p"),
                       x["category"].alias("category")))))
     drop = ["_ranked", "_denom"] + [f"_s{c}" for c in range(kcls)]
-    if id_col is None:
-        drop.append("_mlid")
     return out.drop(*drop)
 
 

@@ -20,6 +20,43 @@ def model_and_data(spark):
     return model, test
 
 
+def test_scorer_udf_matches_expr(model_and_data, spark):
+    """r9 optimization: integer scoring moved to the per-row Arrow
+    kernel (_score_sums_udf); the retained explode/broadcast-join/
+    groupBy form (_score_sums) is the independent second engine. Raw
+    sums must be integer-identical on real docs plus adversarial rows
+    (nulls, empties, control-char whitespace, tf saturation past
+    tf_cap, unicode); no-hit rows score 0 in the kernel and are simply
+    absent from the grouped form."""
+    from documentai_spark.operators.ml_classify import (
+        _score_sums, _score_sums_udf,
+    )
+
+    model, test = model_and_data
+    kcls = len(model.labels)
+    some_term = next(iter(model.weight_map()))
+    adv = [
+        (100001, None), (100002, ""), (100003, " \t\n"),
+        (100004, "zz-not-in-vocab zz-not-in-vocab"),
+        (100005, (some_term + " ") * 100),        # tf past tf_cap=64
+        (100006, some_term.upper() + "\x1c" + some_term),
+        (100007, "é ünïcode " + some_term),
+    ]
+    df = test.select("doc_id", "text").unionByName(
+        spark.createDataFrame(adv, "doc_id long, text string"))
+    score = _score_sums_udf(model)
+    fast = {r["doc_id"]: tuple(r["_sums"])
+            for r in df.select("doc_id",
+                               score(F.lower(F.col("text")))
+                               .alias("_sums")).collect()}
+    slow = {r["doc_id"]: tuple(r[f"_s{c}"] for c in range(kcls))
+            for r in _score_sums(model, df, "doc_id", "text").collect()}
+    zeros = (0,) * kcls
+    assert set(slow) <= set(fast)
+    for did, sums in fast.items():
+        assert sums == slow.get(did, zeros), did
+
+
 def test_accuracy_beats_chance(model_and_data):
     model, test = model_and_data
     pred = predict_with_topk(model, test)
@@ -59,12 +96,12 @@ def test_reserved_column_collision_raises(model_and_data, spark):
     model, test = model_and_data
     with pytest.raises(ValueError, match="_s0"):
         predict_with_topk(model, test.withColumn("_s0", F.lit(1)))
-    with pytest.raises(ValueError, match="_mlid"):
-        predict_with_topk(model, test.withColumn("_mlid", F.lit(1)))
-    # _mlid is only reserved on the no-id_col path
-    out = predict_with_topk(model, test.withColumn("_mlid", F.lit(1)),
-                            id_col="doc_id")
-    assert "ml_category" in out.columns
+    with pytest.raises(ValueError, match="_sums"):
+        predict_with_topk(model, test.withColumn("_sums", F.lit(1)))
+    # _mlid is no longer reserved (r9: per-row Arrow scoring removed
+    # the monotonically_increasing_id fallback handle entirely)
+    out = predict_with_topk(model, test.withColumn("_mlid", F.lit(1)))
+    assert "ml_category" in out.columns and "_mlid" in out.columns
 
 
 def _py_ngrams(toks, max_ngram=4):
@@ -139,16 +176,25 @@ def test_tf_saturates_at_cap(model_and_data, spark):
     assert rows[0] == rows[1]
 
 
-def test_no_id_fallback_warns(model_and_data):
-    """The id-less fallback pins the input with a localCheckpoint — it
-    must warn loudly so at-scale callers pass id_col."""
+def test_no_id_scoring_is_rowwise(model_and_data):
+    """r9: id-less scoring no longer synthesizes a join handle or pins
+    the input with a localCheckpoint (the Arrow scorer computes every
+    row's sums in place), so it must neither warn nor leave internal
+    columns behind — and duplicate-content rows each score
+    independently (the semantics the _mlid handle existed to
+    guarantee)."""
     import warnings
 
     model, test = model_and_data
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        predict_with_topk(model, test)
-    assert any(issubclass(x.category, ResourceWarning) for x in rec)
+        out = predict_with_topk(model, test)
+        cats = [r.ml_category
+                for r in out.unionByName(out).collect()]
+    assert not any(issubclass(x.category, ResourceWarning)
+                   and "id_col" in str(x.message) for x in rec)
+    assert set(out.columns) & {"_mlid", "_sums"} == set()
+    assert len(cats) == 2 * test.count()
 
 
 def test_18class_fidelity_benchmark(spark):
