@@ -1461,7 +1461,7 @@ def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregating map-side (a doc's lines/grams are
     partition-local). Oracle replays line and bigram paths in SQL."""
     from documentai_spark.operators.curation import repetition_signals
-    return repetition_signals(_t(spark, sf_dir, "documents")) \
+    return repetition_signals(_par(spark, _t(spark, sf_dir, "documents"))) \
         .orderBy("doc_id")
 
 

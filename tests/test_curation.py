@@ -356,6 +356,35 @@ def test_repetition_signals_exact(spark):
     assert got[4].n_lines == 0 and got[4].dup_line_char_frac == 0.0
 
 
+def test_rep_signals_udf_matches_expr(spark):
+    """r9 optimization: the per-doc counters moved to an Arrow kernel;
+    the retained explode/double-aggregate expression form is the
+    independent second engine. Full rows must be value-identical
+    (integer counters AND the JVM-rounded ratios) on adversarial docs:
+    nulls, control-char whitespace (\\x1c splits ml tokens but not
+    token_count's class), tab-led lines (JVM trim strips only spaces),
+    unicode/astral char counting, and heavy duplication."""
+    from documentai_spark.operators.curation import (
+        repetition_signals, repetition_signals_expr,
+    )
+
+    docs = spark.createDataFrame([
+        (0, "same line\nsame line\nother\nsame line"),
+        (1, "ha ha ha ha ha"),
+        (2, ""), (3, None), (4, "\n\n  \n"),
+        (5, "\tindent\n\tindent\n  \n x"),      # tab survives trim(' ')
+        (6, "a\x1cb a\x1cb a b a b"),           # \x1c: ml-token split
+        (7, "é line\né line\n\U0001d11e astral chars here"),
+        (8, ("loop " * 300).strip()),
+        (9, "one"),                              # <2 tokens, no bigram
+    ], "doc_id long, text string")
+    fast = {r.doc_id: r.asDict()
+            for r in repetition_signals(docs).collect()}
+    slow = {r.doc_id: r.asDict()
+            for r in repetition_signals_expr(docs).collect()}
+    assert fast == slow
+
+
 def test_near_dedup_curation_flags(spark):
     """VERDICT r5 #5: near_dedup composes into the curation surface.
     is_near_dup fires on non-representative NEAR duplicates only (exact
