@@ -1273,7 +1273,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (no all-pairs). Banding internals stay pinned by
     tests/test_dedup.py at looser thresholds."""
     from documentai_spark.operators.dedup import minhash_dedup_pairs
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (minhash_dedup_pairs(docs, jaccard_threshold=0.9)
             .orderBy("id_a", "id_b"))
 

@@ -74,12 +74,12 @@ def test_local_signature_bit_identity(spark):
     explode+groupBy signature bit-for-bit — same shingler, same salted
     xxhash64 permutations, so streaming buckets are the batch buckets."""
     from documentai_spark.operators.dedup import (
-        minhash_signatures, with_minhash_signature_local,
+        minhash_signatures_agg, with_minhash_signature_local,
     )
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("doc_id", "text").limit(80))
     batch = {r["doc_id"]: r["_sig"] for r in
-             minhash_signatures(docs, num_hashes=32).collect()}
+             minhash_signatures_agg(docs, num_hashes=32).collect()}
     local = {r["doc_id"]: r["_sig"] for r in
              with_minhash_signature_local(docs, num_hashes=32)
              .select("doc_id", "_sig").collect()}
