@@ -921,7 +921,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline). Anchors broadcast; dot/norm via higher-order aggregate in
     DOUBLE (identical left-to-right IEEE sum in both engines). Output is
     ids+rank only — float reprs never reach the hash."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     vecs = emb.select("vec_id",
                       F.transform("embedding",
                                   lambda x: x.cast("double")).alias("v"))
@@ -1008,7 +1008,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped id range so the DuckDB oracle mirrors it exactly; output is id
     pairs only (floats never reach the hash). The uncapped scale path is
     operators/dedup.embedding_near_dups (LSH-bucketed)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") < 500))
     v = emb.select("vec_id",
                    F.transform("embedding",
                                lambda x: x.cast("double")).alias("v"))
@@ -1297,12 +1298,20 @@ def q_stream_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id").orderBy("doc_id").limit(64))
     sig = F.array(*[F.xxhash64(F.lit(i).cast("long"), F.col("doc_id"))
                     for i in range(64)])
-    return (docs.select("doc_id",
-                        F.explode(band_structs(sig, 64, 16)).alias("_b"))
-                .select("doc_id",
-                        F.col("_b.band_idx").alias("band_idx"),
-                        F.col("_b.band_hash").alias("band_hash"))
-                .orderBy("doc_id", "band_idx"))
+    # r9: materialize the 64-hash signature BEFORE banding — inlined,
+    # every band_structs element_at re-evaluated the full 64-hash array
+    # construction and the Generate re-evaluated it again per band
+    # (~65k hashes/row, the documented HOF/Generate CSE hazard); the
+    # eager checkpoint (64 rows) is the projection-collapse barrier
+    staged = docs.select("doc_id", sig.alias("_sig")) \
+                 .localCheckpoint(eager=True)
+    return (staged.select("doc_id",
+                          F.explode(band_structs(F.col("_sig"), 64, 16))
+                          .alias("_b"))
+                  .select("doc_id",
+                          F.col("_b.band_idx").alias("band_idx"),
+                          F.col("_b.band_hash").alias("band_hash"))
+                  .orderBy("doc_id", "band_idx"))
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,7 +1520,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each) while the word-soup corpus keeps accidental overlap rare."""
     from documentai_spark.operators.curation import decontaminate
     from documentai_spark.operators.ml_classify import tokens_col
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
     bench = (docs.filter(F.col("doc_id") % 97 == 0)
                  .select(F.array_join(
                      F.slice(tokens_col(F.col("text")), 4, 10), " ")
@@ -1723,7 +1733,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal planes -> SQL bucket + exact re-rank; recall additionally
     measured against brute force in tests/test_similarity.py)."""
     from documentai_spark.operators.similarity import lsh_ann_topk
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     anchors = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
     # dim threaded explicitly (the fixture embeds at 64): no .first()
@@ -1743,7 +1753,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-and-search KMeans mode keeps its recall pin in
     tests/test_similarity.py."""
     from documentai_spark.operators.similarity import ivf_ann_topk
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     anchors = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
     out = ivf_ann_topk(emb, anchors, k=5, n_probe=2,

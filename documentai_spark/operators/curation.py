@@ -521,6 +521,37 @@ def exact_ngrams_col(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _ngrams_arr_udf(n: int):
+    """Arrow-batched n-gram array kernel over LOWERED text: exactly
+    ``exact_ngrams_col(tokens_col(text), n)`` — the pinned ml_classify
+    tokenization (``_WS_SPLIT``, empties dropped) then all space-joined
+    n-token windows, ``[]`` when the doc has fewer than n tokens.
+    Optimization r9 (guide §4.2): the JVM form built every gram via
+    interpreted ``array_join(slice(...))`` per position (~4 s of
+    decontaminate's 5.6 s at sf1.0); equality pinned by
+    tests/test_curation.py::test_ngrams_udf_matches_expr."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from documentai_spark.operators.ml_classify import _WS_SPLIT
+
+    ws_re = _re.compile(_WS_SPLIT)
+
+    @pandas_udf("array<string>")
+    def grams(lowered):  # no hints: annotations future + local imports
+        join = " ".join
+        out = []
+        for s in lowered:
+            toks = [t for t in ws_re.split(s or "") if t]
+            out.append([join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)])
+        return pd.Series(out)
+
+    return grams
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                   n: int = 8, text_col: str = "text",
                   bench_text_col: str = "text",
@@ -537,10 +568,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     map-side combine (grams of one doc live in one partition), then one
     id-keyed join back. The corpus is never shuffled by gram. Token and
     gram formulations are the pinned ml_classify tokenization, so the
-    DuckDB oracle replays everything.
+    DuckDB oracle replays everything (gram construction itself runs in
+    the :func:`_ngrams_arr_udf` Arrow kernel since r9 — same grams,
+    equality-pinned).
     """
-    from documentai_spark.operators.ml_classify import tokens_col
-
     clash = {"n_contam_hits", "contaminated"} & set(docs.columns)
     if clash:
         # the id-keyed join back would raise an ambiguous-column error
@@ -549,16 +580,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
         raise ValueError(
             f"input columns collide with decontaminate outputs: "
             f"{sorted(clash)}")
+    grams_udf = _ngrams_arr_udf(n)
     bench_grams = (benchmark
-                   .select(tokens_col(F.col(bench_text_col)).alias("_tk"))
-                   .select(F.explode(exact_ngrams_col(F.col("_tk"), n))
-                           .alias("gram"))
+                   .select(grams_udf(F.lower(F.col(bench_text_col)))
+                           .alias("_gs"))
+                   .select(F.explode("_gs").alias("gram"))
                    .distinct())
     doc_grams = (docs.select(id_col,
-                             tokens_col(F.col(text_col)).alias("_tk"))
-                     .select(id_col,
-                             F.explode(exact_ngrams_col(F.col("_tk"), n))
-                             .alias("gram")))
+                             grams_udf(F.lower(F.col(text_col)))
+                             .alias("_gs"))
+                     .select(id_col, F.explode("_gs").alias("gram")))
     # broadcast-join FIRST: the corpus gram stream is filtered map-side
     # to benchmark hits (tiny) before any distinct/aggregate — the raw
     # stream is never shuffled by gram

@@ -356,6 +356,37 @@ def test_repetition_signals_exact(spark):
     assert got[4].n_lines == 0 and got[4].dup_line_char_frac == 0.0
 
 
+def test_ngrams_udf_matches_expr(spark):
+    """r9 optimization: decontaminate's gram construction moved to an
+    Arrow kernel; it must emit exactly exact_ngrams_col(tokens_col(t))
+    — same tokens (pinned _WS_SPLIT class, empties dropped), same
+    space-joined windows, [] under n tokens — on adversarial docs."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.curation import (
+        _ngrams_arr_udf, exact_ngrams_col,
+    )
+    from documentai_spark.operators.ml_classify import tokens_col
+
+    docs = spark.createDataFrame([
+        (0, "one two three four five six seven eight nine ten"),
+        (1, "exactly eight tokens in this very row here"),
+        (2, "short row"), (3, ""), (4, None),
+        (5, "a\x1cb c\td  e\n\nf g h i j"),   # control-char separators
+        (6, "é ü " + "tok " * 20),
+        (7, " lead  and   trail  "),
+    ], "doc_id long, text string")
+    for n in (2, 8):
+        fast = {r.doc_id: r.g for r in docs.select(
+            "doc_id", _ngrams_arr_udf(n)(F.lower(F.col("text")))
+            .alias("g")).collect()}
+        slow = {r.doc_id: r.g for r in docs.select(
+            "doc_id", F.coalesce(
+                exact_ngrams_col(tokens_col(F.col("text")), n),
+                F.array().cast("array<string>")).alias("g")).collect()}
+        assert fast == slow, n
+
+
 def test_rep_signals_udf_matches_expr(spark):
     """r9 optimization: the per-doc counters moved to an Arrow kernel;
     the retained explode/double-aggregate expression form is the
