@@ -762,7 +762,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whitespace class and NULL-as-zero pin live in
     ``curation.token_count_col`` (shared, r7)."""
     from documentai_spark.operators.curation import token_count_col
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id",
                        token_count_col(F.col("text")).alias("n_tokens"),
                        F.length("text").alias("len_chars")).orderBy("doc_id")
@@ -781,7 +781,7 @@ def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.curation import (
         STOPWORD_PATTERN, token_count_col,
     )
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     n_toks = token_count_col(F.col("text"))
     n_sw = F.coalesce(
         F.size(F.regexp_extract_all(F.lower(F.col("text")),
@@ -817,7 +817,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.curation import (
         load_lm_model, with_lm_perplexity,
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     model = load_lm_model(LM_FROZEN)
     out = with_lm_perplexity(docs, model, threshold=1.45)
     # map-only UDF plan: NO final orderBy (the header rule — a global
@@ -834,7 +834,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercase text
     (exact-dedup key; textstats.fingerprint semantics)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
@@ -845,7 +845,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the fingerprint; keep min doc_id as
     representative; report group sizes (map-side partial agg, one shuffle
     on the 16-byte key — the scale path for 100 TB exact dedup)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
     return (fp.groupBy("fingerprint")
@@ -866,7 +866,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded to doc_id < 120 to keep the oracle cross-join-free compare
     cheap at sf0.1; at cluster scale the same plan runs unbounded with the
     shingle join sharded by key."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = _par(spark, _t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 120)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     toks = F.split(norm, " ")
     n = F.size(toks)
@@ -910,7 +910,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     set with a recursive CTE — two different fixpoint strategies
     agreeing value-for-value."""
     from documentai_spark.operators.dedup import cluster_pairs
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = _par(spark, _t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 120)
     pairs = q_ngram_jaccard(spark, sf_dir) \
         .filter(F.col("jaccard") >= 0.2)
     return cluster_pairs(pairs, docs).orderBy("doc_id")
@@ -956,7 +956,7 @@ def q_classify_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "storage": {"keywords": ["table", "row", "column", "part"]},
         "streaming": {"keywords": ["stream", "window", "batch"]},
     })
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         technique_substring(F.col("text"), cfg).alias("category")
@@ -1033,7 +1033,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     '' ?[A-Za-z]+ | ?[0-9]+ | ?[^A-Za-z0-9 \\t\\n]+'' — counted per doc in
     one regex pass, vs whitespace token count."""
     from documentai_spark.operators.curation import token_count_col
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     pat = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
     return docs.select("doc_id", n_bpe.alias("n_bpe_tokens"),
@@ -1058,7 +1058,8 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank error <= 1/accuracy, tested against the exact form at an
     sf1-like skewed shape (tests/test_curation.py)."""
     from documentai_spark.operators.curation import corpus_report
-    return corpus_report(_t(spark, sf_dir, "documents"), exact=True)
+    return corpus_report(_par(spark, _t(spark, sf_dir, "documents")),
+                         exact=True)
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,7 +1080,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine (extract_quality's standing hash-check).
     """
     from documentai_spark.operators.curation import curate_documents
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     out = curate_documents(docs)
     return (out.select("doc_id", "keep", "is_dup", "bad_lang", "bad_len",
                        "low_conf")
@@ -1200,7 +1201,10 @@ from documentai_spark.core.textkind import (  # noqa: E402
 
 
 def _transcripts(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(TRANSCRIPTS_TEST)
+    # r9: the committed table is one single-row-group file — without
+    # the adaptive ingress repartition every transcript-family query's
+    # Arrow extraction/quality stage ran on ONE core (guide §2.5)
+    return _par(spark, spark.read.parquet(TRANSCRIPTS_TEST))
 
 
 def q_t_kind_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,7 +1424,7 @@ def q_rule_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalid-in-both-readings failure path; the DuckDB mirror replays the
     dual parse with explicit calendar validity."""
     from documentai_spark.operators.rules_op import with_rule_validation
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     d = F.col("doc_id")
     issue = F.concat(two(d % 29 + 1), two(d % 12 + 1), two(d % 100))
@@ -1458,7 +1462,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downweight-the-crawl move, hash-stable so re-runs keep the same
     rows. Oracle replays the salted bucket + per-source thresholds."""
     from documentai_spark.operators.curation import mixture_sample
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     out = mixture_sample(docs, rates={"src0": 0.25, "src1": 0.5})
     return out.select("doc_id", "source").orderBy("doc_id")
 
@@ -1506,7 +1510,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     document between splits; both engines replay the identical bucket
     arithmetic."""
     from documentai_spark.operators.curation import with_split
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return with_split(docs).select("doc_id", "split").orderBy("doc_id")
 
 
@@ -1541,7 +1545,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.curation import (
         stopword_ratio_col, stratified_sample,
     )
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     lang = F.when(stopword_ratio_col(F.col("text")) >= 0.04,
                   F.lit("en")).otherwise(F.lit("unknown"))
     tagged = docs.select("doc_id", lang.alias("lang_pred"))
@@ -1558,7 +1562,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-by-row per shard — a genuinely different evaluation strategy
     agreeing value-for-value."""
     from documentai_spark.operators.packing import pack_sequences
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return pack_sequences(docs, budget=512, n_shards=16) \
         .orderBy("doc_id")
 
@@ -1687,7 +1691,9 @@ def q_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "max_cols": mc})
 
     t = _transcripts(spark)
-    out = t.withColumn("_tt", tables_udf(F.col("text")))
+    # r9: the n_tables>0 filter would duplicate the UDF below itself
+    # (guide 4.4) - non-determinism forbids the copy, result unchanged
+    out = t.withColumn("_tt", tables_udf.asNondeterministic()(F.col("text")))
     return (out.select("conv_id", "turn_idx",
                        F.col("_tt.n_tables").alias("n_tables"),
                        F.col("_tt.n_table_rows").alias("n_table_rows"),
@@ -1826,7 +1832,7 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.extraction import (
         with_extraction, with_quality,
     )
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     df = with_quality(with_extraction(docs), raw_col="text")
     df = with_verdict(df)
     return df.select("doc_id", "kind", "q_blank", "q_legibility",

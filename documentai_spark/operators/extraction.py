@@ -186,6 +186,19 @@ def extract_quality_udf(text: pd.Series) -> pd.DataFrame:
     })
 
 
+# r9 (guide 4.4): a filter on a UDF-derived column (kind, n_tables,
+# quality gates) gets pushed below the projection by re-EVALUATING the
+# UDF a second time under the Filter — measured as a duplicate
+# ArrowEvalPython stage costing ~1.7s per filtering query at sf1.0.
+# Marking the expensive extraction-family UDFs non-deterministic
+# forbids the optimizer from duplicating them; the functions are pure,
+# so results are unchanged (the flag only constrains plan rewrites).
+extract_udf = extract_udf.asNondeterministic()
+quality_udf = quality_udf.asNondeterministic()
+entity_udf = entity_udf.asNondeterministic()
+extract_quality_udf = extract_quality_udf.asNondeterministic()
+
+
 def with_extraction_and_quality(df: DataFrame,
                                 text_col: str = "text") -> DataFrame:
     """Fused stage used by the flagship pipeline (no shuffle)."""
