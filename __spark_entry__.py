@@ -658,17 +658,30 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue top-10 via broadcast dim join (J5/J6 + W4 top-k).
 
     customer is the small side -> explicit broadcast(); lineitem->orders
-    is the big equi-join, shuffle on orderkey with AQE."""
+    is the big equi-join, shuffle on orderkey with AQE.
+
+    r9 (guide §2.3, aggregate before you shuffle): lineitem revenue is
+    pre-summed per l_orderkey BEFORE the orders join, so the join input
+    shrinks ~4x and the join never carries per-line rows. Equivalence
+    is exact, not approximate: decimal(18,4) sums are exact integer
+    arithmetic, so sum-of-partial-sums equals the flat sum bit-for-bit
+    (no overflow at any tested scale — sum() widens to decimal(28,4)/
+    (38,4)) and the final cast to double sees the identical exact
+    value. Oracle hash unchanged (checked at sf0.001/0.01/0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1).cast("decimal(18,4)")
               - F.col("l_discount").cast("decimal(18,4)")))
-    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = (li.select("l_orderkey", rev.alias("_r"))
+                   .groupBy("l_orderkey")
+                   .agg(F.sum("_r").alias("_r")))
+    return (per_order
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_custkey", "c_name")
-            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .agg(F.sum("_r").cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(10))
 

@@ -46,7 +46,16 @@ def build_session(app_name: str = "documentai_spark",
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         # r9: default input splits sized for the local testdata shape —
+         # single files with few row groups, where 128 MB splits yield
+         # 1-2 scan tasks and starve the other cores; 16 MB splits let
+         # a 6-row-group 126 MB file scan 6-wide (splits can't go finer
+         # than row groups, so smaller costs nothing). On a real
+         # cluster with many multi-block files, set the env to 128 MB -
+         # 1 GB (guide §6) — the knob is deployment config, not code.
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                "16777216"))
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.sql.session.timeZone", "UTC"))
