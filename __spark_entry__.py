@@ -1537,12 +1537,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each) while the word-soup corpus keeps accidental overlap rare."""
     from documentai_spark.operators.curation import decontaminate
     from documentai_spark.operators.ml_classify import tokens_col
-    docs = _par(spark, _t(spark, sf_dir, "documents")
-                .select("doc_id", "text"))
-    bench = (docs.filter(F.col("doc_id") % 97 == 0)
-                 .select(F.array_join(
-                     F.slice(tokens_col(F.col("text")), 4, 10), " ")
-                     .alias("text")))
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(spark, raw)
+    # bench derives from the RAW scan (r9): ~1% of rows feed a
+    # driver-side probe-set build — routing them through the ingress
+    # repartition shuffled the whole table for a 516-row collect
+    bench = (raw.filter(F.col("doc_id") % 97 == 0)
+                .select(F.array_join(
+                    F.slice(tokens_col(F.col("text")), 4, 10), " ")
+                    .alias("text")))
     out = decontaminate(docs, bench, n=8)
     return out.select("doc_id", "n_contam_hits", "contaminated") \
               .orderBy("doc_id")

@@ -562,45 +562,59 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     training). Adds ``n_contam_hits`` (count of DISTINCT shared grams
     per document) and ``contaminated``.
 
-    Scale shape: the benchmark side (MBs — eval sets are small) is
-    distinct-reduced and BROADCAST into a semi-style inner join against
-    the corpus gram stream; per-doc distinct-gram counts aggregate with
-    map-side combine (grams of one doc live in one partition), then one
-    id-keyed join back. The corpus is never shuffled by gram. Token and
-    gram formulations are the pinned ml_classify tokenization, so the
-    DuckDB oracle replays everything (gram construction itself runs in
-    the :func:`_ngrams_arr_udf` Arrow kernel since r9 — same grams,
-    equality-pinned).
+    Scale shape: the benchmark side (MBs — eval sets are small, and the
+    pre-r9 form already materialized it driver-side via
+    ``F.broadcast``) is distinct-reduced ONCE into a driver frozenset
+    shipped inside the Arrow kernel's closure; each doc's distinct-gram
+    intersection count is then computed doc-locally — no gram explode,
+    no join, no aggregate, no join-back (r9: the explode+join chain
+    cost ~2.5 s of decontaminate's 5.6 s at sf1.0 on top of the
+    JVM gram construction). Gram construction skips windows whose
+    first token starts no benchmark gram (sound: such a gram cannot be
+    in the set). The corpus is never shuffled at all. Token and gram
+    formulations are the pinned ml_classify tokenization
+    (:func:`_ngrams_arr_udf` semantics, equality-pinned), so the DuckDB
+    oracle replays everything.
     """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from documentai_spark.operators.ml_classify import _WS_SPLIT
+
     clash = {"n_contam_hits", "contaminated"} & set(docs.columns)
     if clash:
-        # the id-keyed join back would raise an ambiguous-column error
-        # (or the withColumn would clobber) — refuse loudly, same guard
-        # family as with_curation_flags (ADVICE r5)
+        # the withColumn would silently clobber caller columns — refuse
+        # loudly, same guard family as with_curation_flags (ADVICE r5)
         raise ValueError(
             f"input columns collide with decontaminate outputs: "
             f"{sorted(clash)}")
     grams_udf = _ngrams_arr_udf(n)
-    bench_grams = (benchmark
-                   .select(grams_udf(F.lower(F.col(bench_text_col)))
-                           .alias("_gs"))
-                   .select(F.explode("_gs").alias("gram"))
-                   .distinct())
-    doc_grams = (docs.select(id_col,
-                             grams_udf(F.lower(F.col(text_col)))
-                             .alias("_gs"))
-                     .select(id_col, F.explode("_gs").alias("gram")))
-    # broadcast-join FIRST: the corpus gram stream is filtered map-side
-    # to benchmark hits (tiny) before any distinct/aggregate — the raw
-    # stream is never shuffled by gram
-    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
-                     .groupBy(id_col)
-                     .agg(F.countDistinct("gram")
-                           .alias("n_contam_hits")))
-    out = docs.join(hits, id_col, "left")
-    return out.withColumn("n_contam_hits",
-                          F.coalesce(F.col("n_contam_hits"), F.lit(0))) \
-              .withColumn("contaminated", F.col("n_contam_hits") > 0)
+    bench_set = frozenset(
+        r["gram"] for r in
+        (benchmark.select(grams_udf(F.lower(F.col(bench_text_col)))
+                          .alias("_gs"))
+                  .select(F.explode("_gs").alias("gram"))
+                  .distinct().collect()))
+    starters = frozenset(g.split(" ", 1)[0] for g in bench_set)
+    ws_re = _re.compile(_WS_SPLIT)
+
+    @pandas_udf("long")
+    def contam_hits(lowered):  # no hints: annotations future
+        join = " ".join
+        out = []
+        for s in lowered:
+            toks = [t for t in ws_re.split(s or "") if t]
+            hits = {join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                    if toks[i] in starters}
+            out.append(len(hits & bench_set))
+        return pd.Series(out)
+
+    return (docs.withColumn("n_contam_hits",
+                            contam_hits(F.lower(F.col(text_col))))
+                .withColumn("contaminated", F.col("n_contam_hits") > 0))
 
 
 def mixture_sample(df: DataFrame, *, rates: dict[str, float],
@@ -825,11 +839,15 @@ def curate_documents(docs: DataFrame, **kw) -> DataFrame:
     dedup/length flags used the right one."""
     from documentai_spark.functions.verdict import with_verdict
     from documentai_spark.operators.extraction import (
-        with_extraction, with_quality,
+        with_extraction_and_quality,
     )
     text_col = kw.get("text_col", "text")
-    df = with_verdict(with_quality(with_extraction(docs, text_col=text_col),
-                                   raw_col=text_col))
+    # r9: the FUSED extract+quality kernel (one Arrow round-trip; the
+    # flagship pipeline's stage) instead of the split pair, which
+    # shipped the text to Python twice and the extracted text back and
+    # forth once more — metrics are bit-identical (both delegate to
+    # core/quality; the standing three-engine equality pins)
+    df = with_verdict(with_extraction_and_quality(docs, text_col=text_col))
     return with_curation_flags(df, **kw)
 
 
