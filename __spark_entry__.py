@@ -1213,11 +1213,16 @@ from documentai_spark.core.textkind import (  # noqa: E402
 )
 
 
-def _transcripts(spark: SparkSession) -> DataFrame:
+def _transcripts(spark: SparkSession, wide: bool = False) -> DataFrame:
     # r9: the committed table is one single-row-group file — without
     # the adaptive ingress repartition every transcript-family query's
-    # Arrow extraction/quality stage ran on ONE core (guide §2.5)
-    return _par(spark, spark.read.parquet(TRANSCRIPTS_TEST))
+    # Arrow extraction/quality stage ran on ONE core (guide §2.5).
+    # ``wide=True`` opts a Python-kernel-heavy query in; the pure-JVM
+    # window/agg queries skip it (their own shuffle dominates and the
+    # extra exchange measurably regressed the sub-second tail), and
+    # the flagship pipeline places its own range exchange.
+    df = spark.read.parquet(TRANSCRIPTS_TEST)
+    return _par(spark, df) if wide else df
 
 
 def q_t_kind_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,7 +1356,7 @@ def q_entity_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs over the committed transcripts fixture (the documents table is
     digit-free word soup — zero entities, no signal)."""
     from documentai_spark.operators.extraction import with_entities
-    out = with_entities(_transcripts(spark), extracted_col="text")
+    out = with_entities(_transcripts(spark, wide=True), extracted_col="text")
     return (out.select(
                 "conv_id", "turn_idx",
                 F.array_join(F.array_sort(F.map_keys("entities")), ",")
@@ -1365,7 +1370,7 @@ def q_entity_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP values (not just presence) must agree with DuckDB's RE2
     regexp_extract group pulls. Absent -> '' on both sides."""
     from documentai_spark.operators.extraction import with_entities
-    out = with_entities(_transcripts(spark), extracted_col="text")
+    out = with_entities(_transcripts(spark, wide=True), extracted_col="text")
     e = lambda f: F.coalesce(F.element_at("entities", F.lit(f)),  # noqa: E731
                              F.lit("")).alias(f)
     return out.select("conv_id", "turn_idx", e("po_number"),
@@ -1382,7 +1387,7 @@ def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this fixture the stages fire exact=11595 / consecutive=1293 /
     containment=5432 times (and 0 misses among extracted entities)."""
     from documentai_spark.operators.extraction import with_entities
-    out = with_entities(_transcripts(spark), extracted_col="text")
+    out = with_entities(_transcripts(spark, wide=True), extracted_col="text")
     ex = out.select("conv_id", "turn_idx",
                     F.explode("entity_spans").alias("s"))
     return (ex.select("conv_id", "turn_idx", F.col("s.field").alias("field"),
@@ -1399,7 +1404,7 @@ def q_categorized_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from documentai_spark.operators.extraction import with_entities
     out = with_categorized_entities(
-        with_entities(_transcripts(spark), extracted_col="text"),
+        with_entities(_transcripts(spark, wide=True), extracted_col="text"),
         "purchase_order")
     ex = out.select("conv_id", "turn_idx",
                     F.explode("categorized_entities")
@@ -1420,7 +1425,7 @@ def q_rule_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.extraction import with_entities
     from documentai_spark.operators.rules_op import with_rule_validation
     out = with_rule_validation(
-        with_entities(_transcripts(spark), extracted_col="text"),
+        with_entities(_transcripts(spark, wide=True), extracted_col="text"),
         ["po_number must not be empty",
          "date_numeric must be a valid date",
          "amount must be a number",
@@ -1475,7 +1480,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downweight-the-crawl move, hash-stable so re-runs keep the same
     rows. Oracle replays the salted bucket + per-source thresholds."""
     from documentai_spark.operators.curation import mixture_sample
-    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     out = mixture_sample(docs, rates={"src0": 0.25, "src1": 0.5})
     return out.select("doc_id", "source").orderBy("doc_id")
 
@@ -1507,7 +1512,7 @@ def q_redact_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.functions.redact import with_redaction
     from documentai_spark.operators.extraction import with_entities
     out = with_redaction(
-        with_entities(_transcripts(spark), extracted_col="text"))
+        with_entities(_transcripts(spark, wide=True), extracted_col="text"))
     out = with_redaction(out, out_col="redacted_text_bounded",
                          word_boundary=True)
     return out.select("conv_id", "turn_idx", "redacted_text",
@@ -1523,7 +1528,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     document between splits; both engines replay the identical bucket
     arithmetic."""
     from documentai_spark.operators.curation import with_split
-    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return with_split(docs).select("doc_id", "split").orderBy("doc_id")
 
 
@@ -1646,7 +1651,7 @@ def q_classify_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipping": {"keywords": ["vessel", "port", "freight", "shipment"]},
         "credit": {"keywords": ["credit", "beneficiary"]},
     })
-    t = _transcripts(spark).withColumnRenamed("text", "extracted_text")
+    t = _transcripts(spark, wide=True).withColumnRenamed("text", "extracted_text")
     out = group_consecutive(classify_with_vote(t, cfg), cfg)
     return out.select("conv_id", "turn_idx", "technique_1", "technique_2",
                       "technique_3", "category", "vote_confidence",
@@ -1666,7 +1671,7 @@ def q_preprocess_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_extraction_and_quality,
     )
     from documentai_spark.operators.preprocess import selective_preprocess
-    t = _transcripts(spark)
+    t = _transcripts(spark, wide=True)
     df = with_verdict(with_extraction_and_quality(t))
     df = df.filter(F.col("kind") == "plain")
     out = selective_preprocess(df)
@@ -1706,7 +1711,7 @@ def q_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"n_tables": nt, "n_table_rows": nr,
                              "max_cols": mc})
 
-    t = _transcripts(spark)
+    t = _transcripts(spark, wide=True)
     # r9: the n_tables>0 filter would duplicate the UDF below itself
     # (guide 4.4) - non-determinism forbids the copy, result unchanged
     out = t.withColumn("_tt", tables_udf.asNondeterministic()(F.col("text")))
@@ -1808,7 +1813,7 @@ def q_pi_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the transcripts fixture (PI No / Date fire on ~1.4k turns;
     the goods-table path is pinned by tests/test_typed_extract.py)."""
     from documentai_spark.operators.typed_entities import with_pi_entities
-    out = with_pi_entities(_transcripts(spark))
+    out = with_pi_entities(_transcripts(spark, wide=True))
     return (out.select("conv_id", "turn_idx", "invoice_number",
                        "invoice_date", "contract_po_reference",
                        "incoterm_named_place",
@@ -1828,7 +1833,7 @@ def q_t_plain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documentai_spark.operators.extraction import (
         with_extraction_and_quality,
     )
-    t = _transcripts(spark)
+    t = _transcripts(spark, wide=True)
     df = with_verdict(with_extraction_and_quality(t))
     return (df.filter(F.col("kind") == "plain")
               .select("conv_id", "turn_idx", "kind",
