@@ -181,6 +181,45 @@ def nearest_cells(vec: Column, centers: list[list[float]],
         1, n)
 
 
+def _nearest_cells_udf(centers: list[list[float]], n: int):
+    """Arrow-batched frozen-quantizer cell assignment (optimization r9,
+    guide §4.2): vec -> the n nearest centroid indices with the exact
+    (distance asc, cell asc) tie-break.
+
+    Bit-identical to :func:`nearest_cells`: the squared-euclid fold is
+    the same left-to-right IEEE double accumulation ((x-y)*(x-y) added
+    in index order from 0.0 — Python floats ARE IEEE doubles with
+    identical op semantics), and tuple sort on (distance, cell) equals
+    array_sort's struct ordering on finite distances. Pinned by
+    tests/test_similarity.py::test_nearest_cells_udf_matches_expr.
+
+    Why: the expression form runs ~n_centroids * dim interpreted
+    higher-order steps per row (~1.3 s of ivf_ann's 2.5 s at sf1.0 on
+    the corpus side); the kernel does the same arithmetic without
+    per-element interpretation overhead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cs = [[float(x) for x in c] for c in centers]
+
+    @pandas_udf("array<int>")
+    def cells(vecs):  # no hints: annotations future + local imports
+        out = []
+        for v in vecs:
+            ds = []
+            for ci, c in enumerate(cs):
+                acc = 0.0
+                for x, y in zip(c, v):
+                    d = x - y
+                    acc = acc + d * d
+                ds.append((acc, ci))
+            ds.sort()
+            out.append([ci for _, ci in ds[:n]])
+        return pd.Series(out)
+
+    return cells
+
+
 def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  anchor_id_col: str = "anchor_id", n_cells: int = 16,
@@ -214,8 +253,12 @@ def ivf_ann_topk(vectors: DataFrame, anchors: DataFrame, k: int = 5,
         centers = [c.tolist() for c in km.clusterCenters()]
     else:
         centers = centroids
+        # corpus-side assignment via the Arrow kernel (bit-identical to
+        # the expression form — see _nearest_cells_udf); the tiny
+        # anchor side below stays on the oracle-mirrored expressions
+        cells_udf = _nearest_cells_udf(centers, 1)
         assigned = v.withColumn(
-            "_cell", F.element_at(nearest_cells(F.col("_v"), centers, 1), 1))
+            "_cell", F.element_at(cells_udf(F.col("_v")), 1))
     a = a.withColumn("_cell",
                      F.explode(nearest_cells(F.col("_a"), centers, n_probe)))
     return _rerank_topk(F.broadcast(a).join(assigned, "_cell"), k,

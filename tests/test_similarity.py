@@ -119,6 +119,36 @@ def test_lsh_deterministic(vectors, anchors):
     assert a == b
 
 
+def test_nearest_cells_udf_matches_expr(spark, vectors):
+    """r9 optimization: frozen-quantizer cell assignment moved to an
+    Arrow kernel; the retained expression form (nearest_cells — also
+    the DuckDB oracle's mirror) is the second engine. The n nearest
+    cell lists must be IDENTICAL (same left-to-right IEEE fold, same
+    (distance, cell) tie-break) on the fixture vectors plus adversarial
+    rows: all-zeros, a vector equal to a centroid (exact zero
+    distance), equidistant-by-symmetry pairs."""
+    from pyspark.sql import functions as F
+
+    from documentai_spark.operators.similarity import (
+        _as_double, _nearest_cells_udf, nearest_cells,
+    )
+
+    centers = [_vec(100 + i) for i in range(7)]
+    adv = [(1000, [0.0] * DIM), (1001, list(centers[3])),
+           (1002, [0.5] * DIM), (1003, [-0.5] * DIM)]
+    df = vectors.unionByName(
+        spark.createDataFrame(adv, ["vec_id", "embedding"]))
+    v = df.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+    for n in (1, 3):
+        fast = {r.vec_id: r.c for r in v.select(
+            "vec_id", _nearest_cells_udf(centers, n)(F.col("_v"))
+            .alias("c")).collect()}
+        slow = {r.vec_id: r.c for r in v.select(
+            "vec_id", nearest_cells(F.col("_v"), centers, n)
+            .alias("c")).collect()}
+        assert fast == slow, n
+
+
 def test_ivf_ann_recall(vectors, anchors):
     from documentai_spark.operators.similarity import ivf_ann_topk
     exact = _numpy_topk(5)
