@@ -934,11 +934,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline). Anchors broadcast; dot/norm via higher-order aggregate in
     DOUBLE (identical left-to-right IEEE sum in both engines). Output is
     ids+rank only — float reprs never reach the hash."""
-    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    vecs = emb.select("vec_id",
-                      F.transform("embedding",
-                                  lambda x: x.cast("double")).alias("v"))
-    anchors = vecs.filter(F.col("vec_id") < 10) \
+    raw = _t(spark, sf_dir, "embeddings")
+    vecs = _par(spark, raw).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    anchors = raw.select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v")) \
+                 .filter(F.col("vec_id") < 10) \
                   .select(F.col("vec_id").alias("anchor_id"),
                           F.col("v").alias("av"))
     dot = F.aggregate(F.zip_with("av", "v", lambda x, y: x * y),
@@ -1760,8 +1763,11 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal planes -> SQL bucket + exact re-rank; recall additionally
     measured against brute force in tests/test_similarity.py)."""
     from documentai_spark.operators.similarity import lsh_ann_topk
-    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    anchors = emb.filter(F.col("vec_id") < 10) \
+    raw = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, raw)
+    # anchors from the RAW scan (r9): extracting 10 broadcast rows
+    # through the ingress repartition shuffled the whole table first
+    anchors = raw.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
     # dim threaded explicitly (the fixture embeds at 64): no .first()
     # probe job before the main action
@@ -1780,8 +1786,11 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-and-search KMeans mode keeps its recall pin in
     tests/test_similarity.py."""
     from documentai_spark.operators.similarity import ivf_ann_topk
-    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    anchors = emb.filter(F.col("vec_id") < 10) \
+    raw = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, raw)
+    # anchors from the RAW scan (r9): extracting 10 broadcast rows
+    # through the ingress repartition shuffled the whole table first
+    anchors = raw.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("anchor_id"), "embedding")
     out = ivf_ann_topk(emb, anchors, k=5, n_probe=2,
                        centroids=_ivf_centroids())
